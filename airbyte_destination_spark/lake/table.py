@@ -1,0 +1,440 @@
+"""LakeTable — bucketed copy-on-write table with atomic snapshot commits.
+
+Storage layout (all under the table root):
+
+    _meta/version-00000001.json   immutable snapshot manifests
+    _meta/LATEST                  pointer file (atomic rename commit)
+    data/snap-<version>-<nonce>/_b=<bucket>/*.parquet
+
+A snapshot manifest records, per hash bucket, the list of data files
+(with the schema id each file was written under), the full schema
+history, applied epoch ids (exactly-once markers), and lineage rows.
+
+MERGE rewrites only the buckets a change batch touches; all other
+buckets carry their previous files forward — the same copy-on-write
+strategy Iceberg uses with `PARTITIONED BY (bucket(N, key))`.
+
+Reference semantics being reproduced: ClickHouse ReplacingMergeTree
+(Ver=cursor, ORDER BY primary key) configured at
+/root/reference/internal/connector/destination.go:337-351 — per key,
+the row with the greatest version wins; here the reduce is eager
+(window row_number at merge time) so reads always see final state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake.schema import align_to_schema, merge_schemas
+
+_META = "_meta"
+_LATEST = "LATEST"
+_BUCKET_COL = "_b"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version we tried to write."""
+
+
+@dataclass
+class MergeStats:
+    epoch_id: str | None
+    version: int
+    rows_upserted: int
+    rows_deleted: int
+    buckets_touched: int
+    skipped: bool = False  # epoch had already been applied
+    lineage: list[dict] = field(default_factory=list)
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic bucket id for a row: pmod(xxhash64(keys), N).
+
+    JVM-side, codegen'd; identical expression is used at write and at
+    merge-prune time so bucket pruning is exact.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle to one table. Cheap to construct; state lives on disk."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, _META)
+
+    # ------------------------------------------------------------- meta io
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, _LATEST))
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"version-{v:08d}.json")
+
+    def current_version(self) -> int:
+        try:
+            with open(os.path.join(self.meta_dir, _LATEST)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        with open(self._version_path(v)) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType:
+        m = self.manifest()
+        return T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+
+    def properties(self) -> dict:
+        return self.manifest().get("properties", {})
+
+    def applied_epochs(self) -> dict:
+        """epoch_id -> version that applied it (exactly-once markers)."""
+        return self.manifest().get("applied_epochs", {})
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in range(1, self.current_version() + 1):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.get("operation"),
+                    "epoch_id": m.get("epoch_id"),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return out
+
+    def lineage_rows(self) -> list[dict]:
+        """All lineage rows across history: one per (commit, bucket)."""
+        rows = []
+        for v in range(1, self.current_version() + 1):
+            rows.extend(self.manifest(v).get("lineage", []))
+        return rows
+
+    # ------------------------------------------------------------- commit
+
+    def _commit(self, manifest: dict, expected_base: int) -> int:
+        """Optimistic-concurrency commit: exclusively create the next
+        version file, then atomically flip the LATEST pointer."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        new_v = expected_base + 1
+        manifest["version"] = new_v
+        manifest["committed_at"] = time.time()
+        path = self._version_path(new_v)
+        try:
+            with open(path, "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {new_v} already exists at {self.root}") from e
+        tmp = os.path.join(self.meta_dir, f".latest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, os.path.join(self.meta_dir, _LATEST))  # atomic
+        return new_v
+
+    # ------------------------------------------------------------- create
+
+    def create(
+        self,
+        schema: T.StructType,
+        key_cols: list[str],
+        version_col: str | None,
+        n_buckets: int = 32,
+        properties: dict | None = None,
+    ) -> None:
+        if self.exists():
+            raise FileExistsError(f"table {self.root} already exists")
+        for c in key_cols:
+            if c not in schema.fieldNames():
+                raise ValueError(f"key column {c!r} not in schema")
+        if version_col is not None and version_col not in schema.fieldNames():
+            raise ValueError(f"version column {version_col!r} not in schema")
+        manifest = {
+            "schema_id": 0,
+            "schemas": {"0": schema.jsonValue()},
+            "key_cols": key_cols,
+            "version_col": version_col,
+            "n_buckets": n_buckets,
+            "buckets": {},
+            "applied_epochs": {},
+            "properties": properties or {},
+            "operation": "create",
+            "lineage": [],
+        }
+        self._commit(manifest, 0)
+
+    def drop(self) -> None:
+        """DROP TABLE PURGE — the reference's cascade delete
+        (/root/reference/internal/connector/destination.go:516-574) is a
+        polled cloud API; here it is one recursive remove."""
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    # ------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table state as a DataFrame (bucket column excluded).
+
+        Files are grouped by the schema they were written under, each
+        group aligned (cast / null-fill) to the table's current schema,
+        then unioned — this is how added/widened columns read back
+        without rewriting history.
+        """
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        by_schema: dict[str, list[str]] = {}
+        for files in m["buckets"].values():
+            for entry in files:
+                by_schema.setdefault(str(entry["schema_id"]), []).append(
+                    os.path.join(self.root, entry["path"])
+                )
+        if not by_schema:
+            return spark.createDataFrame([], schema)
+        parts = []
+        for sid, paths in by_schema.items():
+            file_schema = T.StructType.fromJson(m["schemas"][sid])
+            df = spark.read.schema(file_schema).parquet(*paths)
+            parts.append(align_to_schema(df, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_buckets(
+        self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType
+    ) -> DataFrame:
+        """Read only the given buckets, aligned to `schema`."""
+        by_schema: dict[str, list[str]] = {}
+        for b in buckets:
+            for entry in m["buckets"].get(str(b), []):
+                by_schema.setdefault(str(entry["schema_id"]), []).append(
+                    os.path.join(self.root, entry["path"])
+                )
+        if not by_schema:
+            return spark.createDataFrame([], schema)
+        parts = []
+        for sid, paths in by_schema.items():
+            file_schema = T.StructType.fromJson(m["schemas"][sid])
+            df = spark.read.schema(file_schema).parquet(*paths)
+            parts.append(align_to_schema(df, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------- write
+
+    def _write_bucketed(
+        self, df: DataFrame, m: dict, version_hint: int
+    ) -> dict[str, list[dict]]:
+        """Write df (which must carry _BUCKET_COL) partitioned by bucket;
+        return {bucket: [file entries]} with paths relative to root."""
+        nonce = uuid.uuid4().hex[:12]
+        rel_snap = os.path.join("data", f"snap-{version_hint:08d}-{nonce}")
+        out_dir = os.path.join(self.root, rel_snap)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out_dir)
+        )
+        new_files: dict[str, list[dict]] = {}
+        sid = m["schema_id"]
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = bdir.split("=", 1)[1]
+            for fname in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fname.endswith(".parquet"):
+                    new_files.setdefault(b, []).append(
+                        {"path": os.path.join(rel_snap, bdir, fname), "schema_id": sid}
+                    )
+        return new_files
+
+    def _with_bucket(self, df: DataFrame, m: dict) -> DataFrame:
+        return df.withColumn(_BUCKET_COL, bucket_expr(m["key_cols"], m["n_buckets"]))
+
+    def _evolve_if_needed(self, m: dict, incoming: T.StructType) -> T.StructType:
+        """Mutate manifest-in-progress to include evolved schema; return it."""
+        current = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        merged = merge_schemas(current, incoming)
+        if merged != current:
+            new_id = max(int(k) for k in m["schemas"]) + 1
+            m["schemas"][str(new_id)] = merged.jsonValue()
+            m["schema_id"] = new_id
+        return merged
+
+    def append(self, df: DataFrame, epoch_id: str | None = None) -> MergeStats:
+        """Append rows without dedup — the reference's `append` sync mode
+        (destination.go:329-335): duplicates are allowed and visible."""
+        return self._apply(df, mode="append", epoch_id=epoch_id)
+
+    def merge(self, batch: DataFrame, epoch_id: str | None = None) -> MergeStats:
+        """Last-writer-wins MERGE of a change batch.
+
+        `batch` columns = table data columns + `op` (I/U/D). Per key the
+        greatest version wins, including against rows already in the
+        table (ReplacingMergeTree(Ver) semantics, destination.go:337-351).
+        Rows whose winning op is D are removed. Only buckets containing
+        batch keys are rewritten.
+        """
+        return self._apply(batch, mode="merge", epoch_id=epoch_id)
+
+    def overwrite_where(
+        self, spark: SparkSession, predicate: str, epoch_id: str | None = None
+    ) -> MergeStats:
+        """DELETE FROM table WHERE predicate — rewrite of matching
+        buckets. Spark-side equivalent of the reference's DeletionJob
+        (destination.go:198-241), synchronous and transactional."""
+        for attempt in range(5):
+            base = self.current_version()
+            m = self.manifest(base)
+            schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            all_buckets = [int(b) for b in m["buckets"]]
+            kept = self._read_buckets(spark, m, all_buckets, schema).where(
+                ~F.expr(predicate) | F.expr(predicate).isNull()
+            )
+            kept = self._with_bucket(kept, m)
+            new_files = self._write_bucketed(kept, m, base + 1)
+            m["buckets"] = new_files
+            m["operation"] = f"delete_where({predicate})"
+            m["epoch_id"] = epoch_id
+            m["lineage"] = []
+            try:
+                v = self._commit(m, base)
+                return MergeStats(epoch_id, v, 0, 0, len(all_buckets))
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        raise CommitConflict("unreachable")
+
+    # ------------------------------------------------------------- core
+
+    def _apply(self, batch: DataFrame, mode: str, epoch_id: str | None) -> MergeStats:
+        spark = batch.sparkSession
+        for attempt in range(5):
+            base = self.current_version()
+            m = self.manifest(base)
+
+            # exactly-once: an epoch already recorded in the snapshot is
+            # a replay (foreachBatch re-delivery) — skip without writing.
+            if epoch_id is not None and epoch_id in m.get("applied_epochs", {}):
+                return MergeStats(epoch_id, base, 0, 0, 0, skipped=True)
+
+            key_cols = m["key_cols"]
+            ver_col = m["version_col"]
+            missing = [c for c in m["key_cols"] if c not in batch.columns]
+            if missing:
+                raise ValueError(
+                    f"batch is missing key column(s) {missing}; table key is {m['key_cols']}"
+                )
+            if mode == "merge" and m["version_col"] is not None and m["version_col"] not in batch.columns:
+                raise ValueError(f"merge batch is missing version column {m['version_col']!r}")
+            has_op = "op" in batch.columns
+            data_fields = [f for f in batch.schema.fields if f.name != "op"]
+            schema = self._evolve_if_needed(m, T.StructType(data_fields))
+
+            # align data columns to the (possibly evolved) table schema,
+            # carrying `op` through as an extra trailing column
+            align_target = T.StructType(
+                schema.fields + ([T.StructField("op", T.StringType(), True)] if has_op else [])
+            )
+            aligned = self._with_bucket(align_to_schema(batch, align_target), m).cache()
+
+            # lineage before the reduce: per-bucket lsn range + row count
+            lineage_agg = [F.count(F.lit(1)).alias("rows_applied")]
+            if ver_col is not None:
+                lineage_agg += [
+                    F.min(ver_col).alias("lsn_min"),
+                    F.max(ver_col).alias("lsn_max"),
+                ]
+            lineage = [
+                {
+                    "epoch_id": epoch_id,
+                    "partition_id": int(r[_BUCKET_COL]),
+                    "lsn_min": (int(r["lsn_min"]) if ver_col and r["lsn_min"] is not None else None),
+                    "lsn_max": (int(r["lsn_max"]) if ver_col and r["lsn_max"] is not None else None),
+                    "rows_applied": int(r["rows_applied"]),
+                }
+                for r in aligned.groupBy(_BUCKET_COL).agg(*lineage_agg).collect()
+            ]
+            touched = sorted({l["partition_id"] for l in lineage})
+            if not touched:
+                aligned.unpersist()
+                m["operation"] = mode
+                m["epoch_id"] = epoch_id
+                m["lineage"] = []
+                if epoch_id is not None:
+                    m["applied_epochs"][epoch_id] = base + 1
+                try:
+                    v = self._commit(m, base)
+                    return MergeStats(epoch_id, v, 0, 0, 0)
+                except CommitConflict:
+                    continue
+
+            if mode == "append":
+                out = aligned.drop("op") if has_op else aligned
+                new_files = self._write_bucketed(out, m, base + 1)
+                buckets = dict(m["buckets"])
+                for b, files in new_files.items():
+                    buckets[b] = buckets.get(b, []) + files
+                rows_up = sum(l["rows_applied"] for l in lineage)
+                rows_del = 0
+            else:
+                existing = self._read_buckets(spark, m, touched, schema)
+                existing = (
+                    self._with_bucket(existing, m)
+                    .where(F.col(_BUCKET_COL).isin(touched))
+                    .withColumn("op", F.lit(None).cast("string"))
+                    .withColumn("_src", F.lit(0))
+                )
+                src = (aligned if has_op else aligned.withColumn("op", F.lit("U"))).withColumn(
+                    "_src", F.lit(1)
+                )
+                order = [F.col("_src").desc()]
+                if ver_col is not None:
+                    order.insert(0, F.col(ver_col).desc())
+                w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+                winners = (
+                    existing.unionByName(src)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                )
+                final = winners.where(
+                    (F.col("op").isNull()) | (F.col("op") != F.lit("D"))
+                ).drop("_rn", "_src", "op")
+                new_files = self._write_bucketed(final, m, base + 1)
+                buckets = dict(m["buckets"])
+                for b in touched:
+                    buckets[str(b)] = new_files.get(str(b), [])
+                rows_up = sum(l["rows_applied"] for l in lineage)
+                rows_del = 0  # refined by caller via counts if needed
+
+            aligned.unpersist()
+            m["buckets"] = buckets
+            m["operation"] = mode
+            m["epoch_id"] = epoch_id
+            m["lineage"] = lineage
+            if epoch_id is not None:
+                m["applied_epochs"][epoch_id] = base + 1
+            try:
+                v = self._commit(m, base)
+                return MergeStats(
+                    epoch_id, v, rows_up, rows_del, len(touched), lineage=lineage
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not commit to {self.root} after 5 attempts")
