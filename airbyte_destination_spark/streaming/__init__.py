@@ -1,0 +1,8 @@
+"""Micro-batched CDC apply loop: batch replay + Structured Streaming front-end."""
+
+from airbyte_destination_spark.streaming.pipeline import (  # noqa: F401
+    IngestConfig,
+    apply_change_batch,
+    run_ingest_batches,
+    run_ingest_stream,
+)

@@ -1,0 +1,163 @@
+"""The CDC apply pipeline (the reference's `write` path, Spark-native).
+
+Reference control flow (/root/reference/internal/connector/destination.go:384-470):
+serial scan -> enrich -> route -> bounded buffer -> POST -> STATE flush.
+Ours: micro-batch DataFrame -> validate (Arrow UDF) -> enrich (codegen
+exprs) -> last-writer-wins reduce (salted window) -> LakeTable.merge
+(bucket-pruned copy-on-write) -> epoch manifest commit.
+
+Exactly-once: every micro-batch carries a deterministic epoch id; the
+merge is a no-op when the table snapshot already records that epoch
+(LakeTable.applied_epochs). Structured Streaming's checkpoint gives
+resume; the epoch marker makes re-delivered batches idempotent — the
+flush-before-state-echo protocol of the reference (destination.go:403-420)
+upgraded from at-least-once to exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_destination_spark import protocol as P
+from airbyte_destination_spark.functions.enrich import enrich_records
+from airbyte_destination_spark.functions.validate import validate_tokens
+from airbyte_destination_spark.lake import LakeTable, MergeStats
+from airbyte_destination_spark.operators.dedup import lww_reduce, lww_reduce_salted
+from airbyte_destination_spark.sources.changelog import records_only
+
+
+@dataclass
+class IngestConfig:
+    key_cols: list[str] = field(default_factory=lambda: ["doc_id"])
+    version_col: str = "change_lsn"
+    n_buckets: int = 32
+    n_salts: int = 0  # 0 = plain one-shuffle reduce; >0 = two-phase salted
+    validate: bool = True
+    tokens_col: str = "tokens"
+    n_tok_col: str = "n_tok"
+    repartition: int | None = None  # pre-shuffle width for the reduce
+    quarantine_root: str | None = None
+
+
+def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | None):
+    """envelope -> enriched, validated, LWW-reduced rows ready to merge."""
+    if "data" in batch.columns:
+        batch = records_only(batch)
+
+    if cfg.validate and cfg.tokens_col in batch.columns:
+        # deletes legitimately carry a null payload — only validate upserts
+        deletes = batch.where(F.col("op") == "D")
+        upserts = batch.where((F.col("op").isNull()) | (F.col("op") != "D"))
+        valid, quarantined = validate_tokens(upserts, cfg.tokens_col, cfg.n_tok_col)
+        batch = valid.unionByName(deletes)
+    else:
+        quarantined = None
+
+    for c in ("namespace", "stream"):
+        if c not in batch.columns:
+            batch = batch.withColumn(c, F.lit(""))
+    batch = enrich_records(batch, index_col=cfg.version_col)
+
+    if cfg.repartition:
+        batch = batch.repartition(cfg.repartition, *cfg.key_cols)
+
+    if cfg.n_salts > 0:
+        reduced = lww_reduce_salted(
+            batch, cfg.key_cols, [cfg.version_col], n_salts=cfg.n_salts
+        )
+    else:
+        reduced = lww_reduce(batch, cfg.key_cols, [cfg.version_col])
+
+    drop = [c for c in ("stream", "namespace", "emitted_at") if c in reduced.columns]
+    reduced = reduced.drop(*drop)
+    if table_cols is not None:
+        keep = [c for c in reduced.columns if c in set(table_cols) | {"op"}]
+        reduced = reduced.select(*keep)
+    return reduced, quarantined
+
+
+def _ensure_table(table: LakeTable, merged: DataFrame, cfg: IngestConfig) -> None:
+    if not table.exists():
+        schema = T.StructType([f for f in merged.schema.fields if f.name != "op"])
+        table.create(schema, cfg.key_cols, cfg.version_col, n_buckets=cfg.n_buckets)
+
+
+def apply_change_batch(
+    table: LakeTable, batch: DataFrame, epoch_id: str, cfg: IngestConfig | None = None
+) -> MergeStats:
+    """Apply one micro-batch of change events to the table, exactly once."""
+    cfg = cfg or IngestConfig()
+    # cheap pre-check before any work: replayed epoch -> skip
+    if table.exists() and epoch_id in table.applied_epochs():
+        return MergeStats(epoch_id, table.current_version(), 0, 0, 0, skipped=True)
+
+    reduced, quarantined = _prepare_batch(batch, cfg, None)
+    _ensure_table(table, reduced, cfg)
+
+    if quarantined is not None and cfg.quarantine_root:
+        qdir = os.path.join(cfg.quarantine_root, f"epoch={epoch_id}")
+        quarantined.write.mode("overwrite").parquet(qdir)
+
+    return table.merge(reduced, epoch_id=epoch_id)
+
+
+def run_ingest_batches(
+    spark: SparkSession,
+    batch_paths: list[str],
+    table: LakeTable,
+    cfg: IngestConfig | None = None,
+    job_name: str = "ingest",
+) -> list[MergeStats]:
+    """Replay an at-rest change log (list of parquet dirs in lsn order).
+
+    Resume semantics: epoch ids are deterministic (`job-<i>`), so a
+    rerun after a crash skips every batch the table already absorbed and
+    continues from the first unapplied one — checkpoint-free resume, the
+    checkpoint IS the table snapshot.
+    """
+    cfg = cfg or IngestConfig()
+    stats = []
+    for i, path in enumerate(batch_paths):
+        batch = spark.read.parquet(path)
+        stats.append(apply_change_batch(table, batch, f"{job_name}-{i:06d}", cfg))
+    return stats
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    log_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    cfg: IngestConfig | None = None,
+    data_schema: T.StructType | None = None,
+    job_name: str = "stream",
+    available_now: bool = True,
+):
+    """Structured Streaming front-end: tail a growing parquet change-log
+    directory, applying each micro-batch through the same exactly-once
+    path. `availableNow` drains what exists and stops (the reference's
+    end-of-stdin final flush, destination.go:457-467); without it the
+    query keeps tailing."""
+    cfg = cfg or IngestConfig()
+    if data_schema is None:
+        data_schema = spark.read.parquet(log_dir).schema
+    stream = spark.readStream.schema(data_schema).option(
+        "maxFilesPerTrigger", "64"
+    ).parquet(log_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_change_batch(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(job_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,102 @@
+"""LakeTable semantics: merge, deletes, replay, evolution, filtered delete."""
+
+import pytest
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("change_lsn", T.LongType(), False),
+    ]
+)
+BATCH_SCHEMA = "doc_id string, tokens array<int>, change_lsn long, op string"
+
+
+@pytest.fixture()
+def table(tmp_table_root):
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=4)
+    return t
+
+
+def test_merge_lww_and_delete(spark, table):
+    b1 = spark.createDataFrame(
+        [("a", [1], 1, "I"), ("b", [2], 2, "I"), ("a", [3], 3, "U")], BATCH_SCHEMA
+    )
+    table.merge(b1, epoch_id="e0")
+    state = {r.doc_id: r.tokens for r in table.read(spark).collect()}
+    assert state == {"a": [3], "b": [2]}
+
+    # delete b; stale update for a (lsn 2 < 3) must lose against table state
+    b2 = spark.createDataFrame([("b", None, 4, "D"), ("a", [9], 2, "U")], BATCH_SCHEMA)
+    table.merge(b2, epoch_id="e1")
+    state = {r.doc_id: r.tokens for r in table.read(spark).collect()}
+    assert state == {"a": [3]}
+
+
+def test_same_key_i_d_i_one_batch(spark, table):
+    b = spark.createDataFrame(
+        [("x", [1], 10, "I"), ("x", None, 11, "D"), ("x", [2], 12, "I")], BATCH_SCHEMA
+    )
+    table.merge(b)
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].tokens == [2]
+
+
+def test_epoch_replay_is_noop(spark, table):
+    b = spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA)
+    s1 = table.merge(b, epoch_id="e")
+    s2 = table.merge(b, epoch_id="e")
+    assert not s1.skipped and s2.skipped
+    assert table.read(spark).count() == 1
+    assert table.current_version() == s1.version
+
+
+def test_append_keeps_duplicates(spark, table):
+    """append sync mode: duplicates land as separate rows
+    (reference e2e expects 8 rows incl. a repeated id=7 payload,
+    /root/reference/e2e/main_test.go:69-83)."""
+    b = spark.createDataFrame([("a", [1], 1), ("a", [1], 1)], BATCH_SCHEMA.replace(", op string", ""))
+    table.append(b)
+    assert table.read(spark).count() == 2
+
+
+def test_schema_evolution_add_and_widen(spark, table):
+    table.merge(spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA))
+    evolved = spark.createDataFrame(
+        [("b", [2], 2, "I", "en", 5)],
+        "doc_id string, tokens array<int>, change_lsn long, op string, lang string, score long",
+    )
+    table.merge(evolved)
+    df = table.read(spark)
+    assert set(df.columns) == {"doc_id", "tokens", "change_lsn", "lang", "score"}
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows["a"].lang is None and rows["b"].lang == "en"
+
+
+def test_overwrite_where(spark, table):
+    table.merge(
+        spark.createDataFrame([("a", [1], 1, "I"), ("b", [2], 2, "I")], BATCH_SCHEMA)
+    )
+    table.overwrite_where(spark, "change_lsn <= 1")
+    rows = table.read(spark).collect()
+    assert [r.doc_id for r in rows] == ["b"]
+
+
+def test_missing_key_column_rejected(spark, table):
+    bad = spark.createDataFrame([(1,)], "change_lsn long")
+    with pytest.raises(ValueError, match="key column"):
+        table.merge(bad)
+
+
+def test_lineage_rows(spark, table):
+    b = spark.createDataFrame([("a", [1], 5, "I"), ("b", [2], 7, "I")], BATCH_SCHEMA)
+    table.merge(b, epoch_id="e0")
+    rows = table.lineage_rows()
+    assert sum(r["rows_applied"] for r in rows) == 2
+    assert all(r["epoch_id"] == "e0" for r in rows)
+    assert min(r["lsn_min"] for r in rows) == 5
+    assert max(r["lsn_max"] for r in rows) == 7

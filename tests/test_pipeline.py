@@ -1,0 +1,96 @@
+"""End-to-end CDC replay: changegen -> ingest -> final state == DuckDB oracle.
+
+This is the engine's core correctness gate (SURVEY.md §5): replay a
+deterministic synthetic change log, assert per-row token-array equality
+against an independent single-threaded reducer, then prove resume and
+parallelism-independence.
+"""
+
+import pytest
+
+from airbyte_destination_spark.lake import LakeTable
+from airbyte_destination_spark.sources.changegen import write_change_log
+from airbyte_destination_spark.streaming.pipeline import (
+    IngestConfig,
+    run_ingest_batches,
+    run_ingest_stream,
+)
+from tests.oracle import assert_equal_state
+
+N_EVENTS, N_DOCS = 4000, 300
+
+
+@pytest.fixture()
+def changelog(spark, tmp_path):
+    d = str(tmp_path / "log")
+    dirs = write_change_log(spark, d, N_EVENTS, N_DOCS, n_batches=4, seed=11)
+    return d, dirs
+
+
+def test_replay_matches_oracle(spark, tmp_path, changelog):
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    stats = run_ingest_batches(spark, dirs, table, IngestConfig(n_buckets=8))
+    assert all(not s.skipped for s in stats)
+    n = assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
+    assert n > 0
+
+
+def test_replay_salted_matches_oracle(spark, tmp_path, changelog):
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    run_ingest_batches(spark, dirs, table, IngestConfig(n_buckets=8, n_salts=8))
+    assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
+
+
+def test_resume_after_partial_replay(spark, tmp_path, changelog):
+    """Crash-resume: replaying from the start skips applied epochs and the
+    final state is identical — exactly-once, the reference's
+    flush-before-state-echo upgraded (destination.go:403-420)."""
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(n_buckets=8)
+    run_ingest_batches(spark, dirs[:2], table, cfg)  # "crash" after 2 epochs
+    v_mid = table.current_version()
+    stats = run_ingest_batches(spark, dirs, table, cfg)  # restart from zero
+    assert [s.skipped for s in stats] == [True, True, False, False]
+    assert table.current_version() > v_mid
+    assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
+
+
+def test_streaming_ingest_matches_oracle(spark, tmp_path, changelog):
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    q = run_ingest_stream(
+        spark,
+        log_dir + "/batch-*",
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cfg=IngestConfig(n_buckets=8),
+    )
+    q.awaitTermination(timeout=300)
+    assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
+
+
+def test_quarantine_split(spark, tmp_path):
+    """Malformed rows (n_tok mismatch) are quarantined, not applied and
+    not fatal — upgrade of the reference's abort-on-first-error
+    (destination.go:396-400)."""
+    rows = [
+        ("RECORD", "s", "", "I", 1, 1000, ("d1", [1, 2], 2, "web"), None),
+        ("RECORD", "s", "", "I", 2, 1001, ("d2", [1, 2], 99, "web"), None),  # bad n_tok
+    ]
+    schema = (
+        "type string, stream string, namespace string, op string, change_lsn long,"
+        " emitted_at long, data struct<doc_id:string,tokens:array<int>,n_tok:int,source:string>,"
+        " state string"
+    )
+    batch = spark.createDataFrame(rows, schema)
+    table = LakeTable(str(tmp_path / "t"))
+    from airbyte_destination_spark.streaming.pipeline import apply_change_batch
+
+    qroot = str(tmp_path / "quarantine")
+    apply_change_batch(table, batch, "e0", IngestConfig(n_buckets=4, quarantine_root=qroot))
+    assert [r.doc_id for r in table.read(spark).collect()] == ["d1"]
+    qdf = spark.read.parquet(qroot + "/epoch=e0")
+    assert qdf.count() == 1 and qdf.first()["_reject_reason"] == "n_tok_mismatch"
