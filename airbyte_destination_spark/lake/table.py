@@ -361,12 +361,18 @@ class LakeTable:
                     F.min(ver_col).alias("lsn_min"),
                     F.max(ver_col).alias("lsn_max"),
                 ]
+            def _json_safe(v):
+                # version columns may be ints (lsn) or timestamps (cursor)
+                if v is None or isinstance(v, (int, float, str)):
+                    return v
+                return str(v)
+
             lineage = [
                 {
                     "epoch_id": epoch_id,
                     "partition_id": int(r[_BUCKET_COL]),
-                    "lsn_min": (int(r["lsn_min"]) if ver_col and r["lsn_min"] is not None else None),
-                    "lsn_max": (int(r["lsn_max"]) if ver_col and r["lsn_max"] is not None else None),
+                    "lsn_min": (_json_safe(r["lsn_min"]) if ver_col else None),
+                    "lsn_max": (_json_safe(r["lsn_max"]) if ver_col else None),
                     "rows_applied": int(r["rows_applied"]),
                 }
                 for r in aligned.groupBy(_BUCKET_COL).agg(*lineage_agg).collect()

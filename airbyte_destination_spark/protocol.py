@@ -54,6 +54,34 @@ def envelope_schema(data_schema: T.StructType) -> T.StructType:
     )
 
 
+def airbyte_wire_schema(data_schema: T.StructType) -> T.StructType:
+    """Schema of one line of the REAL Airbyte NDJSON wire format
+    (protocol.go:21-29): payload nested under `record` / `state`.
+
+        {"type":"RECORD","record":{"stream":...,"namespace":...,
+                                   "emitted_at":...,"data":{...}}}
+        {"type":"STATE","state":{...}}
+    """
+    return T.StructType(
+        [
+            T.StructField("type", T.StringType(), False),
+            T.StructField(
+                "record",
+                T.StructType(
+                    [
+                        T.StructField("stream", T.StringType(), True),
+                        T.StructField("namespace", T.StringType(), True),
+                        T.StructField("emitted_at", T.LongType(), True),
+                        T.StructField("data", data_schema, True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("state", T.StringType(), True),
+        ]
+    )
+
+
 @dataclass
 class ConfiguredStream:
     """One stream + its sync policy (protocol.go:237-244)."""

@@ -1,0 +1,162 @@
+"""Destination write-path parity with the reference's e2e expectations
+(/root/reference/e2e/main_test.go:47-106): overwrite keeps duplicate
+payloads as distinct raw-id rows; append_dedup keeps one row per key with
+the latest cursor; overwrite mode clears prior-sync rows on resync."""
+
+import json
+
+import pytest
+
+from airbyte_destination_spark import protocol as P
+from airbyte_destination_spark.destination import Destination, check, spec
+
+CATALOG = {
+    "streams": [
+        {
+            "sync_mode": "full_refresh",
+            "destination_sync_mode": "overwrite",
+            "stream": {
+                "name": "airlines_ow",
+                "json_schema": {
+                    "type": "object",
+                    "properties": {"id": {"type": "integer"}, "name": {"type": "string"}},
+                },
+            },
+        },
+        {
+            "sync_mode": "incremental",
+            "cursor_field": ["updated_at"],
+            "primary_key": [["id"]],
+            "destination_sync_mode": "append_dedup",
+            "stream": {
+                "name": "airlines_dedup",
+                "json_schema": {
+                    "type": "object",
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "name": {"type": ["null", "string"]},
+                        "updated_at": {"type": "string", "format": "date-time"},
+                    },
+                },
+            },
+        },
+    ]
+}
+
+
+def _rec(stream, emitted, **data):
+    return json.dumps(
+        {"type": "RECORD", "record": {"stream": stream, "emitted_at": emitted, "data": data}}
+    )
+
+
+def _state(n):
+    return json.dumps({"type": "STATE", "state": {"id": n}})
+
+
+# 8 overwrite records, one payload repeated verbatim (ids 7) — both must
+# land because their record index differs; 3 dedup records where key 1
+# gets a later updated_at ("sunwing" -> "porter")
+LINES = [
+    _rec("airlines_ow", 1705379716, id=1, name="northern"),
+    _rec("airlines_ow", 1705379715, id=2, name="eastern"),
+    _state(1),
+    _rec("airlines_ow", 1705379714, id=3, name="western"),
+    _rec("airlines_dedup", 1705379707, id=0, name="flair", updated_at="2024-03-19T18:05:49.000Z"),
+    _rec("airlines_ow", 1705379713, id=4, name="southern"),
+    _rec("airlines_ow", 1705379712, id=5, name="central"),
+    _state(2),
+    _rec("airlines_ow", 1705379711, id=6, name="polar"),
+    _rec("airlines_ow", 1705379710, id=7, name="island"),
+    _state(3),
+    _rec("airlines_ow", 1705379710, id=7, name="island"),
+    _rec("airlines_dedup", 1705379710, id=1, name="sunwing", updated_at="2024-03-18T18:05:49.000Z"),
+    _rec("airlines_dedup", 1705379711, id=1, name="porter", updated_at="2024-03-19T18:05:49.000Z"),
+]
+
+
+@pytest.fixture()
+def dest(spark, tmp_path):
+    return Destination(spark, P.Config(warehouse=str(tmp_path / "wh"), n_buckets=4))
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_write_modes_final_state(spark, dest):
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    result = dest.write(catalog, _lines_df(spark, LINES))
+    assert len(result.states) == 3
+
+    ow = dest.read_table("airlines_ow")
+    # 8 rows incl. the repeated id=7 payload, 4 columns (e2e/main_test.go:69-83)
+    assert ow.count() == 8
+    assert set(ow.columns) == {"id", "name", "_airbyte_raw_id", "_airbyte_extracted_at"}
+    assert ow.where("id = 7").count() == 2
+    assert ow.select("_airbyte_raw_id").distinct().count() == 8
+
+    dd = dest.read_table("airlines_dedup").orderBy("id").collect()
+    # 2 rows, later updated_at wins (e2e/main_test.go:86-105)
+    assert [(r.id, r.name) for r in dd] == [(0, "flair"), (1, "porter")]
+
+
+def test_overwrite_resync_clears_previous(spark, dest):
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    dest.write(catalog, _lines_df(spark, LINES))
+    resync = [_rec("airlines_ow", 1705400000, id=100, name="fresh")]
+    dest.write(catalog, _lines_df(spark, resync), sync_start_ms=1705390000000)
+    ow = dest.read_table("airlines_ow").collect()
+    assert [(r.id, r.name) for r in ow] == [(100, "fresh")]
+
+
+def test_dedup_requires_primary_key(spark, dest):
+    bad = P.ConfiguredCatalog.from_dict(
+        {
+            "streams": [
+                {
+                    "destination_sync_mode": "append_dedup",
+                    "stream": {"name": "x", "json_schema": {"properties": {}}},
+                }
+            ]
+        }
+    )
+    with pytest.raises(ValueError, match="primary key"):
+        dest.write(bad, _lines_df(spark, [_state(1)]))
+
+
+def test_malformed_line_aborts(spark, dest):
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    with pytest.raises(ValueError, match="failed to parse"):
+        dest.write(catalog, _lines_df(spark, ["this is not json"]))
+
+
+def test_spec_and_check(spark, tmp_path):
+    s = spec()
+    assert s["supportsIncremental"] is True
+    assert set(s["supported_destination_sync_modes"]) == {
+        "overwrite",
+        "append",
+        "append_dedup",
+    }
+    ok, msg = check(spark, P.Config(warehouse=str(tmp_path / "wh2")))
+    assert ok, msg
+
+
+def test_raw_id_matches_reference_recipe(spark, dest):
+    """The destination's raw id must equal the reference recipe applied to
+    (namespace='', stream, record_index, emitted_at) — index counts RECORD
+    messages only, across ALL streams, in input order."""
+    import hashlib
+
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    dest.write(catalog, _lines_df(spark, LINES))
+
+    def ref_raw_id(ns, stream, idx, emitted):
+        h = hashlib.sha256("\x00".join([ns, stream, str(idx), str(emitted)]).encode()).hexdigest()
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+    # record index of the first line is 0 (STATE lines don't count)
+    ow = {r.id: r for r in dest.read_table("airlines_ow").collect()}
+    assert ow[1]["_airbyte_raw_id"] == ref_raw_id("", "airlines_ow", 0, 1705379716)
+    assert ow[3]["_airbyte_raw_id"] == ref_raw_id("", "airlines_ow", 2, 1705379714)
