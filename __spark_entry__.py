@@ -1,38 +1,327 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship CDC replay end-to-end through the real
+engine (changegen -> validate -> enrich -> LWW reduce -> lake merge) and
+returns the final table state. `queries()` exposes each implemented
+operator from SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable
+with a DuckDB `oracle_sql()` twin over the same parquet tables.
+
+CDC queries derive a deterministic change log from the `events` table:
+key = user_id, version/lsn = event_id (the total order), op = 'D' when
+event_type = 'purchase' else upsert — so last-writer-wins final-state
+semantics are SQL-checkable without external data.
 """
 
 from __future__ import annotations
 
+import sys
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC ingest of a deterministic change log through the
+    lake engine (O1-O11), returning the final tokenized-sequences state."""
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.sources.changegen import write_change_log
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig, run_ingest_batches
+
+    # scale with sf0.001-ish volume; deterministic seed
+    work = tempfile.mkdtemp(prefix="flagship-")
+    dirs = write_change_log(spark, f"{work}/log", 6000, 400, n_batches=3, seed=42)
+    table = LakeTable(f"{work}/table")
+    run_ingest_batches(spark, dirs, table, IngestConfig(n_buckets=16))
+    return table.read(spark)
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table viewed as a change log (see module docstring)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("doc_key"),
+        F.col("event_id").alias("change_lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11: last-writer-wins final state — per key the max-lsn event wins;
+    a winning delete removes the key."""
+    log = _cdc_events(spark, sf_dir)
+    w = Window.partitionBy("doc_key").orderBy(F.col("change_lsn").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value")
+    )
+
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17: identical semantics via the two-phase salted reduce (skew path);
+    oracle twin is the same LWW SQL — proving salting changes the physical
+    plan, not the answer."""
+    from airbyte_destination_spark.operators.dedup import lww_reduce_salted
+
+    log = _cdc_events(spark, sf_dir)
+    red = lww_reduce_salted(log, ["doc_key"], ["change_lsn"], n_salts=8)
+    return red.where(F.col("op") != "D").select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_enrich_raw_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5: deterministic sha256 raw id (reference recipe: components
+    NUL-joined, hex, 8-4-4-4-12) over the events stream."""
+    from airbyte_destination_spark.functions.enrich import raw_id_expr
+
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select(
+        F.col("event_id"),
+        raw_id_expr("train", "events", F.col("event_id"), ms).alias("raw_id"),
+    )
+
+
+def q_route_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: key routing — per-stream record counts and value totals."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_microbatch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: micro-batching — 500-record batches by lsn order with byte
+    accounting (the reference's 500-record/1MiB flush rule)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("batch_id", F.floor(F.col("event_id") / 500))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.length("props") + 1).alias("n_bytes"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+        )
+    )
+
+
+def q_overwrite_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: overwrite-mode deletion — rows surviving
+    DELETE WHERE extracted_at <= cutoff."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff_ms = 1704153600000  # 2024-01-02T00:00:00Z
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.where(ms > cutoff_ms).select("event_id", ms.alias("ts_ms"), "event_type")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: exact dedup by content hash — keep min doc_id per
+    distinct text, count duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: token counting — whitespace tokens + distinct tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_ws_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: quality scoring — stopword ratio + mean word length,
+    rounded for float-stable comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of") | (w == "and"))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop / F.size(words), 6).alias("stopword_ratio"),
+        F.round((F.length("text") - F.size(words) + 1) / F.size(words), 6).alias(
+            "mean_word_len"
+        ),
+    )
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: brute-force cosine top-3 neighbors for query vectors
+    (vec_id < 10), JVM-side via zip_with/aggregate — no UDF."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_final_state": q_cdc_lww_final_state,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "enrich_raw_id": q_enrich_raw_id,
+        "route_stream_counts": q_route_stream_counts,
+        "microbatch_bounds": q_microbatch_bounds,
+        "overwrite_delete_filter": q_overwrite_delete_filter,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------------- oracle
+
+_LWW_SQL = """
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+  FROM log
+)
+SELECT doc_key, change_lsn AS last_lsn, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_final_state": _LWW_SQL,
+        "cdc_lww_salted": _LWW_SQL,
+        "enrich_raw_id": """
+            SELECT event_id,
+                   substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+                     || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS raw_id
+            FROM (
+              SELECT event_id,
+                     sha256(concat_ws(chr(0), 'train', 'events',
+                                      CAST(event_id AS VARCHAR),
+                                      CAST(epoch_ms(ts) AS VARCHAR))) AS h
+              FROM events
+            )
+        """,
+        "route_stream_counts": """
+            SELECT event_type, count(*) AS n_records,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "microbatch_bounds": """
+            SELECT CAST(floor(event_id / 500) AS BIGINT) AS batch_id,
+                   count(*) AS n_records,
+                   sum(length(props) + 1) AS n_bytes,
+                   min(event_id) AS lsn_min, max(event_id) AS lsn_max
+            FROM events GROUP BY 1
+        """,
+        "overwrite_delete_filter": """
+            SELECT event_id, epoch_ms(ts) AS ts_ms, event_type
+            FROM events WHERE epoch_ms(ts) > 1704153600000
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                   length(text) AS n_chars_exact
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   round(len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('the','a','of','and')))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                     AS stopword_ratio,
+                   round((length(text) - len(string_split(text, ' ')) + 1)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                     AS mean_word_len
+            FROM documents
+        """,
+        "embedding_cosine_topk": """
+            -- double-precision cosine (list_cosine_similarity is float32,
+            -- which disagrees with Spark's double math at the 6th decimal)
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+            raw AS (
+              SELECT q.vec_id AS query_id, q.embedding AS qe,
+                     c.vec_id AS neighbor_id, c.embedding AS ce
+              FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+            ), expl AS (
+              SELECT query_id, neighbor_id,
+                     sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                     sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+                     sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+              FROM raw, range(1, 65) t(i)  -- embeddings are 64-dim
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_raw
+              FROM expl
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
+            FROM ranked WHERE rank <= 3
+        """,
+    }

@@ -30,7 +30,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -57,12 +57,16 @@ class MergeStats:
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
-    """Deterministic bucket id for a row: pmod(xxhash64(keys), N).
+    """Deterministic bucket id for a row: pmod(murmur3_hash(keys), N).
 
-    JVM-side, codegen'd; identical expression is used at write and at
-    merge-prune time so bucket pruning is exact.
+    Deliberately the SAME function Spark's HashPartitioning uses
+    (Murmur3, seed 42), so after `repartition(n_buckets, *key_cols)`
+    shuffle partition i holds exactly bucket i's rows — the merge's
+    aggregation exchange doubles as bucket placement and the bucketed
+    write needs no second exchange. Verified: pmod(hash(k), N) ==
+    spark_partition_id() under repartition(N, k).
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -170,6 +174,7 @@ class LakeTable:
             "key_cols": key_cols,
             "version_col": version_col,
             "n_buckets": n_buckets,
+            "bucket_fn": "murmur3_pmod",  # == Spark HashPartitioning
             "buckets": {},
             "applied_epochs": {},
             "properties": properties or {},
@@ -239,13 +244,31 @@ class LakeTable:
     # ------------------------------------------------------------- write
 
     def _write_bucketed(
-        self, df: DataFrame, m: dict, version_hint: int
+        self,
+        df: DataFrame,
+        m: dict,
+        version_hint: int,
+        n_out: int | None = None,
+        already_bucket_aligned: bool = False,
     ) -> dict[str, list[dict]]:
         """Write df (which must carry _BUCKET_COL) partitioned by bucket;
-        return {bucket: [file entries]} with paths relative to root."""
+        return {bucket: [file entries]} with paths relative to root.
+
+        Co-locates each bucket in one task before the write (repartition
+        on the bucket id) so a snapshot produces ~1 file per touched
+        bucket instead of (tasks x buckets) small files — file count is
+        what kills both the commit listing and later scans at scale.
+        """
         nonce = uuid.uuid4().hex[:12]
         rel_snap = os.path.join("data", f"snap-{version_hint:08d}-{nonce}")
         out_dir = os.path.join(self.root, rel_snap)
+        if n_out is None:
+            n_out = m["n_buckets"]
+        if not already_bucket_aligned:
+            # co-locate each bucket in one task; callers whose plan is
+            # already hash(key)-partitioned with n_buckets partitions
+            # (the merge path) skip this exchange entirely
+            df = df.repartition(max(1, n_out), F.col(_BUCKET_COL))
         (
             df.write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
@@ -282,16 +305,22 @@ class LakeTable:
         (destination.go:329-335): duplicates are allowed and visible."""
         return self._apply(df, mode="append", epoch_id=epoch_id)
 
-    def merge(self, batch: DataFrame, epoch_id: str | None = None) -> MergeStats:
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: str | None = None,
+        tiebreak_cols: list[str] | None = None,
+    ) -> MergeStats:
         """Last-writer-wins MERGE of a change batch.
 
         `batch` columns = table data columns + `op` (I/U/D). Per key the
         greatest version wins, including against rows already in the
         table (ReplacingMergeTree(Ver) semantics, destination.go:337-351).
         Rows whose winning op is D are removed. Only buckets containing
-        batch keys are rewritten.
+        batch keys are rewritten. Ties on the version column are broken
+        by `tiebreak_cols`, then batch-over-existing.
         """
-        return self._apply(batch, mode="merge", epoch_id=epoch_id)
+        return self._apply(batch, mode="merge", epoch_id=epoch_id, tiebreak_cols=tiebreak_cols)
 
     def overwrite_where(
         self, spark: SparkSession, predicate: str, epoch_id: str | None = None
@@ -323,7 +352,13 @@ class LakeTable:
 
     # ------------------------------------------------------------- core
 
-    def _apply(self, batch: DataFrame, mode: str, epoch_id: str | None) -> MergeStats:
+    def _apply(
+        self,
+        batch: DataFrame,
+        mode: str,
+        epoch_id: str | None,
+        tiebreak_cols: list[str] | None = None,
+    ) -> MergeStats:
         spark = batch.sparkSession
         for attempt in range(5):
             base = self.current_version()
@@ -352,7 +387,10 @@ class LakeTable:
             align_target = T.StructType(
                 schema.fields + ([T.StructField("op", T.StringType(), True)] if has_op else [])
             )
-            aligned = self._with_bucket(align_to_schema(batch, align_target), m).cache()
+            # no cache: the lineage agg only references (key, version) so
+            # Catalyst prunes everything else from its scan; caching the
+            # full payload costs more than the second pruned scan
+            aligned = self._with_bucket(align_to_schema(batch, align_target), m)
 
             # lineage before the reduce: per-bucket lsn range + row count
             lineage_agg = [F.count(F.lit(1)).alias("rows_applied")]
@@ -379,7 +417,6 @@ class LakeTable:
             ]
             touched = sorted({l["partition_id"] for l in lineage})
             if not touched:
-                aligned.unpersist()
                 m["operation"] = mode
                 m["epoch_id"] = epoch_id
                 m["lineage"] = []
@@ -393,43 +430,64 @@ class LakeTable:
 
             if mode == "append":
                 out = aligned.drop("op") if has_op else aligned
-                new_files = self._write_bucketed(out, m, base + 1)
+                new_files = self._write_bucketed(out, m, base + 1, n_out=len(touched))
                 buckets = dict(m["buckets"])
                 for b, files in new_files.items():
                     buckets[b] = buckets.get(b, []) + files
                 rows_up = sum(l["rows_applied"] for l in lineage)
                 rows_del = 0
             else:
-                existing = self._read_buckets(spark, m, touched, schema)
-                existing = (
-                    self._with_bucket(existing, m)
-                    .where(F.col(_BUCKET_COL).isin(touched))
-                    .withColumn("op", F.lit(None).cast("string"))
-                    .withColumn("_src", F.lit(0))
-                )
                 src = (aligned if has_op else aligned.withColumn("op", F.lit("U"))).withColumn(
                     "_src", F.lit(1)
                 )
-                order = [F.col("_src").desc()]
-                if ver_col is not None:
-                    order.insert(0, F.col(ver_col).desc())
-                w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+                has_existing = any(m["buckets"].get(str(b)) for b in touched)
+                if has_existing:
+                    existing = (
+                        self._with_bucket(self._read_buckets(spark, m, touched, schema), m)
+                        .withColumn("op", F.lit(None).cast("string"))
+                        .withColumn("_src", F.lit(0))
+                    )
+                    combined = existing.unionByName(src)
+                else:
+                    # empty target: unioning a LocalRelation measurably
+                    # slows the whole plan — skip it
+                    combined = src
+                # one explicit exchange on the key with EXACTLY n_buckets
+                # partitions: the aggregation below reuses it (its
+                # ClusteredDistribution is satisfied), and because the
+                # bucket function IS Spark's hash partitioning, partition
+                # i == bucket i afterwards — the write then needs no
+                # further shuffle. REPARTITION_BY_NUM is AQE-stable.
+                combined = combined.repartition(m["n_buckets"], *[F.col(c) for c in key_cols])
+                # LWW as max_by aggregation: map-side partial combine
+                # pre-reduces every upstream partition, so hot keys never
+                # concentrate on one reducer (built-in skew handling) and
+                # the batch needs no separate pre-dedup pass.
+                other = [c for c in combined.columns if c not in key_cols]
+                ord_fields = ([F.col(ver_col)] if ver_col is not None else []) + (
+                    [F.col(c) for c in tiebreak_cols or []]
+                ) + [F.col("_src")]
                 winners = (
-                    existing.unionByName(src)
-                    .withColumn("_rn", F.row_number().over(w))
-                    .where(F.col("_rn") == 1)
+                    combined.groupBy(*key_cols)
+                    .agg(
+                        F.max_by(
+                            F.struct(*[F.col(c) for c in other]), F.struct(*ord_fields)
+                        ).alias("_w")
+                    )
+                    .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
                 )
                 final = winners.where(
                     (F.col("op").isNull()) | (F.col("op") != F.lit("D"))
-                ).drop("_rn", "_src", "op")
-                new_files = self._write_bucketed(final, m, base + 1)
+                ).drop("_src", "op")
+                new_files = self._write_bucketed(
+                    final, m, base + 1, n_out=len(touched), already_bucket_aligned=True
+                )
                 buckets = dict(m["buckets"])
                 for b in touched:
                     buckets[str(b)] = new_files.get(str(b), [])
                 rows_up = sum(l["rows_applied"] for l in lineage)
                 rows_del = 0  # refined by caller via counts if needed
 
-            aligned.unpersist()
             m["buckets"] = buckets
             m["operation"] = mode
             m["epoch_id"] = epoch_id

@@ -44,6 +44,33 @@ def lww_reduce(
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
+def lww_reduce_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """LWW reduce as a hash aggregation: max_by(row, (version, tiebreak)).
+
+    The scale path. Unlike the window variant (which shuffles EVERY row
+    to its key's partition, then sorts), an aggregate gets map-side
+    partial combine: each input partition pre-reduces its local rows per
+    key before the shuffle, so a hot key contributes at most one row per
+    upstream partition to the exchange. Partial aggregation is built-in
+    salting — no manual two-phase needed — and the whole thing is one
+    Exchange + HashAggregate pair under whole-stage codegen.
+
+    Struct comparison in Spark is lexicographic field-by-field, so
+    max_by over struct(version..., tiebreak...) picks the same winner
+    the window variant does.
+    """
+    other = [c for c in df.columns if c not in key_cols]
+    ord_cols = [F.col(c) for c in version_cols] + [F.col(c) for c in (tiebreak_cols or [])]
+    payload = F.struct(*[F.col(c) for c in other])
+    agg = df.groupBy(*key_cols).agg(F.max_by(payload, F.struct(*ord_cols)).alias("_w"))
+    return agg.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
+
+
 def lww_reduce_salted(
     df: DataFrame,
     key_cols: list[str],

@@ -27,7 +27,11 @@ from airbyte_destination_spark import protocol as P
 from airbyte_destination_spark.functions.enrich import enrich_records
 from airbyte_destination_spark.functions.validate import validate_tokens
 from airbyte_destination_spark.lake import LakeTable, MergeStats
-from airbyte_destination_spark.operators.dedup import lww_reduce, lww_reduce_salted
+from airbyte_destination_spark.operators.dedup import (
+    lww_reduce,
+    lww_reduce_agg,
+    lww_reduce_salted,
+)
 from airbyte_destination_spark.sources.changelog import records_only
 
 
@@ -36,7 +40,13 @@ class IngestConfig:
     key_cols: list[str] = field(default_factory=lambda: ["doc_id"])
     version_col: str = "change_lsn"
     n_buckets: int = 32
-    n_salts: int = 0  # 0 = plain one-shuffle reduce; >0 = two-phase salted
+    # pre-reduce strategy before the merge: None (default — the merge's
+    # max_by aggregation reduces batch+table in ONE shuffle with map-side
+    # combine, which is also the skew answer), or "window" / "salted" /
+    # "agg" to materialize a per-batch reduce first (kept for parity and
+    # for pipelines that want the reduced batch as an artifact).
+    pre_reduce: str | None = None
+    n_salts: int = 16  # used when pre_reduce == "salted"
     validate: bool = True
     tokens_col: str = "tokens"
     n_tok_col: str = "n_tok"
@@ -66,12 +76,16 @@ def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | 
     if cfg.repartition:
         batch = batch.repartition(cfg.repartition, *cfg.key_cols)
 
-    if cfg.n_salts > 0:
+    if cfg.pre_reduce == "salted":
         reduced = lww_reduce_salted(
             batch, cfg.key_cols, [cfg.version_col], n_salts=cfg.n_salts
         )
-    else:
+    elif cfg.pre_reduce == "window":
         reduced = lww_reduce(batch, cfg.key_cols, [cfg.version_col])
+    elif cfg.pre_reduce == "agg":
+        reduced = lww_reduce_agg(batch, cfg.key_cols, [cfg.version_col])
+    else:
+        reduced = batch  # the merge's own max_by aggregation reduces
 
     drop = [c for c in ("stream", "namespace", "emitted_at") if c in reduced.columns]
     reduced = reduced.drop(*drop)

@@ -39,7 +39,9 @@ def test_replay_matches_oracle(spark, tmp_path, changelog):
 def test_replay_salted_matches_oracle(spark, tmp_path, changelog):
     log_dir, dirs = changelog
     table = LakeTable(str(tmp_path / "t"))
-    run_ingest_batches(spark, dirs, table, IngestConfig(n_buckets=8, n_salts=8))
+    run_ingest_batches(
+        spark, dirs, table, IngestConfig(n_buckets=8, pre_reduce="salted", n_salts=8)
+    )
     assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
 
 
