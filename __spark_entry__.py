@@ -210,6 +210,92 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: stopword-hit language ID (en/de/fr/es/und)."""
+    from airbyte_destination_spark.functions.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: md5 fingerprint of whitespace-normalized text."""
+    from airbyte_destination_spark.functions.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: 4-permutation MinHash signature over word 3-grams
+    (md5-based, bit-for-bit reproducible in the oracle)."""
+    from airbyte_destination_spark.functions.textdedup import with_minhash
+
+    out = with_minhash(_t(spark, sf_dir, "documents"), n_hashes=4)
+    return out.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: exact all-pairs word-3-gram Jaccard >= 0.8 (a < b)."""
+    from airbyte_destination_spark.functions.textdedup import _shingles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), _shingles("text", 3).alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: LSH-banded candidate pairs (8 hashes, 4 bands)."""
+    from airbyte_destination_spark.functions.textdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", n_hashes=8, bands=4
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: 64-bit SimHash (xxhash64 bit votes — no SQL oracle;
+    DuckDB lacks xxhash64, driver records rows-only)."""
+    from airbyte_destination_spark.functions.textdedup import with_simhash
+
+    return with_simhash(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: approximate top-5 neighbors via random-hyperplane LSH
+    (rows-only check: hyperplanes derive from xxhash64)."""
+    from airbyte_destination_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, bits=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: binary media -> decode-stub -> features via
+    mapInPandas (rows-only check; payloads are synthesized)."""
+    from airbyte_destination_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(spark, 200, seed=3), fake=True).select(
+        "media_id", "kind", "width", "height", "n_bytes", "checksum"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -222,10 +308,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
 # -------------------------------------------------------------------- oracle
+
+# shared fragment: normalized word-3-gram shingles (mirrors
+# airbyte_destination_spark.functions.textdedup._shingles)
+_SHINGLES_CTE = r"""
+norm AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM norm
+)
+"""
 
 _LWW_SQL = """
 WITH log AS (
@@ -323,5 +435,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "lang_id": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            h AS (
+              SELECT doc_id,
+                len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en,
+                len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de,
+                len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr,
+                len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','en','para','por'))) AS es
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                        WHEN en = greatest(en,de,fr,es) THEN 'en'
+                        WHEN de = greatest(en,de,fr,es) THEN 'de'
+                        WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM h
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "minhash_signature": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id,
+              list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS mh0,
+              list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS mh1,
+              list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS mh2,
+              list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS mh3
+            FROM sh
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+                     AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id,
+                list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS m0,
+                list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS m1,
+                list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS m2,
+                list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS m3,
+                list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS m4,
+                list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS m5,
+                list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS m6,
+                list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS m7
+              FROM sh
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig
+              UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+            )
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
     }

@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines — all JVM-side expressions.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting. Everything is built from pyspark.sql
+built-ins (split/filter/size/md5/regexp), so the hot path stays inside
+whole-stage codegen — no UDFs. Each function returns Column(s) or a
+DataFrame transform usable both in pipelines and in the driver-contract
+queries (oracle-SQL twins exist for each in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists per language — enough signal for a
+# coarse n-gram-free language-ID heuristic over synthetic corpora
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "por"],
+}
+
+
+def words_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization (the baseline token counter)."""
+    return F.split(F.col(text_col), " ")
+
+
+def stopword_hits(words: Column, lang: str) -> Column:
+    """Count of words that are stopwords of `lang` — codegen'd filter."""
+    vocab = STOPWORDS[lang]
+
+    def pred(x):
+        out = x == F.lit(vocab[0])
+        for w in vocab[1:]:
+            out = out | (x == F.lit(w))
+        return out
+
+    return F.size(F.filter(words, pred))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Predict language by argmax stopword-hit count; 'und' when no hits.
+
+    Deterministic tie-break: language order en > de > fr > es (greatest
+    hit count wins; earlier language wins ties).
+    """
+    words = words_expr(text_col)
+    hit_cols = [stopword_hits(words, lang).alias(f"_h_{lang}") for lang in STOPWORDS]
+    with_hits = df.select("*", *hit_cols)
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # first match at max wins -> stable tie-break
+        pred = pred.when(F.col(f"_h_{lang}") == best, F.lit(lang))
+    return with_hits.withColumn(out_col, pred).drop(
+        *[f"_h_{lang}" for lang in STOPWORDS]
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals, rounded to
+    6 decimals for float-stable oracle comparison."""
+    words = words_expr(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
+    stop_en = stopword_hits(words, "en")
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_q"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(stop_en / n_words, 6).alias("stopword_ratio"),
+        F.round((n_chars - n_words + 1) / n_words, 6).alias("mean_word_len"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count.
+
+    The subword proxy counts alphanumeric runs and punctuation marks
+    separately (a cheap stand-in for a BPE pre-tokenizer's word-split
+    regex), plus a distinct-token count.
+    """
+    words = words_expr(text_col)
+    # BPE-ish pre-tokens: runs of word chars OR single non-space symbols
+    spaced = F.regexp_replace(F.col(text_col), r"([^\w\s])", r" $1 ")
+    pretokens = F.size(F.filter(F.split(spaced, r" +"), lambda x: x != F.lit("")))
+    return df.select(
+        "*",
+        F.size(words).alias("n_ws_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        pretokens.alias("n_pretokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text — the exact-dedup key."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(normalized))

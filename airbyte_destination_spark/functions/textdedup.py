@@ -1,0 +1,194 @@
+"""Near-duplicate detection for training corpora — Spark-first.
+
+Four strategies with different recall/cost trade-offs, each expressed
+as DataFrame compositions (shingle -> hash -> group/join), no Python in
+the row path:
+
+- exact:     md5 of normalized text, groupBy            (O(n) shuffle)
+- minhash:   k independent min-hashes over word shingles, LSH banding,
+             candidate pairs via band-bucket self-join   (sub-quadratic)
+- simhash:   64-bit weighted bit-vote fingerprint; near-dups share the
+             fingerprint (or a band of it)               (O(n) shuffle)
+- ngram jaccard: exact Jaccard over shingle sets for candidate pairs
+             (verification stage after LSH)
+
+Hashing uses md5 substrings (hex-string min) so the DuckDB oracle can
+reproduce signatures bit-for-bit — portable across engines, unlike
+xxhash64/murmur3 which DuckDB lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text_col: str = "text"):
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: the kept id + dup count."""
+    return (
+        df.groupBy(F.md5(normalized(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _shingles(text_col: str, n: int):
+    """Array of distinct word n-grams. Implemented with transform over a
+    0..len-n index sequence using slice+concat (pure JVM)."""
+    words = F.split(normalized(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Add an array<string> MinHash signature.
+
+    Permutation i's hash of shingle s is md5(i || ':' || s); the
+    signature element is the minimum hex digest — string-min is a valid
+    uniform order and, unlike integer folding, is reproducible verbatim
+    in the DuckDB oracle."""
+    sh = _shingles(text_col, shingle_n)
+
+    def perm(i):
+        # factory keeps the lambda unary (pyspark binds a 2nd param to
+        # the element index) and bakes the permutation id in as a literal
+        prefix = F.lit(f"{i}:")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    sig = F.array(*[perm(i) for i in range(n_hashes)])
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature is split into `bands` bands of n_hashes/bands rows; docs
+    sharing any full band land in the same bucket; the bucket self-join
+    yields pairs (a < b). The join key is (band_idx, band_hash) so the
+    shuffle is by bucket — sub-quadratic, scales with corpus size.
+    """
+    rows_per_band = n_hashes // bands
+    sigd = with_minhash(df, text_col, n_hashes, shingle_n).select(
+        F.col(id_col).alias("doc"), "minhash"
+    )
+    banded = sigd.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_n: int = 2,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash fingerprint as a bigint.
+
+    Bit j of the fingerprint is the majority vote over shingles of bit
+    j of each shingle's hash. Shingle hash bits come from
+    xxhash64(shingle) (JVM-side); near-identical docs agree on most
+    votes and thus share fingerprints at small edit distance.
+    """
+    sh = _shingles(text_col, shingle_n)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote(j):
+        # factory: pyspark introspects lambda arity, so no extra params
+        def merge(acc, x):
+            is_one = F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_one, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(h, F.lit(0), merge)
+
+    votes = [vote(j) for j in range(bits)]
+    fp = None
+    for j, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.withColumn(out_col, fp)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Joins shingle sets back onto (doc_a, doc_b) and computes
+    |intersection| / |union| with array functions — the verify stage
+    after LSH recall."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), _shingles(text_col, shingle_n).alias("sh")
+    )
+    j = (
+        candidate_pairs.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
