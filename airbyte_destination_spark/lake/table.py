@@ -219,6 +219,25 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
+        """Point lookups with bucket pruning: only the buckets the keys
+        hash to are scanned (1/n_buckets of the table per key).
+
+        Single-column keys only; `keys` is a list of key values.
+        """
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        key_cols = m["key_cols"]
+        if len(key_cols) != 1:
+            raise ValueError("read_keys supports single-column keys")
+        kdf = spark.createDataFrame([(k,) for k in keys], T.StructType([schema[key_cols[0]]]))
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(bucket_expr(key_cols, m["n_buckets"])).distinct().collect()
+        )
+        pruned = self._read_buckets(spark, m, buckets, schema)
+        return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
+
     def _read_buckets(
         self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType
     ) -> DataFrame:
