@@ -39,6 +39,11 @@ from airbyte_destination_spark.lake.schema import align_to_schema, merge_schemas
 _META = "_meta"
 _LATEST = "LATEST"
 _BUCKET_COL = "_b"
+# tombstone marker column persisted in data files (not in the user
+# schema). ReplacingMergeTree(ver, is_deleted) semantics: a delete keeps
+# a versioned tombstone row so later-arriving OLDER updates still lose;
+# reads filter tombstones out; purge_tombstones() reclaims them.
+_DELETED_COL = "_deleted"
 
 
 class CommitConflict(Exception):
@@ -201,23 +206,9 @@ class LakeTable:
         """
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
-        by_schema: dict[str, list[str]] = {}
-        for files in m["buckets"].values():
-            for entry in files:
-                by_schema.setdefault(str(entry["schema_id"]), []).append(
-                    os.path.join(self.root, entry["path"])
-                )
-        if not by_schema:
-            return spark.createDataFrame([], schema)
-        parts = []
-        for sid, paths in by_schema.items():
-            file_schema = T.StructType.fromJson(m["schemas"][sid])
-            df = spark.read.schema(file_schema).parquet(*paths)
-            parts.append(align_to_schema(df, schema))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        all_buckets = [int(b) for b in m["buckets"]]
+        out = self._read_buckets(spark, m, all_buckets, schema)
+        return out.where(~F.coalesce(F.col(_DELETED_COL), F.lit(False))).drop(_DELETED_COL)
 
     def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
         """Point lookups with bucket pruning: only the buckets the keys
@@ -235,13 +226,44 @@ class LakeTable:
             r[0]
             for r in kdf.select(bucket_expr(key_cols, m["n_buckets"])).distinct().collect()
         )
-        pruned = self._read_buckets(spark, m, buckets, schema)
+        pruned = self._read_buckets(spark, m, buckets, schema).where(
+            ~F.coalesce(F.col(_DELETED_COL), F.lit(False))
+        ).drop(_DELETED_COL)
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
+
+    def purge_tombstones(self, spark: SparkSession) -> int:
+        """Maintenance compaction: rewrite all buckets without tombstone
+        rows. Safe once the source can no longer deliver events older
+        than the tombstones' versions (e.g. past the log's watermark)."""
+        for attempt in range(5):
+            base = self.current_version()
+            m = self.manifest(base)
+            schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            live = self._read_buckets(
+                spark, m, [int(b) for b in m["buckets"]], schema
+            ).where(~F.coalesce(F.col(_DELETED_COL), F.lit(False)))
+            live = self._with_bucket(live, m)
+            new_files = self._write_bucketed(live, m, base + 1)
+            m["buckets"] = new_files
+            m["operation"] = "purge_tombstones"
+            m["epoch_id"] = None
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        raise CommitConflict("unreachable")
 
     def _read_buckets(
         self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType
     ) -> DataFrame:
-        """Read only the given buckets, aligned to `schema`."""
+        """Read only the given buckets, aligned to `schema` plus the
+        `_deleted` tombstone column (null/false for live rows and for
+        files written before tombstones existed)."""
+        target = T.StructType(
+            schema.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+        )
         by_schema: dict[str, list[str]] = {}
         for b in buckets:
             for entry in m["buckets"].get(str(b), []):
@@ -249,12 +271,15 @@ class LakeTable:
                     os.path.join(self.root, entry["path"])
                 )
         if not by_schema:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], target)
         parts = []
         for sid, paths in by_schema.items():
-            file_schema = T.StructType.fromJson(m["schemas"][sid])
+            file_schema = T.StructType(
+                T.StructType.fromJson(m["schemas"][sid]).fields
+                + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+            )
             df = spark.read.schema(file_schema).parquet(*paths)
-            parts.append(align_to_schema(df, schema))
+            parts.append(align_to_schema(df, target))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -461,9 +486,17 @@ class LakeTable:
                 )
                 has_existing = any(m["buckets"].get(str(b)) for b in touched)
                 if has_existing:
+                    # tombstones re-enter the reduce as op='D' rows so a
+                    # late-arriving OLDER update loses to them
                     existing = (
                         self._with_bucket(self._read_buckets(spark, m, touched, schema), m)
-                        .withColumn("op", F.lit(None).cast("string"))
+                        .withColumn(
+                            "op",
+                            F.when(
+                                F.coalesce(F.col(_DELETED_COL), F.lit(False)), F.lit("D")
+                            ).otherwise(F.lit(None).cast("string")),
+                        )
+                        .drop(_DELETED_COL)
                         .withColumn("_src", F.lit(0))
                     )
                     combined = existing.unionByName(src)
@@ -495,8 +528,11 @@ class LakeTable:
                     )
                     .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
                 )
-                final = winners.where(
-                    (F.col("op").isNull()) | (F.col("op") != F.lit("D"))
+                # keep delete winners as tombstone rows (versioned via
+                # their version column, payload nulled)
+                final = winners.withColumn(
+                    _DELETED_COL,
+                    F.coalesce(F.col("op") == F.lit("D"), F.lit(False)),
                 ).drop("_src", "op")
                 new_files = self._write_bucketed(
                     final, m, base + 1, n_out=len(touched), already_bucket_aligned=True

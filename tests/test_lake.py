@@ -46,6 +46,25 @@ def test_same_key_i_d_i_one_batch(spark, table):
     assert len(rows) == 1 and rows[0].tokens == [2]
 
 
+def test_tombstone_blocks_late_older_update(spark, table):
+    """A delete in batch N must leave a versioned tombstone so an OLDER
+    update arriving in batch N+1 cannot resurrect the key
+    (ReplacingMergeTree(ver, is_deleted) semantics). Found by the
+    hypothesis property test."""
+    table.merge(spark.createDataFrame([("k", None, 100, "D")], BATCH_SCHEMA), epoch_id="e0")
+    table.merge(spark.createDataFrame([("k", [1], 5, "I")], BATCH_SCHEMA), epoch_id="e1")
+    assert table.read(spark).count() == 0
+    # a NEWER insert does win over the tombstone
+    table.merge(spark.createDataFrame([("k", [2], 200, "I")], BATCH_SCHEMA), epoch_id="e2")
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].tokens == [2]
+    # purge removes tombstones without changing the visible state
+    table.merge(spark.createDataFrame([("gone", None, 300, "D")], BATCH_SCHEMA), epoch_id="e3")
+    table.purge_tombstones(spark)
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].tokens == [2]
+
+
 def test_epoch_replay_is_noop(spark, table):
     b = spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA)
     s1 = table.merge(b, epoch_id="e")

@@ -1,0 +1,79 @@
+"""Property-based CDC correctness: random op sequences vs a pure-Python
+last-writer-wins reducer.
+
+Hypothesis drives (key, op, lsn) sequences with duplicate keys, deletes,
+reinserts, and shuffled arrival order; the engine's final table state
+must equal the oracle fold for every sequence."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("change_lsn", T.LongType(), False),
+    ]
+)
+
+
+def python_oracle(events):
+    """Independent fold: per key keep max-lsn event; drop if it's a D."""
+    best = {}
+    for key, op, lsn in events:
+        if key not in best or lsn > best[key][1]:
+            best[key] = (op, lsn)
+    return {
+        k: (op, lsn) for k, (op, lsn) in best.items() if op != "D"
+    }
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([f"k{i}" for i in range(8)]),  # few keys -> collisions
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda e: e[2],  # unique lsn = the log's total order
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, n_batches=st.integers(min_value=1, max_value=3))
+def test_random_log_matches_oracle(spark, tmp_path_factory, events, n_batches):
+    tmp = tmp_path_factory.mktemp("prop")
+    t = LakeTable(str(tmp / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+
+    rows = [
+        (k, [lsn % 7, lsn % 11] if op != "D" else None, lsn, op) for k, op, lsn in events
+    ]
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if not chunk:
+            continue
+        df = spark.createDataFrame(
+            chunk, "doc_id string, tokens array<int>, change_lsn long, op string"
+        )
+        t.merge(df, epoch_id=f"e{b}")
+
+    got = {
+        r.doc_id: (r.change_lsn, r.tokens) for r in t.read(spark).collect()
+    }
+    expected = python_oracle(events)
+    assert set(got) == set(expected), (got, expected)
+    for k, (op, lsn) in expected.items():
+        assert got[k][0] == lsn
+        assert got[k][1] == [lsn % 7, lsn % 11]
