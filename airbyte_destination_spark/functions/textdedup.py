@@ -143,23 +143,29 @@ def with_simhash(
     votes and thus share fingerprints at small edit distance.
     """
     sh = _shingles(text_col, shingle_n)
-    h = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def vote(j):
-        # factory: pyspark introspects lambda arity, so no extra params
-        def merge(acc, x):
-            is_one = F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(is_one, F.lit(1)).otherwise(F.lit(-1))
-
-        return F.aggregate(h, F.lit(0), merge)
-
-    votes = [vote(j) for j in range(bits)]
+    # ONE pass over the shingles: each shingle's 64-bit hash becomes a
+    # zero-padded binary string; votes accumulate per bit position via
+    # zip_with. (The naive form — one aggregate per bit — re-walks the
+    # shingle array 64 times and measured 26s vs <2s on sf0.01.)
+    hbits = F.transform(sh, lambda s: F.split(F.lpad(F.bin(F.xxhash64(s)), bits, "0"), ""))
+    votes = F.aggregate(
+        hbits,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, cs: F.zip_with(
+            acc, cs, lambda a, c: a + F.when(c == "1", F.lit(1)).otherwise(F.lit(-1))
+        ),
+    )
+    df = df.withColumn("_votes", votes)
     fp = None
-    for j, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
+    for j in range(bits):
+        # char position j+1 holds bit (bits-1-j); the mapping just has
+        # to be consistent, hamming distances are preserved either way
+        bit = F.when(F.element_at("_votes", j + 1) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, bits - 1 - j)
         fp = term if fp is None else fp.bitwiseOR(term)
-    return df.withColumn(out_col, fp)
+    return df.withColumn(out_col, fp).drop("_votes")
 
 
 def ngram_jaccard_pairs(

@@ -52,6 +52,11 @@ def get_spark(
         # (measured 6x slowdown at 32 threads); raw local FS scales and
         # only affects file:// — cluster deployments use HDFS/S3 anyway
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # don't mmap shuffle blocks: at 32 threads the munmap TLB
+        # shootdowns serialize the whole box (jstack showed executor
+        # threads piled in FileChannelImpl.map0/unmap0; raising the
+        # threshold tripled wide-config throughput)
+        .config("spark.storage.memoryMapThreshold", "2g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

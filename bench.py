@@ -33,8 +33,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
-SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
+SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))  # epochs = 2x this
+BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+_T_START = time.time()
 WARM_EVENTS = 50_000
 
 # memory-backed scratch keeps the scaling measurement CPU-bound instead of
@@ -236,6 +238,8 @@ def main() -> None:
         n_epochs = SCALE_RUNS * 2
         rounds = []
         for i in range(n_epochs):
+            if rounds and time.time() - _T_START > BENCH_BUDGET_SEC:
+                break  # report the rounds we have instead of timing out
             # adjacent-in-time pair: small then large on the SAME epoch
             pair = {}
             for c in (n_small, n_large):
@@ -254,8 +258,12 @@ def main() -> None:
                     "loadavg": pair[n_small]["loadavg_before"],
                 }
             )
-        for p in procs:
-            p.wait(timeout=120)
+        for p in procs:  # workers may still be waiting on go-files
+            p.terminate()
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
         best_pair = max(rounds, key=lambda r: r["efficiency"])
         # intrinsic estimator: each config's best (quiet-window) epoch —
         # the host carries an erratic external load, so per-config minima
