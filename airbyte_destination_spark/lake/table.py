@@ -165,7 +165,21 @@ class LakeTable:
         version_col: str | None,
         n_buckets: int = 32,
         properties: dict | None = None,
+        merge_strategy: str = "cow",
     ) -> None:
+        """merge_strategy:
+        - "cow" (copy-on-write): each merge eagerly reduces batch +
+          touched buckets and rewrites them; reads are plain scans.
+        - "mor" (merge-on-read): each merge only appends the batch's
+          per-key winners as delta files — no read/rewrite of existing
+          data, so ingest cost is O(batch) regardless of table size;
+          reads reduce base+deltas per key (greatest (version,
+          commit_version) wins) and `compact()` folds deltas back down.
+          This is ClickHouse ReplacingMergeTree's architecture — the
+          reference's storage engine (destination.go:337-351): inserts
+          are cheap appends, background merges fold, readers see the
+          final state (we reduce at read instead of requiring FINAL).
+        """
         if self.exists():
             raise FileExistsError(f"table {self.root} already exists")
         for c in key_cols:
@@ -173,7 +187,10 @@ class LakeTable:
                 raise ValueError(f"key column {c!r} not in schema")
         if version_col is not None and version_col not in schema.fieldNames():
             raise ValueError(f"version column {version_col!r} not in schema")
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
         manifest = {
+            "merge_strategy": merge_strategy,
             "schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
             "key_cols": key_cols,
@@ -207,8 +224,26 @@ class LakeTable:
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         all_buckets = [int(b) for b in m["buckets"]]
-        out = self._read_buckets(spark, m, all_buckets, schema)
-        return out.where(~F.coalesce(F.col(_DELETED_COL), F.lit(False))).drop(_DELETED_COL)
+        return self._resolve(spark, m, all_buckets, schema)
+
+    def _resolve(
+        self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType
+    ) -> DataFrame:
+        """Final visible state of the given buckets: MOR tables fold
+        base+deltas per key (greatest (version, commit) wins), then
+        tombstones are filtered for both strategies."""
+        out = self._read_buckets(spark, m, buckets, schema)
+        if m.get("merge_strategy", "cow") == "mor":
+            from airbyte_destination_spark.operators.dedup import lww_reduce_agg
+
+            ver = m["version_col"]
+            out = lww_reduce_agg(
+                out, m["key_cols"], ([ver] if ver else []) + ["_cv"]
+            )
+        return (
+            out.where(~F.coalesce(F.col(_DELETED_COL), F.lit(False)))
+            .drop(_DELETED_COL, "_cv")
+        )
 
     def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
         """Point lookups with bucket pruning: only the buckets the keys
@@ -226,10 +261,49 @@ class LakeTable:
             r[0]
             for r in kdf.select(bucket_expr(key_cols, m["n_buckets"])).distinct().collect()
         )
-        pruned = self._read_buckets(spark, m, buckets, schema).where(
-            ~F.coalesce(F.col(_DELETED_COL), F.lit(False))
-        ).drop(_DELETED_COL)
+        pruned = self._resolve(spark, m, buckets, schema)
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
+        """Fold MOR delta files (and small-file buildup generally):
+        rewrite every bucket holding >= min_files files as one reduced
+        file set. Tombstones are RETAINED (they still guard against late
+        older updates) — purge_tombstones() reclaims them separately.
+        Returns the new version, or None if nothing needed compaction.
+
+        This is the reference storage engine's background merge
+        (ReplacingMergeTree merge threads) as an explicit operation.
+        """
+        for attempt in range(5):
+            base = self.current_version()
+            m = self.manifest(base)
+            schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            todo = [int(b) for b, fs in m["buckets"].items() if len(fs) >= min_files]
+            if not todo:
+                return None
+            folded = self._read_buckets(spark, m, todo, schema)
+            if m.get("merge_strategy", "cow") == "mor":
+                from airbyte_destination_spark.operators.dedup import lww_reduce_agg
+
+                ver = m["version_col"]
+                folded = lww_reduce_agg(
+                    folded, m["key_cols"], ([ver] if ver else []) + ["_cv"]
+                )
+            folded = self._with_bucket(folded.drop("_cv"), m)
+            new_files = self._write_bucketed(folded, m, base + 1, n_out=len(todo))
+            buckets = dict(m["buckets"])
+            for b in todo:
+                buckets[str(b)] = new_files.get(str(b), [])
+            m["buckets"] = buckets
+            m["operation"] = "compact"
+            m["epoch_id"] = None
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        raise CommitConflict("unreachable")
 
     def purge_tombstones(self, spark: SparkSession) -> int:
         """Maintenance compaction: rewrite all buckets without tombstone
@@ -239,9 +313,8 @@ class LakeTable:
             base = self.current_version()
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
-            live = self._read_buckets(
-                spark, m, [int(b) for b in m["buckets"]], schema
-            ).where(~F.coalesce(F.col(_DELETED_COL), F.lit(False)))
+            # _resolve folds MOR deltas and drops tombstone rows
+            live = self._resolve(spark, m, [int(b) for b in m["buckets"]], schema)
             live = self._with_bucket(live, m)
             new_files = self._write_bucketed(live, m, base + 1)
             m["buckets"] = new_files
@@ -264,22 +337,26 @@ class LakeTable:
         target = T.StructType(
             schema.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
         )
-        by_schema: dict[str, list[str]] = {}
+        # group files by (schema they were written under, commit version):
+        # schema id drives the alignment cast, commit version becomes the
+        # _cv column MOR reads use as the within-version tiebreak
+        by_group: dict[tuple[str, int], list[str]] = {}
         for b in buckets:
             for entry in m["buckets"].get(str(b), []):
-                by_schema.setdefault(str(entry["schema_id"]), []).append(
-                    os.path.join(self.root, entry["path"])
-                )
-        if not by_schema:
-            return spark.createDataFrame([], target)
+                key = (str(entry["schema_id"]), int(entry.get("cv", 0)))
+                by_group.setdefault(key, []).append(os.path.join(self.root, entry["path"]))
+        if not by_group:
+            return spark.createDataFrame([], target).withColumn(
+                "_cv", F.lit(0).cast("long")
+            )
         parts = []
-        for sid, paths in by_schema.items():
+        for (sid, cv), paths in by_group.items():
             file_schema = T.StructType(
                 T.StructType.fromJson(m["schemas"][sid]).fields
                 + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
             )
             df = spark.read.schema(file_schema).parquet(*paths)
-            parts.append(align_to_schema(df, target))
+            parts.append(align_to_schema(df, target).withColumn("_cv", F.lit(cv).cast("long")))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -327,7 +404,11 @@ class LakeTable:
             for fname in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fname.endswith(".parquet"):
                     new_files.setdefault(b, []).append(
-                        {"path": os.path.join(rel_snap, bdir, fname), "schema_id": sid}
+                        {
+                            "path": os.path.join(rel_snap, bdir, fname),
+                            "schema_id": sid,
+                            "cv": version_hint,  # commit version (MOR precedence)
+                        }
                     )
         return new_files
 
@@ -377,7 +458,10 @@ class LakeTable:
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
             all_buckets = [int(b) for b in m["buckets"]]
-            kept = self._read_buckets(spark, m, all_buckets, schema).where(
+            # operate on the FINAL state (MOR deltas folded, tombstones
+            # compacted away) — the reference's DeletionJob deletes rows
+            # of the visible table
+            kept = self._resolve(spark, m, all_buckets, schema).where(
                 ~F.expr(predicate) | F.expr(predicate).isNull()
             )
             kept = self._with_bucket(kept, m)
@@ -480,6 +564,37 @@ class LakeTable:
                     buckets[b] = buckets.get(b, []) + files
                 rows_up = sum(l["rows_applied"] for l in lineage)
                 rows_del = 0
+            elif m.get("merge_strategy", "cow") == "mor":
+                # merge-on-read: reduce the batch per key and APPEND the
+                # winners as delta files — never read or rewrite existing
+                # data, so ingest is O(batch) no matter how big the table
+                # is. Readers fold deltas (read()/compact()).
+                src = aligned if has_op else aligned.withColumn("op", F.lit("U"))
+                src = src.repartition(m["n_buckets"], *[F.col(c) for c in key_cols])
+                other = [c for c in src.columns if c not in key_cols]
+                ord_fields = ([F.col(ver_col)] if ver_col is not None else []) + [
+                    F.col(c) for c in tiebreak_cols or []
+                ]
+                winners = (
+                    src.groupBy(*key_cols)
+                    .agg(
+                        F.max_by(
+                            F.struct(*[F.col(c) for c in other]), F.struct(*ord_fields)
+                        ).alias("_w")
+                    )
+                    .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
+                )
+                final = winners.withColumn(
+                    _DELETED_COL, F.coalesce(F.col("op") == F.lit("D"), F.lit(False))
+                ).drop("op")
+                new_files = self._write_bucketed(
+                    final, m, base + 1, n_out=len(touched), already_bucket_aligned=True
+                )
+                buckets = dict(m["buckets"])
+                for b, files in new_files.items():
+                    buckets[b] = buckets.get(b, []) + files
+                rows_up = sum(l["rows_applied"] for l in lineage)
+                rows_del = 0
             else:
                 src = (aligned if has_op else aligned.withColumn("op", F.lit("U"))).withColumn(
                     "_src", F.lit(1)
@@ -496,7 +611,7 @@ class LakeTable:
                                 F.coalesce(F.col(_DELETED_COL), F.lit(False)), F.lit("D")
                             ).otherwise(F.lit(None).cast("string")),
                         )
-                        .drop(_DELETED_COL)
+                        .drop(_DELETED_COL, "_cv")
                         .withColumn("_src", F.lit(0))
                     )
                     combined = existing.unionByName(src)

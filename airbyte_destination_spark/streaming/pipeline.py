@@ -40,6 +40,9 @@ class IngestConfig:
     key_cols: list[str] = field(default_factory=lambda: ["doc_id"])
     version_col: str = "change_lsn"
     n_buckets: int = 32
+    # "cow": eager merge, reads are plain scans; "mor": O(batch) delta
+    # appends, reads fold, compact() amortizes (ReplacingMergeTree-style)
+    merge_strategy: str = "cow"
     # pre-reduce strategy before the merge: None (default — the merge's
     # max_by aggregation reduces batch+table in ONE shuffle with map-side
     # combine, which is also the skew answer), or "window" / "salted" /
@@ -98,7 +101,13 @@ def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | 
 def _ensure_table(table: LakeTable, merged: DataFrame, cfg: IngestConfig) -> None:
     if not table.exists():
         schema = T.StructType([f for f in merged.schema.fields if f.name != "op"])
-        table.create(schema, cfg.key_cols, cfg.version_col, n_buckets=cfg.n_buckets)
+        table.create(
+            schema,
+            cfg.key_cols,
+            cfg.version_col,
+            n_buckets=cfg.n_buckets,
+            merge_strategy=cfg.merge_strategy,
+        )
 
 
 def apply_change_batch(

@@ -1,0 +1,113 @@
+"""Merge-on-read strategy: O(batch) delta appends, fold-at-read,
+compaction — ClickHouse ReplacingMergeTree's shape (the reference's
+actual storage engine)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+from airbyte_destination_spark.sources.changegen import write_change_log
+from airbyte_destination_spark.streaming.pipeline import IngestConfig, run_ingest_batches
+from tests.oracle import assert_equal_state
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("change_lsn", T.LongType(), False),
+    ]
+)
+BATCH_SCHEMA = "doc_id string, tokens array<int>, change_lsn long, op string"
+
+
+@pytest.fixture()
+def table(tmp_table_root):
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4, merge_strategy="mor")
+    return t
+
+
+def test_mor_merge_never_reads_existing(spark, table):
+    """Delta files accumulate; file count grows per merge (no rewrite)."""
+    for i in range(3):
+        b = spark.createDataFrame([("a", [i], i, "U")], BATCH_SCHEMA)
+        table.merge(b, epoch_id=f"e{i}")
+    m = table.manifest()
+    n_files = sum(len(fs) for fs in m["buckets"].values())
+    assert n_files == 3  # one delta per merge, nothing rewritten
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].tokens == [2]  # fold picks max lsn
+
+
+def test_mor_lww_and_delete_and_late_update(spark, table):
+    table.merge(
+        spark.createDataFrame(
+            [("a", [1], 1, "I"), ("b", [2], 2, "I"), ("a", [3], 3, "U")], BATCH_SCHEMA
+        ),
+        epoch_id="e0",
+    )
+    table.merge(
+        spark.createDataFrame([("b", None, 4, "D"), ("a", [9], 2, "U")], BATCH_SCHEMA),
+        epoch_id="e1",
+    )
+    state = {r.doc_id: r.tokens for r in table.read(spark).collect()}
+    assert state == {"a": [3]}
+    # late OLDER update after the delete: the tombstone delta must win
+    table.merge(spark.createDataFrame([("b", [7], 1, "U")], BATCH_SCHEMA), epoch_id="e2")
+    assert table.read(spark).where("doc_id='b'").count() == 0
+
+
+def test_mor_compact_folds_then_state_unchanged(spark, table):
+    for i in range(4):
+        table.merge(
+            spark.createDataFrame([("k", [i], i, "U"), (f"d{i}", [i], 10 + i, "I")], BATCH_SCHEMA),
+            epoch_id=f"e{i}",
+        )
+    before = sorted(
+        (r.doc_id, tuple(r.tokens), r.change_lsn) for r in table.read(spark).collect()
+    )
+    v = table.compact(spark)
+    assert v is not None
+    m = table.manifest()
+    assert all(len(fs) <= 1 for fs in m["buckets"].values())
+    after = sorted(
+        (r.doc_id, tuple(r.tokens), r.change_lsn) for r in table.read(spark).collect()
+    )
+    assert before == after
+    assert table.compact(spark) is None  # nothing left to fold
+
+
+def test_mor_equal_version_latest_commit_wins(spark, table):
+    """Two commits carrying the SAME version for a key: the later commit
+    wins (_cv tiebreak) — ReplacingMergeTree keeps the last-inserted row
+    among equal versions."""
+    table.merge(spark.createDataFrame([("x", [1], 5, "U")], BATCH_SCHEMA), epoch_id="e0")
+    table.merge(spark.createDataFrame([("x", [2], 5, "U")], BATCH_SCHEMA), epoch_id="e1")
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].tokens == [2]
+
+
+def test_mor_full_replay_matches_oracle(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    dirs = write_change_log(spark, log_dir, 4000, 300, n_batches=4, seed=21)
+    t = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(n_buckets=8, merge_strategy="mor")
+    run_ingest_batches(spark, dirs, t, cfg)
+    assert_equal_state(t.read(spark), f"{log_dir}/batch-*/*.parquet")
+    t.compact(spark)
+    assert_equal_state(t.read(spark), f"{log_dir}/batch-*/*.parquet")
+    t.purge_tombstones(spark)
+    assert_equal_state(t.read(spark), f"{log_dir}/batch-*/*.parquet")
+
+
+def test_mor_read_keys_and_overwrite_where(spark, table):
+    table.merge(
+        spark.createDataFrame(
+            [("a", [1], 1, "I"), ("a", [2], 2, "U"), ("c", [3], 3, "I")], BATCH_SCHEMA
+        ),
+        epoch_id="e0",
+    )
+    got = table.read_keys(spark, ["a"]).collect()
+    assert len(got) == 1 and got[0].tokens == [2]
+    table.overwrite_where(spark, "change_lsn <= 2")
+    assert [r.doc_id for r in table.read(spark).collect()] == ["c"]
