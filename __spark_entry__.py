@@ -31,6 +31,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the parquet is one small file
+    (one scan partition), but the text ops on it are compute-heavy —
+    without the repartition they run on a single task."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # --------------------------------------------------------------------- entry
 
 
@@ -140,7 +149,7 @@ def q_overwrite_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: exact dedup by content hash — keep min doc_id per
     distinct text, count duplicates."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
     )
@@ -148,7 +157,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: token counting — whitespace tokens + distinct tokens."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -161,7 +170,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: quality scoring — stopword ratio + mean word length,
     rounded for float-stable comparison."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     stop = F.size(
         F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of") | (w == "and"))
@@ -214,14 +223,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: stopword-hit language ID (en/de/fr/es/und)."""
     from airbyte_destination_spark.functions.text import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+    return lang_id(_docs_wide(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: md5 fingerprint of whitespace-normalized text."""
     from airbyte_destination_spark.functions.text import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    return fingerprint(_docs_wide(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +238,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-based, bit-for-bit reproducible in the oracle)."""
     from airbyte_destination_spark.functions.textdedup import with_minhash
 
-    out = with_minhash(_t(spark, sf_dir, "documents"), n_hashes=4)
+    out = with_minhash(_docs_wide(spark, sf_dir), n_hashes=4)
     return out.select(
         "doc_id",
         *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(4)],
@@ -237,10 +246,15 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training op: exact all-pairs word-3-gram Jaccard >= 0.8 (a < b)."""
+    """Training op: exact all-pairs word-3-gram Jaccard >= 0.8 (a < b).
+
+    Capped to doc_id < 1000: all-pairs is the quadratic VERIFY stage —
+    at corpus scale it only ever runs on LSH candidates
+    (textdedup.ngram_jaccard_pairs); the cap keeps the oracle-checked
+    exact variant bounded at every SF."""
     from airbyte_destination_spark.functions.textdedup import _shingles
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _docs_wide(spark, sf_dir).where(F.col("doc_id") < 1000).select(
         F.col("doc_id").alias("doc"), _shingles("text", 3).alias("sh")
     )
     a, b = docs.alias("a"), docs.alias("b")
@@ -262,7 +276,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.functions.textdedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), id_col="doc_id", n_hashes=8, bands=4
+        _docs_wide(spark, sf_dir), id_col="doc_id", n_hashes=8, bands=4
     )
 
 
@@ -271,7 +285,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB lacks xxhash64, driver records rows-only)."""
     from airbyte_destination_spark.functions.textdedup import with_simhash
 
-    return with_simhash(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    return with_simhash(_docs_wide(spark, sf_dir)).select("doc_id", "simhash")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,11 +337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # shared fragment: normalized word-3-gram shingles (mirrors
 # airbyte_destination_spark.functions.textdedup._shingles)
-_SHINGLES_CTE = r"""
+def _shingles_cte(where: str = "") -> str:
+    return rf"""
 norm AS (
   SELECT doc_id,
          string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
-  FROM documents
+  FROM documents {where}
 ),
 sh AS (
   SELECT doc_id,
@@ -338,6 +353,9 @@ sh AS (
   FROM norm
 )
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 _LWW_SQL = """
 WITH log AS (
@@ -469,7 +487,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "ngram_jaccard_pairs": f"""
-            WITH {_SHINGLES_CTE}
+            WITH {_shingles_cte("WHERE doc_id < 1000")}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(len(list_intersect(a.s, b.s))
                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)

@@ -24,6 +24,16 @@ def get_spark(
     - UTC session timezone (oracle comparisons are TZ-stable),
     - shuffle partitions sized to cores, not the 200 default.
     """
+    # Python workers resolve module-level functions by import; make sure
+    # the package root is importable from worker processes regardless of
+    # the caller's cwd
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")

@@ -37,6 +37,14 @@ SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))  # epochs = 2x this
 BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 _T_START = time.time()
+
+
+def _phase(name: str) -> None:
+    print(f"[bench +{time.time() - _T_START:7.1f}s] {name}", file=sys.stderr, flush=True)
+
+
+def _over_budget() -> bool:
+    return time.time() - _T_START > BENCH_BUDGET_SEC
 WARM_EVENTS = 50_000
 
 # memory-backed scratch keeps the scaling measurement CPU-bound instead of
@@ -187,26 +195,60 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 
     # ---- headline queries at SF_DIR
+    _phase("queries start")
     query_secs: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         query_secs[name] = round(time.time() - t0, 3)
+        _phase(f"query {name} {query_secs[name]}s")
 
     # ---- CDC apply throughput at full parallelism
+    _phase("cdc gen start")
     workdir = _scratch("bench-cdc-")
     n_docs = max(BENCH_EVENTS // 10, 1000)
     write_change_log(
         spark, f"{workdir}/log", BENCH_EVENTS, n_docs, n_batches=4, seed=42,
         num_partitions=CPUS,
     )
+    _phase("cdc apply start")
     cdc = _apply_job(CPUS, f"{workdir}/log", 64, None)
+    _phase("mor start")
+
+    # ---- merge-on-read variant: O(batch) ingest + explicit compaction
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
+
+    mor = None
+    if not _over_budget():
+        mor_work = _scratch("bench-mor-")
+        mor_table = LakeTable(os.path.join(mor_work, "t"))
+        mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
+        mor_dirs = sorted(str(p) for p in Path(f"{workdir}/log").glob("batch-*"))
+        t0 = time.time()
+        for i, d in enumerate(mor_dirs):
+            apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
+        mor_apply = time.time() - t0
+        t0 = time.time()
+        mor_table.compact(spark)
+        mor_compact = time.time() - t0
+        mor = {
+            "events": BENCH_EVENTS,
+            "apply_sec": round(mor_apply, 3),
+            "compact_sec": round(mor_compact, 3),
+            "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
+            "events_per_sec_with_compact": round(
+                BENCH_EVENTS / (mor_apply + mor_compact), 1
+            ),
+        }
+        shutil.rmtree(mor_work, ignore_errors=True)
     spark.stop()
 
     # ---- scaling: same smaller job at local[8] vs local[32], subprocesses
+    _phase("scaling start")
     scaling = None
-    if not args.skip_scaling:
+    if not args.skip_scaling and not _over_budget():
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "8"))
         n_large = 4 * n_small
         sc_dir = _scratch("bench-scale-")
@@ -297,6 +339,7 @@ def main() -> None:
             "events_per_sec": round(cdc["events_per_sec"], 1),
             "final_rows": cdc["final_rows"],
         },
+        "cdc_mor": mor,
         "scaling": scaling,
     }
     print(json.dumps(out))
