@@ -251,10 +251,17 @@ def main() -> None:
     if not args.skip_scaling and not _over_budget():
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "8"))
         n_large = 4 * n_small
+        # adapt the scaling workload to whatever budget the earlier
+        # phases left — partial scaling evidence beats none
+        elapsed = time.time() - _T_START
+        scale_events = SCALE_EVENTS
+        if elapsed > BENCH_BUDGET_SEC * 0.5:
+            scale_events = max(SCALE_EVENTS // 3, 600_000)
+        _phase(f"scaling gen {scale_events} events")
         sc_dir = _scratch("bench-scale-")
         sp = get_spark(app_name="bench-gen", master=f"local[{CPUS}]")
         write_change_log(
-            sp, f"{sc_dir}/log", SCALE_EVENTS, max(SCALE_EVENTS // 10, 1000),
+            sp, f"{sc_dir}/log", scale_events, max(scale_events // 10, 1000),
             n_batches=SCALE_RUNS * 2, seed=43, num_partitions=CPUS,
         )
         write_change_log(
@@ -313,10 +320,13 @@ def main() -> None:
         best_s = max(r["eps_small"] for r in rounds)
         best_l = max(r["eps_large"] for r in rounds)
         eff_intrinsic = round(best_l / (4 * best_s), 4)
+        raw_eff = max(best_pair["efficiency"], eff_intrinsic)
         scaling = {
             "n_small": n_small, "n_large": n_large,
             "eps_small": best_s, "eps_large": best_l,
-            "efficiency": max(best_pair["efficiency"], eff_intrinsic),
+            # >1.0 means the small config never caught a quiet window;
+            # clamp the headline, keep the raw estimators visible
+            "efficiency": min(raw_eff, 1.0),
             "efficiency_paired_best": best_pair["efficiency"],
             "efficiency_intrinsic": eff_intrinsic,
             "rounds": rounds,
