@@ -310,6 +310,91 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_orders_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 over a second 'stream': orders viewed as a per-customer change
+    log (version = o_orderkey, delete when the winning status is 'F') —
+    proves the LWW reduce generalizes beyond the events table."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("o_orderstatus") != "F"))
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("last_order"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 4).alias("total"),
+        )
+    )
+
+
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: per-day lineitem revenue/quantity.
+    The continuous-aggregate shape a training-metrics pipeline maintains."""
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.date_trunc("day", F.col("l_shipdate").cast("timestamp"))
+    return (
+        li.groupBy(F.unix_millis(day).alias("day_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment (window top-k — the
+    per-group ranking primitive)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            "rank",
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by 30-minute inactivity gaps per user (lag +
+    running sum of gap flags) — the batch twin of streaming
+    session_window; a training-data pipeline uses it for interaction
+    logs."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ms, F.col("event_id"))
+    gap = F.when(
+        (ms - F.lag(ms).over(w)) > 30 * 60 * 1000, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(gap).over(
+        Window.partitionBy("user_id").orderBy(ms, F.col("event_id")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col("event_id")).alias("first_event"),
+            F.max(F.col("event_id")).alias("last_event"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -330,6 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "cdc_orders_final_state": q_cdc_orders_final_state,
+        "rollup_daily": q_rollup_daily,
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
     }
 
 
@@ -520,5 +609,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        "cdc_orders_final_state": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            )
+            SELECT o_custkey AS cust, o_orderkey AS last_order,
+                   o_orderstatus AS status, round(o_totalprice, 4) AS total
+            FROM ranked WHERE rn = 1 AND o_orderstatus <> 'F'
+        """,
+        "rollup_daily": """
+            SELECT epoch_ms(date_trunc('day', l_shipdate)) AS day_ms,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   round(sum(l_quantity), 4) AS qty
+            FROM lineitem GROUP BY 1
+        """,
+        "topk_per_group": """
+            WITH j AS (
+              SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), ranked AS (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC)
+                       AS rank
+              FROM j
+            )
+            SELECT c_mktsegment AS segment, o_orderkey,
+                   round(o_totalprice, 4) AS price, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "sessionize": """
+            WITH t AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+            ), gaps AS (
+              SELECT user_id, event_id, ms,
+                     CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+                                                  ORDER BY ms, event_id)
+                               > 30 * 60 * 1000
+                          THEN 1 ELSE 0 END AS gap
+              FROM t
+            ), sess AS (
+              SELECT user_id, event_id,
+                     sum(gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM sess GROUP BY user_id, session_id
         """,
     }
