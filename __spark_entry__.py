@@ -485,7 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "microbatch_bounds": """
             SELECT CAST(floor(event_id / 500) AS BIGINT) AS batch_id,
                    count(*) AS n_records,
-                   sum(length(props) + 1) AS n_bytes,
+                   CAST(sum(length(props) + 1) AS BIGINT) AS n_bytes,
                    min(event_id) AS lsn_min, max(event_id) AS lsn_max
             FROM events GROUP BY 1
         """,
@@ -655,8 +655,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             ), sess AS (
               SELECT user_id, event_id,
-                     sum(gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM gaps
             )
             SELECT user_id, session_id, count(*) AS n_events,

@@ -5,16 +5,30 @@ The reference has no stateful operators (its only state is the
 micro-batch buffer, destination.go:385-391); this is the engine-side
 building block a training-data pipeline needs for interaction-log
 sessionization over an unbounded stream: per-user state carries the
-open session across micro-batches, closed sessions are emitted when the
-inactivity gap passes (processing-time timeout closes stragglers).
+open session across micro-batches; closed sessions are emitted either
+when a later event for the same user exceeds the inactivity gap, or
+when the event-time WATERMARK passes the open session's gap deadline
+(EventTimeTimeout).
+
+Why event-time, not processing-time, timeouts: with
+ProcessingTimeTimeout every batch re-registers a timeout, so
+`shouldRunAnotherBatch` is permanently true and the query schedules
+empty "cleaning up state" batches forever — `availableNow` never
+terminates and `processAllAvailable` spins (the round-1 suite hang).
+With EventTimeTimeout the extra batch only runs while the watermark
+advances, which only happens on new data, so bounded triggers
+terminate; it is also the correct semantics for log REPLAY, where
+wall-clock time says nothing about session boundaries.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -42,7 +56,8 @@ def _sessionize_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's events for one user into the open
-    session; emit every session that closes (gap exceeded)."""
+    session; emit every session that closes (gap exceeded, or watermark
+    passed the open session's deadline)."""
     (user_id,) = key
     if state.hasTimedOut:
         if state.exists:
@@ -59,21 +74,30 @@ def _sessionize_fn(
         return
 
     start, last, n = state.get if state.exists else (None, None, 0)
-    closed: list[tuple[int, int, int]] = []
-    ts = (
-        pd.concat(list(pdfs))["ts_ms"].sort_values().to_numpy()
-    )
-    for t in ts:
-        t = int(t)
-        if last is None:
-            start, last, n = t, t, 1
-        elif t - last > GAP_MS:
-            closed.append((start, last, n))
-            start, last, n = t, t, 1
+    ts = np.sort(pd.concat(list(pdfs))["ts_ms"].to_numpy(dtype=np.int64))
+    if len(ts) == 0:
+        if last is not None:
+            state.update((start, last, n))
+            _arm_timeout(state, last)
+        return
+    # vectorized segmentation: a session break is any gap > GAP_MS
+    brk = np.flatnonzero(np.diff(ts) > GAP_MS) + 1
+    seg_lo = np.concatenate(([0], brk))
+    seg_hi = np.concatenate((brk, [len(ts)]))
+    segs = [
+        (int(ts[lo]), int(ts[hi - 1]), int(hi - lo))
+        for lo, hi in zip(seg_lo, seg_hi)
+    ]
+    if last is not None:
+        if segs[0][0] - last <= GAP_MS:
+            # batch's first segment continues the open session
+            segs[0] = (start, segs[0][1], n + segs[0][2])
         else:
-            last, n = t, n + 1
+            segs.insert(0, (start, last, n))
+    closed = segs[:-1]
+    start, last, n = segs[-1]
     state.update((start, last, n))
-    state.setTimeoutDuration(GAP_MS)
+    _arm_timeout(state, last)
     if closed:
         yield pd.DataFrame(
             {
@@ -85,16 +109,30 @@ def _sessionize_fn(
         )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def _arm_timeout(state: GroupState, last_ms: int) -> None:
+    """Close the open session once the watermark passes last + GAP.
+    The timestamp must be strictly beyond the current watermark."""
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_ms + GAP_MS + 1, wm + 1))
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """events stream (user_id long, ts_ms long) -> closed sessions.
 
     Use on a readStream DataFrame; emits in append mode. State lives in
-    the streaming state store, checkpointed with the query.
+    the streaming state store, checkpointed with the query. The
+    watermark bounds how late an event may arrive and still join its
+    session; it also drives EventTimeTimeout session-close.
     """
-    return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn,
-        SESSION_OUTPUT,
-        STATE_SCHEMA,
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        events.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            SESSION_OUTPUT,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
