@@ -281,25 +281,57 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training op: 64-bit SimHash (xxhash64 bit votes — no SQL oracle;
-    DuckDB lacks xxhash64, driver records rows-only)."""
+    """Training op: 64-bit SimHash (md5-derived bit votes, bit-for-bit
+    reproducible in the DuckDB oracle)."""
     from airbyte_destination_spark.functions.textdedup import with_simhash
 
     return with_simhash(_docs_wide(spark, sf_dir)).select("doc_id", "simhash")
 
 
+# ANN/near-dup LSH parameters shared by the Spark queries and their
+# DuckDB oracles (small-corpus settings: 8 bands x 4 bits keeps recall
+# high at 500 vectors; at real corpus scale raise bits_per_band)
+ANN_BANDS, ANN_BITS, ANN_SEED = 8, 4, 42
+NDP_THRESHOLD, NDP_SEED = 0.4, 7
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training op: approximate top-5 neighbors via random-hyperplane LSH
-    (rows-only check: hyperplanes derive from xxhash64)."""
+    """Training op: approximate top-5 neighbors via banded
+    random-hyperplane LSH (multi-table; bucket-capped self-join)."""
     from airbyte_destination_spark.functions.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, bits=6)
+    return lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        dim=64,
+        bands=ANN_BANDS,
+        bits_per_band=ANN_BITS,
+        seed=ANN_SEED,
+    )
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: embedding-cosine near-duplicate pairs above a
+    threshold, candidate-filtered by banded LSH collision."""
+    from airbyte_destination_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=NDP_THRESHOLD,
+        bands=ANN_BANDS,
+        bits_per_band=ANN_BITS,
+        seed=NDP_SEED,
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: binary media -> decode-stub -> features via
-    mapInPandas (rows-only check; payloads are synthesized)."""
+    mapInPandas. Payloads are synthesized deterministically from ids,
+    so the DuckDB oracle regenerates the identical table from range(n)
+    and twins the sha256 checksum + shape derivation."""
     from airbyte_destination_spark.functions.multimodal import (
         extract_features,
         synthetic_media,
@@ -414,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "multimodal_features": q_multimodal_features,
         "cdc_orders_final_state": q_cdc_orders_final_state,
         "rollup_daily": q_rollup_daily,
@@ -424,9 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # -------------------------------------------------------------------- oracle
 
-# shared fragment: normalized word-3-gram shingles (mirrors
+# shared fragment: normalized word-n-gram shingles (mirrors
 # airbyte_destination_spark.functions.textdedup._shingles)
-def _shingles_cte(where: str = "") -> str:
+def _shingles_cte(where: str = "", n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
     return rf"""
 norm AS (
   SELECT doc_id,
@@ -435,9 +469,9 @@ norm AS (
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(w) >= 3
-              THEN list_distinct(list_transform(range(1, len(w) - 1),
-                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                     i -> {gram}))
               ELSE [array_to_string(w, ' ')] END AS s
   FROM norm
 )
@@ -445,6 +479,150 @@ sh AS (
 
 
 _SHINGLES_CTE = _shingles_cte()
+
+
+def _simhash_oracle() -> str:
+    """Twin of textdedup.with_simhash: fingerprint bit (63-j) is the
+    majority vote of md5-bit j (MSB-first, first 16 hex chars); the
+    j=0 term is the two's-complement sign bit."""
+    terms = []
+    for j in range(64):
+        d, b = j // 4, 3 - (j % 4)
+        vote = (
+            f"list_sum(list_transform(s, x -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(md5(x), {d + 1}, 1)) - 1) "
+            f">> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        val = "CAST(-9223372036854775808 AS BIGINT)" if j == 0 else f"CAST({1 << (63 - j)} AS BIGINT)"
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {val} ELSE CAST(0 AS BIGINT) END)")
+    expr = "\n      + ".join(terms)
+    return f"WITH {_shingles_cte(n=2)} SELECT doc_id, {expr} AS simhash FROM sh"
+
+
+def _planes_cte(bands: int, bits_per_band: int, seed: int) -> str:
+    """The exact hyperplane doubles the Spark plan embeds, as a VALUES
+    CTE (similarity.hyperplanes is the single source)."""
+    from airbyte_destination_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, bands * bits_per_band, seed)
+    rows = ", ".join(
+        f"({j // bits_per_band}, {j}, [{', '.join(repr(c) for c in row)}]::DOUBLE[])"
+        for j, row in enumerate(planes)
+    )
+    return f"planes AS (SELECT * FROM (VALUES {rows}) t(band, pos, h))"
+
+
+def _lsh_buckets_cte(bands: int, bits_per_band: int, seed: int) -> str:
+    """(vec_id, band, bucket) rows: bucket = the band's bit-string of
+    hyperplane signs, plane order ascending — mirrors
+    similarity._banded_signature."""
+    return f"""{_planes_cte(bands, bits_per_band, seed)},
+sigbits AS (
+  SELECT v.vec_id, p.band, p.pos,
+         CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> CAST(v.embedding[i] AS DOUBLE) * p.h[i])) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings v, planes p
+),
+buckets AS (
+  SELECT vec_id, band, string_agg(bit, '' ORDER BY pos) AS bucket
+  FROM sigbits GROUP BY vec_id, band
+)"""
+
+
+_COS_DD = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+def _ann_topk_oracle() -> str:
+    return f"""
+WITH {_lsh_buckets_cte(ANN_BANDS, ANN_BITS, ANN_SEED)},
+kept AS (
+  SELECT band, bucket FROM buckets GROUP BY band, bucket HAVING count(*) <= 10000
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q
+  JOIN (SELECT b.* FROM buckets b JOIN kept USING (band, bucket)) c
+    USING (band, bucket)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT x.query_id, x.neighbor_id, {_COS_DD} AS cos_raw
+  FROM cands x
+  JOIN embeddings a ON a.vec_id = x.query_id
+  JOIN embeddings b ON b.vec_id = x.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+WITH {_lsh_buckets_cte(ANN_BANDS, ANN_BITS, NDP_SEED)},
+capped AS (
+  SELECT * FROM buckets
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000
+),
+cands AS (
+  SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+  FROM capped l JOIN capped r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT x.doc_a, x.doc_b, {_COS_DD} AS cos_raw
+  FROM cands x
+  JOIN embeddings a ON a.vec_id = x.doc_a
+  JOIN embeddings b ON b.vec_id = x.doc_b
+)
+SELECT doc_a, doc_b, round(cos_raw, 6) AS cos_sim
+FROM scored WHERE cos_raw >= {NDP_THRESHOLD}
+"""
+
+
+def _hex4int(h: str, start: int) -> str:
+    """Value of the 4 hex chars of `h` at 1-based `start` (int(h[a:b],16))."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr({h}, {start + k}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _multimodal_oracle() -> str:
+    """Regenerates synthetic_media(n=200, seed=3) from range(200) and
+    twins _fake_decode (sha256 checksum + shape from the digest)."""
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 200)),
+m AS (
+  SELECT 'm-' || CAST(id AS VARCHAR) AS media_id,
+         ['image','audio','video'][CAST(id % 3 AS INT) + 1] AS kind,
+         substr(repeat(sha256('media-3-' || CAST(id AS VARCHAR)), 64),
+                1, CAST(((id % 15) + 1) * 256 AS INT)) AS content
+  FROM ids
+),
+d AS (
+  SELECT media_id, kind, sha256(content) AS h,
+         CAST(length(content) AS INT) AS n_bytes
+  FROM m
+)
+SELECT media_id, kind,
+       CAST(16 + ({_hex4int('h', 1)} % 1024) AS INT) AS width,
+       CAST(16 + ({_hex4int('h', 5)} % 1024) AS INT) AS height,
+       n_bytes,
+       substr(h, 1, 16) AS checksum
+FROM d
+"""
 
 _LWW_SQL = """
 WITH log AS (
@@ -605,11 +783,20 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
               UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
               UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+            ),
+            capped AS (
+              -- mirrors the Spark-side max_bucket degenerate-bucket drop
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000
             )
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM banded l JOIN banded r
+            FROM capped l JOIN capped r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
+        "simhash": _simhash_oracle(),
+        "ann_lsh_topk": _ann_topk_oracle(),
+        "embedding_near_dup_pairs": _near_dup_oracle(),
+        "multimodal_features": _multimodal_oracle(),
         "cdc_orders_final_state": """
             WITH ranked AS (
               SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,

@@ -49,16 +49,19 @@ FEATURE_SCHEMA = T.StructType(
 
 def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: binary payloads derived from ids
-    (sha256-stretched), sized 256..4096 bytes — no external data."""
+    (sha256-stretched), sized 256..4096 bytes — no external data.
+
+    Size and kind derive from plain id arithmetic (not a hash) so the
+    DuckDB oracle can regenerate the identical table from range(n)."""
     df = spark.range(n)
     payload = F.sha2(F.concat(F.lit(f"media-{seed}-"), F.col("id").cast("string")), 256)
-    size = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(15)) + 1) * 256
+    size = (F.pmod(F.col("id"), F.lit(15)) + 1) * 256
     content = F.substring(
         F.repeat(payload, 64), 1, size.cast("int")
     )  # pseudo-random-ish bytes as string -> binary
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit("k"), F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
     )
     return df.select(
         F.concat(F.lit("m-"), F.col("id").cast("string")).alias("media_id"),

@@ -4,15 +4,28 @@
   Dot products via zip_with/aggregate (JVM, codegen) in double
   precision; broadcast the (small) query side so the big side never
   shuffles.
-- `lsh_topk`: random-hyperplane LSH approximate top-k — the scale
-  path. Vectors are bucketed by a b-bit sign signature; only bucket-
-  colliding pairs are scored, so cost ~ n * avg_bucket_size instead of
-  n * q. Hyperplanes are deterministic (seeded hash), no driver state.
+- `lsh_topk`: banded random-hyperplane LSH approximate top-k — the
+  scale path. The signature is split into `bands` independent
+  sub-signatures (multi-table LSH); vectors colliding in ANY band are
+  candidates, so recall is 1-(1-p^r)^b instead of p^(r*b) of a single
+  full-signature table (the round-1 design, which at b bits had only
+  2^b buckets for the whole corpus — giant-bucket quadratic joins).
+  Over-full buckets (degenerate clusters, e.g. all-zero vectors) are
+  capped: they are dropped from the candidate join with their size
+  logged, keeping every bucket join O(cap^2) at any corpus size.
 - `embedding_near_dup_pairs`: cosine >= threshold pairs via the same
-  LSH bucketing — embedding-space near-duplicate detection.
+  banded bucketing — embedding-space near-duplicate detection.
+
+Hyperplanes are a deterministic md5-derived literal matrix computed
+once at plan-build time (driver side) and baked into the plan as
+literals: no per-row hash calls, and the DuckDB oracle can embed the
+exact same doubles, so signatures reproduce bit-for-bit across
+engines.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -66,34 +79,63 @@ def cosine_topk(
     )
 
 
-def _sign_signature(vec, dim: int, bits: int, seed: int):
-    """b-bit random-hyperplane signature. Hyperplane j's component i is
-    a deterministic pseudo-uniform in [-1,1) from xxhash64(i, j, seed) —
-    no materialized hyperplane matrix, works at any scale."""
-    def plane_dot(j):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda x, i: x
-                * (
-                    (
-                        F.pmod(F.xxhash64(i, F.lit(j), F.lit(seed)), F.lit(2_000_003))
-                        / F.lit(1_000_001.5)
-                    )
-                    - F.lit(1.0)
-                ),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
+def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix; component (j, i)
+    is md5("seed:j:i") folded to a double in [-1, 1). Engine-agnostic:
+    the same doubles embed verbatim in the DuckDB oracle SQL."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16)
+            row.append(h / float(0x7FFFFFFF) - 1.0)
+        planes.append(row)
+    return planes
 
-    sig = None
-    for j in range(bits):
-        bit = F.when(plane_dot(j) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+
+def _banded_signature(vec, planes: list[list[float]], bands: int):
+    """Explodable array of (band, bucket) structs; bucket is the band's
+    bit-string of hyperplane signs ('0'/'1' chars)."""
+    n_planes = len(planes)
+    per_band = n_planes // bands
+
+    def plane_bit(j):
+        dot = _dot(vec, F.array(*[F.lit(c) for c in planes[j]]))
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[plane_bit(b * per_band + r) for r in range(per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _banded_buckets(
+    df: DataFrame, id_alias: str, vec_alias: str, planes, bands: int
+) -> DataFrame:
+    """(id, vec, band, bucket) rows — one per band per input row."""
+    return df.select(
+        id_alias,
+        vec_alias,
+        F.explode(_banded_signature(F.col(vec_alias), planes, bands)).alias("bb"),
+    ).select(id_alias, vec_alias, "bb.band", "bb.bucket")
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop over-full (band, bucket) groups: one degenerate bucket
+    (e.g. all-zero embeddings) would otherwise go quadratic. Keeps the
+    per-bucket join cost <= max_bucket^2 regardless of corpus size."""
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        banded.join(F.broadcast(sizes.where(F.col("_bsz") > max_bucket)),
+                    ["band", "bucket"], "left_anti")
+    )
 
 
 def lsh_topk(
@@ -103,31 +145,52 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 8,
+    bands: int = 4,
+    bits_per_band: int = 8,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Approximate top-k: score only pairs whose sign signatures collide.
+    """Approximate top-k: score only pairs colliding in >=1 band.
 
-    Recall < 1 by construction; raise recall with fewer bits or by
-    probing neighboring buckets (not implemented). The bucket join
-    shuffles by signature — sub-quadratic at corpus scale."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("sig", _sign_signature(F.col("qv"), dim, bits, seed))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
-    ).withColumn("sig", _sign_signature(F.col("nv"), dim, bits, seed))
-    pairs = (
-        c.join(q, "sig")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
+    bands * bits_per_band hyperplanes total; each band is an
+    independent hash table, so recall rises with `bands` and precision
+    with `bits_per_band`. The candidate join shuffles by (band,
+    bucket); over-full corpus buckets are dropped (see _cap_buckets).
+    """
+    planes = hyperplanes(dim, bands * bits_per_band, seed)
+    q = _banded_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        planes,
+        bands,
+    )
+    c = _cap_buckets(
+        _banded_buckets(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+            ),
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("nv"))
-                / (_norm(F.col("qv")) * _norm(F.col("nv")))
-            ).alias("cos_raw"),
-        )
+            "nv",
+            planes,
+            bands,
+        ),
+        max_bucket,
+    )
+    cands = (
+        c.join(q, ["band", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .distinct()  # a pair may collide in several bands
+    )
+    pairs = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))).alias(
+            "cos_raw"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -145,23 +208,48 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 10,
+    bands: int = 4,
+    bits_per_band: int = 8,
     seed: int = 7,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold,
-    candidate-filtered by LSH signature collision."""
-    v = corpus.select(
-        F.col(id_col).alias("doc"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sig", _sign_signature(F.col("v"), dim, bits, seed))
+    candidate-filtered by banded LSH collision (any band), bucket-capped."""
+    planes = hyperplanes(dim, bands * bits_per_band, seed)
+    v = _cap_buckets(
+        _banded_buckets(
+            corpus.select(
+                F.col(id_col).alias("doc"), _as_double(F.col(vec_col)).alias("v")
+            ),
+            "doc",
+            "v",
+            planes,
+            bands,
+        ),
+        max_bucket,
+    )
     a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc") < F.col("b.doc")))
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .select(
             F.col("a.doc").alias("doc_a"),
+            F.col("a.v").alias("va"),
             F.col("b.doc").alias("doc_b"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "doc_a",
+            "doc_b",
             (
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
             ).alias("cos_raw"),
         )
         .where(F.col("cos_raw") >= threshold)

@@ -80,6 +80,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -87,6 +88,10 @@ def minhash_lsh_pairs(
     sharing any full band land in the same bucket; the bucket self-join
     yields pairs (a < b). The join key is (band_idx, band_hash) so the
     shuffle is by bucket — sub-quadratic, scales with corpus size.
+    Buckets larger than `max_bucket` are dropped before the self-join:
+    one degenerate bucket (e.g. every empty doc shares a shingle) is an
+    O(b^2) explosion; capping bounds any bucket's join cost. Dropped
+    docs still pair through their other, non-degenerate bands.
     """
     rows_per_band = n_hashes // bands
     sigd = with_minhash(df, text_col, n_hashes, shingle_n).select(
@@ -114,6 +119,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    over_full = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket)
+    )
+    banded = banded.join(F.broadcast(over_full), ["band", "bucket"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -138,16 +149,23 @@ def with_simhash(
     """64-bit SimHash fingerprint as a bigint.
 
     Bit j of the fingerprint is the majority vote over shingles of bit
-    j of each shingle's hash. Shingle hash bits come from
-    xxhash64(shingle) (JVM-side); near-identical docs agree on most
-    votes and thus share fingerprints at small edit distance.
+    j of each shingle's hash. Shingle hash bits are the first 64 bits
+    of md5(shingle) (hex -> base-2 via conv, still pure JVM) so the
+    DuckDB oracle reproduces the fingerprint bit-for-bit; near-identical
+    docs agree on most votes and thus share fingerprints at small edit
+    distance.
     """
     sh = _shingles(text_col, shingle_n)
     # ONE pass over the shingles: each shingle's 64-bit hash becomes a
     # zero-padded binary string; votes accumulate per bit position via
     # zip_with. (The naive form — one aggregate per bit — re-walks the
     # shingle array 64 times and measured 26s vs <2s on sf0.01.)
-    hbits = F.transform(sh, lambda s: F.split(F.lpad(F.bin(F.xxhash64(s)), bits, "0"), ""))
+    hbits = F.transform(
+        sh,
+        lambda s: F.split(
+            F.lpad(F.conv(F.substring(F.md5(s), 1, 16), 16, 2), bits, "0"), ""
+        ),
+    )
     votes = F.aggregate(
         hbits,
         F.array_repeat(F.lit(0), bits),

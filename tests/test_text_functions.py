@@ -104,7 +104,7 @@ def test_cosine_topk_and_lsh(spark):
     assert exact.groupBy("query_id").count().where("count != 5").count() == 0
     # lsh recall: its top hit should appear in exact top-20 frequently;
     # at minimum the api returns valid ranks and no self matches
-    approx = lsh_topk(emb, q, k=5, dim=64, bits=6)
+    approx = lsh_topk(emb, q, k=5, dim=64, bands=8, bits_per_band=4)
     assert approx.where("query_id = neighbor_id").count() == 0
     ranks = [r.rank for r in approx.where("query_id = 0").collect()]
     assert ranks == sorted(ranks)
@@ -112,7 +112,7 @@ def test_cosine_topk_and_lsh(spark):
 
 def test_embedding_near_dup_pairs_runs(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    out = embedding_near_dup_pairs(emb, threshold=0.5, bits=4)
+    out = embedding_near_dup_pairs(emb, threshold=0.4, bands=8, bits_per_band=4)
     rows = out.collect()
     assert all(r.doc_a < r.doc_b for r in rows)
 
