@@ -121,16 +121,33 @@ def q_route_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference's flush bounds are 500 records / 1,047,000 bytes
+# (destination.go:29,435); the byte cap here is shrunk so the byte
+# split actually bites at test scale
+MB_RECORDS, MB_BYTES = 500, 4096
+
+
 def q_microbatch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O7: micro-batching — 500-record batches by lsn order with byte
-    accounting (the reference's 500-record/1MiB flush rule)."""
-    ev = _t(spark, sf_dir, "events")
+    """O7: micro-batching — 500-record batches by lsn order, further
+    split when the running byte total crosses the byte cap (exclusive
+    prefix sum, so a sub-batch exceeds the cap by at most one record —
+    the reference's flush-before-append greedy rule, batch-expressible)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "batch_id", F.floor(F.col("event_id") / MB_RECORDS)
+    )
+    nbytes = F.length("props") + 1
+    w = (
+        Window.partitionBy("batch_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub = F.floor(F.coalesce(F.sum(nbytes).over(w), F.lit(0)) / MB_BYTES)
     return (
-        ev.withColumn("batch_id", F.floor(F.col("event_id") / 500))
-        .groupBy("batch_id")
+        ev.withColumn("sub_id", sub)
+        .groupBy("batch_id", "sub_id")
         .agg(
             F.count(F.lit(1)).alias("n_records"),
-            F.sum(F.length("props") + 1).alias("n_bytes"),
+            F.sum(nbytes).alias("n_bytes"),
             F.min("event_id").alias("lsn_min"),
             F.max("event_id").alias("lsn_max"),
         )
@@ -660,12 +677,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
         """,
-        "microbatch_bounds": """
-            SELECT CAST(floor(event_id / 500) AS BIGINT) AS batch_id,
-                   count(*) AS n_records,
-                   CAST(sum(length(props) + 1) AS BIGINT) AS n_bytes,
+        "microbatch_bounds": f"""
+            WITH b AS (
+              SELECT event_id, length(props) + 1 AS nb,
+                     CAST(floor(event_id / {MB_RECORDS}) AS BIGINT) AS batch_id
+              FROM events
+            ), s AS (
+              SELECT *, CAST(floor(coalesce(CAST(sum(nb) OVER (
+                       PARTITION BY batch_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS BIGINT), 0) / {MB_BYTES}) AS BIGINT) AS sub_id
+              FROM b
+            )
+            SELECT batch_id, sub_id, count(*) AS n_records,
+                   CAST(sum(nb) AS BIGINT) AS n_bytes,
                    min(event_id) AS lsn_min, max(event_id) AS lsn_max
-            FROM events GROUP BY 1
+            FROM s GROUP BY 1, 2
         """,
         "overwrite_delete_filter": """
             SELECT event_id, epoch_ms(ts) AS ts_ms, event_type

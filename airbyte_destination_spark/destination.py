@@ -24,7 +24,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airbyte_destination_spark import protocol as P
@@ -38,6 +38,7 @@ class WriteResult:
     tables: dict[str, int] = field(default_factory=dict)  # table -> rows written
     states: list[str] = field(default_factory=list)  # echoed state blobs (in order)
     quarantined: int = 0
+    full_reset: bool = False  # all-overwrite + 0 records -> tables dropped
 
 
 def spec() -> dict:
@@ -81,16 +82,52 @@ def _global_record_index(records: DataFrame) -> DataFrame:
     """0-based index over RECORD messages in input order — the
     reference's recordIndex (destination.go:393,423,453).
 
-    Faithful to the serial wire protocol, so inherently a total order:
-    fine at fixture scale, replaced by change_lsn in the CDC path
-    (functions/enrich.py docstring).
+    Partition-parallel two-pass zipWithIndex: pass 1 collects per-
+    partition (count, min id) — a #partitions-sized control-plane job —
+    and turns counts into exclusive global offsets; pass 2 adds
+    offset + (id - min id) per row. monotonically_increasing_id is
+    contiguous within a partition, so the arithmetic needs no window
+    and the plan has NO single-partition exchange (the round-1 version
+    was a global Window.orderBy — one task saw the whole sync).
     """
-    w = Window.orderBy("_mid")
-    return (
-        records.withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_record_index", F.row_number().over(w) - 1)
-        .drop("_mid")
+    base = records.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
     )
+    parts = sorted(
+        (r["_pid"], r["n"], r["lo"])
+        for r in base.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("_mid").alias("lo"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    lows = {}
+    for pid, n, lo in parts:
+        offsets[pid], lows[pid] = acc, lo
+        acc += n
+    if not parts:
+        return records.withColumn("_record_index", F.lit(0).cast("long"))
+    off_map = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+    low_map = F.create_map(*[F.lit(x) for pid in lows for x in (pid, lows[pid])])
+    return (
+        base.withColumn(
+            "_record_index",
+            off_map[F.col("_pid")] + (F.col("_mid") - low_map[F.col("_pid")]),
+        )
+        .drop("_mid", "_pid")
+    )
+
+
+def _echo_state(line: str) -> str:
+    """Echo a STATE message with destination stats filled in: the
+    platform's checkpoint accounting requires
+    destinationStats.recordCount = sourceStats.recordCount
+    (destination.go:417-419; struct airbyte/protocol.go:92-115)."""
+    msg = json.loads(line)
+    st = msg.get("state") or {}
+    src = (st.get("sourceStats") or {}).get("recordCount", 0)
+    st["destinationStats"] = {"recordCount": src}
+    msg["state"] = st
+    return json.dumps(msg)
 
 
 class Destination:
@@ -130,14 +167,26 @@ class Destination:
         records = _global_record_index(typed.where(F.col("type") == P.TYPE_RECORD))
         records = records.cache()
         states = [
-            r["value"]
+            _echo_state(r["value"])
             for r in typed.where(F.col("type") == P.TYPE_STATE).select("value").collect()
         ]
 
         result = WriteResult(states=states)
+        n_records = records.count()
         for s in catalog.streams:
             result.tables[s.table_name] = self._write_stream(s, records, sync_start_ms)
         records.unpersist()
+
+        # Full-reset detection (destination.go:181-184,262-268): a sync
+        # where EVERY stream is overwrite and ZERO records arrive is the
+        # platform's reset signal — cascade-drop so the tables can be
+        # recreated under the new sync mode.
+        is_full_reset = bool(catalog.streams) and all(
+            s.destination_sync_mode == P.MODE_OVERWRITE for s in catalog.streams
+        )
+        if is_full_reset and n_records == 0:
+            self.drop_all(catalog)
+            result.full_reset = True
         return result
 
     def _write_stream(
@@ -178,6 +227,25 @@ class Destination:
             # append/overwrite tables are keyed on the raw id
             # (destination.go:329-335): every record is a distinct row
             key_cols, ver_col = [P.RAW_ID_COL], P.EXTRACTED_AT_COL
+
+        if table.exists():
+            # mode x existing-table-key compatibility
+            # (destination.go:246-254): an append_dedup sync cannot
+            # target a raw-id-keyed table (dup rows would collapse
+            # arbitrarily), and an append sync cannot target a
+            # custom-keyed table (its merge would dedup).
+            existing_keys = table.manifest().get("key_cols", [])
+            raw_keyed = existing_keys == [P.RAW_ID_COL]
+            if raw_keyed and s.destination_sync_mode == P.MODE_APPEND_DEDUP:
+                raise ValueError(
+                    f"append_dedup destination sync mode is not compatible with "
+                    f"table {s.table_name!r} keyed on {P.RAW_ID_COL}"
+                )
+            if not raw_keyed and s.destination_sync_mode == P.MODE_APPEND:
+                raise ValueError(
+                    f"append destination sync mode is not compatible with "
+                    f"table {s.table_name!r} keyed on {existing_keys}"
+                )
 
         if not table.exists():
             table.create(

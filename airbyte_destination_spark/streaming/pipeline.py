@@ -55,6 +55,15 @@ class IngestConfig:
     n_tok_col: str = "n_tok"
     repartition: int | None = None  # pre-shuffle width for the reduce
     quarantine_root: str | None = None
+    # micro-batch bounds (O7). The reference flushes a buffer at
+    # 1,047,000 bytes or 500 records per POST (destination.go:29,435);
+    # a Spark trigger is a distributed batch, so the per-trigger byte
+    # bound is that constant scaled by the partition fan-out (default
+    # 64x ~= one reference-sized flush per core on a 64-slot stage).
+    # Spark's file source enforces maxBytesPerTrigger at file
+    # granularity: an epoch closes once the next file would cross it.
+    max_files_per_trigger: int = 64
+    max_bytes_per_trigger: int | None = 64 * 1_047_000
 
 
 def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | None):
@@ -169,9 +178,15 @@ def run_ingest_stream(
     cfg = cfg or IngestConfig()
     if data_schema is None:
         data_schema = spark.read.parquet(log_dir).schema
-    stream = spark.readStream.schema(data_schema).option(
-        "maxFilesPerTrigger", "64"
-    ).parquet(log_dir)
+    reader = spark.readStream.schema(data_schema)
+    # byte bound wins when both are set (Spark treats them as
+    # alternatives; the reference applies whichever trips first —
+    # with the byte cap set, it is byte-bounded epochs)
+    if cfg.max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(cfg.max_bytes_per_trigger))
+    else:
+        reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+    stream = reader.parquet(log_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         apply_change_batch(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg)

@@ -160,3 +160,77 @@ def test_raw_id_matches_reference_recipe(spark, dest):
     ow = {r.id: r for r in dest.read_table("airlines_ow").collect()}
     assert ow[1]["_airbyte_raw_id"] == ref_raw_id("", "airlines_ow", 0, 1705379716)
     assert ow[3]["_airbyte_raw_id"] == ref_raw_id("", "airlines_ow", 2, 1705379714)
+
+
+def test_state_echo_carries_destination_stats(spark, dest):
+    """Echoed STATE must set destinationStats.recordCount =
+    sourceStats.recordCount (destination.go:417-419) — the platform's
+    checkpoint accounting reads it on every sync."""
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    lines = [
+        _rec("airlines_ow", 1705379716, id=1, name="northern"),
+        json.dumps(
+            {"type": "STATE", "state": {"id": 1, "sourceStats": {"recordCount": 1.0}}}
+        ),
+        json.dumps({"type": "STATE", "state": {"id": 2}}),  # no sourceStats
+    ]
+    result = dest.write(catalog, _lines_df(spark, lines))
+    echoed = [json.loads(s)["state"] for s in result.states]
+    assert echoed[0]["destinationStats"] == {"recordCount": 1.0}
+    assert echoed[0]["sourceStats"] == {"recordCount": 1.0}
+    assert echoed[1]["destinationStats"] == {"recordCount": 0}
+
+
+def test_mode_key_compat_rejected(spark, dest):
+    """destination.go:246-254: append_dedup cannot target a raw-id-keyed
+    table; append cannot target a custom-keyed table."""
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    dest.write(catalog, _lines_df(spark, LINES))  # creates both tables
+
+    def with_mode(name, mode, extra=None):
+        stream_cfg = {
+            "destination_sync_mode": mode,
+            "stream": {
+                "name": name,
+                "json_schema": CATALOG["streams"][0]["stream"]["json_schema"],
+            },
+        }
+        stream_cfg.update(extra or {})
+        return P.ConfiguredCatalog.from_dict({"streams": [stream_cfg]})
+
+    # airlines_ow exists keyed on _airbyte_raw_id -> dedup must reject
+    bad_dedup = with_mode(
+        "airlines_ow", "append_dedup", {"primary_key": [["id"]], "cursor_field": []}
+    )
+    with pytest.raises(ValueError, match="append_dedup .* not compatible"):
+        dest.write(bad_dedup, _lines_df(spark, [_rec("airlines_ow", 1, id=9, name="x")]))
+
+    # airlines_dedup exists keyed on id -> plain append must reject
+    bad_append = with_mode("airlines_dedup", "append")
+    with pytest.raises(ValueError, match="append .* not compatible"):
+        dest.write(
+            bad_append, _lines_df(spark, [_rec("airlines_dedup", 1, id=9, name="x")])
+        )
+
+
+def test_full_reset_drops_tables(spark, dest):
+    """destination.go:181-184,262-268: a sync where every stream is
+    overwrite and zero records arrive is a platform reset -> cascade
+    delete of all stream tables."""
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    dest.write(catalog, _lines_df(spark, LINES))
+    assert dest._table(catalog.streams[0]).exists()
+
+    reset_cfg = json.loads(json.dumps(CATALOG))
+    for s in reset_cfg["streams"]:
+        s["destination_sync_mode"] = "overwrite"
+    reset_catalog = P.ConfiguredCatalog.from_dict(reset_cfg)
+    result = dest.write(reset_catalog, _lines_df(spark, [_state(1)]))
+    assert result.full_reset is True
+    assert not dest._table(catalog.streams[0]).exists()
+    assert not dest._table(catalog.streams[1]).exists()
+
+    # a NON-reset sync (records present) must not drop anything
+    result2 = dest.write(reset_catalog, _lines_df(spark, LINES[:2]))
+    assert result2.full_reset is False
+    assert dest._table(catalog.streams[0]).exists()

@@ -96,3 +96,23 @@ def test_quarantine_split(spark, tmp_path):
     assert [r.doc_id for r in table.read(spark).collect()] == ["d1"]
     qdf = spark.read.parquet(qroot + "/epoch=e0")
     assert qdf.count() == 1 and qdf.first()["_reject_reason"] == "n_tok_mismatch"
+
+
+def test_byte_bounded_epochs(spark, tmp_path, changelog):
+    """O7: with max_bytes_per_trigger set, a multi-file log splits into
+    multiple bounded epochs (the reference's 1,047,000-byte flush rule
+    mapped to per-trigger input bounds) and the final state still
+    matches the oracle."""
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    q = run_ingest_stream(
+        spark,
+        log_dir + "/batch-*",
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cfg=IngestConfig(n_buckets=8, max_bytes_per_trigger=1),  # 1 byte -> 1 file/epoch
+    )
+    q.awaitTermination(timeout=300)
+    n_epochs = len(table.applied_epochs())
+    assert n_epochs > 1, "byte bound did not split the log into multiple epochs"
+    assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
