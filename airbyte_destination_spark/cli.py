@@ -65,9 +65,29 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    # write
-    config = P.Config.from_path(args.config)
-    catalog = P.ConfiguredCatalog.from_path(args.catalog)
+    # write — failure matrix parity (destination_test.go:93-224): bad
+    # config / bad catalog emit an ERROR log line and a nonzero exit,
+    # never a traceback
+    try:
+        config = P.Config.from_path(args.config)
+    except Exception as e:  # noqa: BLE001
+        _emit(
+            {
+                "type": "LOG",
+                "log": {"level": "ERROR", "message": f"Configuration is invalid: {e}"},
+            }
+        )
+        return 1
+    try:
+        catalog = P.ConfiguredCatalog.from_path(args.catalog)
+    except Exception as e:  # noqa: BLE001
+        _emit(
+            {
+                "type": "LOG",
+                "log": {"level": "ERROR", "message": f"Configured catalog is invalid: {e}"},
+            }
+        )
+        return 1
     spark = get_spark("write")
     if args.input == "-":
         # spool stdin so Spark can parallel-scan it (the reference reads

@@ -33,8 +33,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
-SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
-SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))  # epochs = 2x this
+SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "12000000"))
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))  # epochs = 2x this
 BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 _T_START = time.time()
 
@@ -289,9 +289,12 @@ def main() -> None:
         for i in range(n_epochs):
             if rounds and time.time() - _T_START > BENCH_BUDGET_SEC:
                 break  # report the rounds we have instead of timing out
-            # adjacent-in-time pair: small then large on the SAME epoch
+            # adjacent-in-time pair on the SAME epoch; the order
+            # alternates each round so slow drift in external box load
+            # biases neither config
+            order = (n_small, n_large) if i % 2 == 0 else (n_large, n_small)
             pair = {}
-            for c in (n_small, n_large):
+            for c in order:
                 Path(sync_dir, f"go-{c}-{i}").write_text("1")
                 done = Path(sync_dir, f"done-{c}-{i}")
                 while not done.exists():
@@ -301,6 +304,7 @@ def main() -> None:
             rounds.append(
                 {
                     "round": i,
+                    "order": f"{order[0]}->{order[1]}",
                     "eps_small": pair[n_small]["eps"],
                     "eps_large": pair[n_large]["eps"],
                     "efficiency": round(pair[n_large]["eps"] / (4 * pair[n_small]["eps"]), 4),
@@ -313,26 +317,24 @@ def main() -> None:
                 p.wait(timeout=30)
             except subprocess.TimeoutExpired:
                 p.kill()
-        best_pair = max(rounds, key=lambda r: r["efficiency"])
-        # intrinsic estimator: each config's best (quiet-window) epoch —
-        # the host carries an erratic external load, so per-config minima
-        # are the cleanest estimate of true speed at that parallelism
-        best_s = max(r["eps_small"] for r in rounds)
-        best_l = max(r["eps_large"] for r in rounds)
-        eff_intrinsic = round(best_l / (4 * best_s), 4)
-        raw_eff = max(best_pair["efficiency"], eff_intrinsic)
+        # ONE estimator, stated up front: the MEDIAN of per-round paired
+        # efficiencies. No best-of, no cross-estimator max, no clamping —
+        # the per-round detail stays visible below for scrutiny.
+        effs = sorted(r["efficiency"] for r in rounds)
+        mid = len(effs) // 2
+        eff_median = round(
+            effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2, 4
+        )
+        med_s = sorted(r["eps_small"] for r in rounds)[len(rounds) // 2]
+        med_l = sorted(r["eps_large"] for r in rounds)[len(rounds) // 2]
         scaling = {
             "n_small": n_small, "n_large": n_large,
-            "eps_small": best_s, "eps_large": best_l,
-            # >1.0 means the small config never caught a quiet window;
-            # clamp the headline, keep the raw estimators visible
-            "efficiency": min(raw_eff, 1.0),
-            "efficiency_paired_best": best_pair["efficiency"],
-            "efficiency_intrinsic": eff_intrinsic,
+            "eps_small": med_s, "eps_large": med_l,
+            "efficiency": eff_median,
             "rounds": rounds,
-            "note": "paired adjacent-in-time epochs at both parallelism "
-            "levels; 'intrinsic' uses each config's best epoch to filter "
-            "the host's erratic external load",
+            "note": "efficiency = median over alternating-order "
+            "adjacent-in-time paired epochs (same input, both JVMs warm); "
+            "eps_small/eps_large are per-config medians",
         }
         shutil.rmtree(sc_dir, ignore_errors=True)
     shutil.rmtree(workdir, ignore_errors=True)
