@@ -75,13 +75,20 @@ def _cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11: last-writer-wins final state — per key the max-lsn event wins;
-    a winning delete removes the key."""
+    a winning delete removes the key. Expressed as a max_by aggregation
+    (ONE shuffle with map-side partial combine — the engine merge's
+    shape, lake/table.py) rather than a window sort; same rows."""
     log = _cdc_events(spark, sf_dir)
-    w = Window.partitionBy("doc_key").orderBy(F.col("change_lsn").desc())
     return (
-        log.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select("doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value")
+        log.groupBy("doc_key")
+        .agg(
+            F.max("change_lsn").alias("last_lsn"),
+            F.max_by(
+                F.struct("op", "event_type", "value"), F.col("change_lsn")
+            ).alias("_w"),
+        )
+        .where(F.col("_w.op") != "D")
+        .select("doc_key", "last_lsn", F.col("_w.event_type").alias("event_type"), F.col("_w.value").alias("value"))
     )
 
 
@@ -203,37 +210,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: brute-force cosine top-3 neighbors for query vectors
-    (vec_id < 10), JVM-side via zip_with/aggregate — no UDF."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    pairs = (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cos_raw"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
-    )
+    (vec_id < 10) via the library path (broadcast query side, JVM
+    zip_with/aggregate dot products — no UDF, no corpus shuffle)."""
+    from airbyte_destination_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,8 +723,8 @@ def oracle_sql() -> dict[str, str]:
               FROM expl
             ), ranked AS (
               SELECT query_id, neighbor_id, cos_raw,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
               FROM pairs
             )
             SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
@@ -772,12 +754,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_signature": f"""
+            -- permutation i = 4j+k is the min over shingles of the
+            -- 8-hex-char slice k of md5(j || ':' || shingle)
             WITH {_SHINGLES_CTE}
             SELECT doc_id,
-              list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS mh0,
-              list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS mh1,
-              list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS mh2,
-              list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS mh3
+              list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 1, 8)), 'min') AS mh0,
+              list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 9, 8)), 'min') AS mh1,
+              list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 17, 8)), 'min') AS mh2,
+              list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 25, 8)), 'min') AS mh3
             FROM sh
         """,
         "ngram_jaccard_pairs": f"""
@@ -794,15 +778,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH {_SHINGLES_CTE},
             sig AS (
+              -- slice scheme: perm 4j+k = min of substr(md5(j':'||x), 8k+1, 8)
               SELECT doc_id,
-                list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS m0,
-                list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS m1,
-                list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS m2,
-                list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS m3,
-                list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS m4,
-                list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS m5,
-                list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS m6,
-                list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS m7
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 1, 8)), 'min') AS m0,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 9, 8)), 'min') AS m1,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 17, 8)), 'min') AS m2,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 25, 8)), 'min') AS m3,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 1, 8)), 'min') AS m4,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 9, 8)), 'min') AS m5,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 17, 8)), 'min') AS m6,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 25, 8)), 'min') AS m7
               FROM sh
             ),
             banded AS (
@@ -848,9 +833,9 @@ def oracle_sql() -> dict[str, str]:
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             ), ranked AS (
               SELECT c_mktsegment, o_orderkey, o_totalprice,
-                     row_number() OVER (PARTITION BY c_mktsegment
-                                        ORDER BY o_totalprice DESC, o_orderkey ASC)
-                       AS rank
+                     CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+                          AS INT) AS rank
               FROM j
             )
             SELECT c_mktsegment AS segment, o_orderkey,

@@ -57,20 +57,32 @@ def with_minhash(
 ) -> DataFrame:
     """Add an array<string> MinHash signature.
 
-    Permutation i's hash of shingle s is md5(i || ':' || s); the
-    signature element is the minimum hex digest — string-min is a valid
-    uniform order and, unlike integer folding, is reproducible verbatim
-    in the DuckDB oracle."""
+    One md5 digest serves FOUR permutations: digest j of shingle s is
+    md5(j || ':' || s), and permutation i = 4j+k minimizes the 8-hex-char
+    slice k of digest j (hex-lexicographic min == numeric min of the
+    32-bit slice — a valid uniform order). ceil(n/4) md5 calls per
+    shingle instead of n; every slice is reproducible verbatim in the
+    DuckDB oracle. The digests land in a real intermediate column so
+    Catalyst's CollapseProject cannot inline (and recompute) the md5
+    into each of the slice consumers."""
     sh = _shingles(text_col, shingle_n)
+    n_digests = (n_hashes + 3) // 4
+    digests = F.transform(
+        sh,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_digests)]
+        ),
+    )
+    tmp = "_mh_digests"
+    out = df.withColumn(tmp, digests)
 
     def perm(i):
-        # factory keeps the lambda unary (pyspark binds a 2nd param to
-        # the element index) and bakes the permutation id in as a literal
-        prefix = F.lit(f"{i}:")
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+        return F.array_min(
+            F.transform(F.col(tmp), lambda h: F.substring(h, i * 8 + 1, 8))
+        )
 
     sig = F.array(*[perm(i) for i in range(n_hashes)])
-    return df.withColumn(out_col, sig)
+    return out.withColumn(out_col, sig).drop(tmp)
 
 
 def minhash_lsh_pairs(
