@@ -67,6 +67,15 @@ def get_spark(
         # threads piled in FileChannelImpl.map0/unmap0; raising the
         # threshold tripled wide-config throughput)
         .config("spark.storage.memoryMapThreshold", "2g")
+        # FileOutputCommitter v1 moves every output file serially in the
+        # driver at job commit — measured as the dominant serial cost of
+        # a 64-file snapshot write (v2-full 2M-row write: 3.9s -> 0.9s at
+        # local[32]). v2 commits files at task commit; safe for the lake
+        # format because the snapshot manifest (not the directory) is the
+        # real commit: uncommitted leftovers are never referenced, task
+        # attempts stay under _temporary until commitTask, and
+        # speculation is off.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
