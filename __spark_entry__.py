@@ -180,13 +180,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training op: token counting — whitespace tokens + distinct tokens."""
+    """Training op: token counting — whitespace tokens, distinct tokens,
+    and a BPE-ish pre-token count (word runs + single punctuation, the
+    BPE pre-tokenizer split)."""
     docs = _docs_wide(spark, sf_dir)
     words = F.split(F.col("text"), " ")
+    pretokens = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
     return docs.select(
         "doc_id",
         F.size(words).alias("n_ws_tokens"),
         F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        pretokens.alias("n_pretokens"),
         F.length("text").alias("n_chars_exact"),
     )
 
@@ -230,6 +234,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.functions.text import fingerprint
 
     return fingerprint(_docs_wide(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: Karp-Rabin rolling hash over normalized words
+    (order-sensitive fingerprint; md5-fold reproduced in the oracle)."""
+    from airbyte_destination_spark.functions.text import rolling_fingerprint
+
+    return rolling_fingerprint(_docs_wide(spark, sf_dir)).select("doc_id", "rhash")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: IVF-style approximate top-5 — corpus partitioned
+    into 16 Voronoi cells, queries probe the 4 nearest cells."""
+    from airbyte_destination_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: video frame-sampling plumbing — one row per sampled
+    1 KiB offset with the frame checksum (payloads regenerated in the
+    oracle; decode itself stays stubbed, the slicing is real)."""
+    from airbyte_destination_spark.functions.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    frames = sample_frames(synthetic_media(spark, 60, seed=5))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").alias("n_frame_bytes"),
+        F.sha2("frame_bytes", 256).alias("frame_checksum"),
+    )
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "media_frames": q_media_frames,
         "multimodal_features": q_multimodal_features,
         "cdc_orders_final_state": q_cdc_orders_final_state,
         "rollup_daily": q_rollup_daily,
@@ -589,6 +631,79 @@ FROM scored WHERE cos_raw >= {NDP_THRESHOLD}
 """
 
 
+def _cos_dd(x: str, y: str) -> str:
+    """Double-precision cosine between embeddings of table aliases x, y."""
+    d = lambda t, i: f"CAST({t}.embedding[{i}] AS DOUBLE)"  # noqa: E731
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> {d(x, 'i')} * {d(y, 'i')}))"
+        f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {d(x, 'i')} * {d(x, 'i')})))"
+        f" * sqrt(list_sum(list_transform(range(1, 65), i -> {d(y, 'i')} * {d(y, 'i')}))))"
+    )
+
+
+def _ivf_topk_oracle() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+assigned AS (
+  SELECT neighbor_id, cell FROM (
+    SELECT v.vec_id AS neighbor_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_dd('c', 'v')} DESC, c.cell ASC) AS r
+    FROM embeddings v, cent c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_dd('c', 'q')} DESC, c.cell ASC) AS r
+    FROM embeddings q, cent c
+    WHERE q.vec_id < 10
+  ) WHERE r <= 4
+),
+scored AS (
+  SELECT p.query_id, s.neighbor_id, {_cos_dd('a', 'b')} AS cos_raw
+  FROM probes p
+  JOIN assigned s USING (cell)
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+  WHERE p.query_id <> s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _media_frames_oracle() -> str:
+    """synthetic_media(60, seed=5) regenerated, video rows sliced into
+    1 KiB frames (mirrors multimodal.sample_frames)."""
+    return """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 60)),
+m AS (
+  SELECT 'm-' || CAST(id AS VARCHAR) AS media_id,
+         ['image','audio','video'][CAST(id % 3 AS INT) + 1] AS kind,
+         substr(repeat(sha256('media-5-' || CAST(id AS VARCHAR)), 64),
+                1, CAST(((id % 15) + 1) * 256 AS INT)) AS content
+  FROM ids
+),
+v AS (SELECT media_id, content FROM m WHERE kind = 'video'),
+f AS (
+  SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+         substr(content, CAST(u.i AS INT) * 1024 + 1, 1024) AS fb
+  FROM v, LATERAL unnest(range(0, least(CAST(floor(length(content) / 1024.0) AS INT) + 1, 8))) u(i)
+)
+SELECT media_id, frame_idx, CAST(length(fb) AS INT) AS n_frame_bytes,
+       sha256(fb) AS frame_checksum
+FROM f
+"""
+
+
 def _hex4int(h: str, start: int) -> str:
     """Value of the 4 hex chars of `h` at 1-based `start` (int(h[a:b],16))."""
     parts = [
@@ -685,11 +800,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
-        "token_count": """
+        "token_count": r"""
             SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_ws_tokens,
-                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-                   length(text) AS n_chars_exact
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_pretokens,
+                   CAST(length(text) AS INT) AS n_chars_exact
             FROM documents
         """,
         "quality_score": """
@@ -808,7 +924,31 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),
+        "ann_ivf_topk": _ivf_topk_oracle(),
         "multimodal_features": _multimodal_oracle(),
+        "media_frames": _media_frames_oracle(),
+        "rolling_fingerprint": r"""
+            -- Karp-Rabin fold: h = (h * 1000003 + first-24-bits-of-md5(word))
+            -- mod 2147483647 over whitespace-normalized lowercased words
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(ws, x ->
+                         CAST((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 1048576
+                            + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 65536
+                            + (strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 4096
+                            + (strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) * 256
+                            + (strpos('0123456789abcdef', substr(md5(x), 5, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(md5(x), 6, 1)) - 1) AS BIGINT))),
+                     (acc, x) -> (acc * 1000003 + x) % 2147483647
+                   ) AS rhash
+            FROM w
+        """,
         "cdc_orders_final_state": """
             WITH ranked AS (
               SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,

@@ -105,3 +105,30 @@ def fingerprint(
     whitespace-normalized, lowercased text — the exact-dedup key."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(normalized))
+
+
+# Karp-Rabin parameters, shared verbatim by the DuckDB oracle
+RH_BASE, RH_MOD = 1_000_003, 2_147_483_647
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "rhash"
+) -> DataFrame:
+    """Karp-Rabin rolling hash over normalized words:
+    h = fold(h * BASE + val(word)) mod MOD, val(word) = first 24 bits of
+    md5(word). Order-sensitive (unlike the md5 fingerprint) and
+    incrementally maintainable over a sliding window — the rolling-hash
+    fingerprint a dedup pipeline uses for shift-tolerant chunking.
+    Stays in whole-stage codegen via F.aggregate; the left fold is
+    order-deterministic, so the DuckDB list_reduce twin reproduces it
+    exactly. h stays < 2^31 so the 2^31 * BASE product fits a long."""
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    wval = lambda w: F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long")  # noqa: E731
+    h = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * RH_BASE + wval(w)) % RH_MOD,
+    )
+    return df.withColumn(out_col, h)

@@ -139,3 +139,32 @@ def test_multimodal_real_decode_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(synthetic_media(spark, 1), fake=False)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from airbyte_destination_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    vals = {r.doc_id: r.rhash for r in rolling_fingerprint(df).collect()}
+    assert vals[1] == vals[3]          # identical text -> identical hash
+    assert vals[1] != vals[2]          # same words, different order -> differs
+    assert all(0 <= v < 2_147_483_647 for v in vals.values())
+
+
+def test_ivf_topk_probes_subset(spark):
+    from airbyte_destination_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    approx = ivf_topk(emb, q, k=5, n_cells=16, nprobe=4)
+    rows = approx.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    # probing ALL cells must reproduce the exact top-k
+    full = ivf_topk(emb, q, k=5, n_cells=16, nprobe=16)
+    exact = cosine_topk(emb, q, k=5)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want
