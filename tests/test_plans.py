@@ -119,3 +119,34 @@ def test_codegen_covers_enrichment(spark):
     )
     out = enrich_records(ev)
     assert whole_stage_codegen_ids(out) >= 1
+
+
+def test_record_index_has_no_single_partition_exchange(spark):
+    """The Airbyte record index must stay partition-parallel: the
+    round-1 global Window.orderBy pulled every record through one task
+    (a 100 TB non-starter); the two-pass offset design must show NO
+    SinglePartition exchange and still produce exactly 0..n-1."""
+    from airbyte_destination_spark.destination import _global_record_index
+
+    df = spark.range(0, 5000, 1, 8).selectExpr("id", "'x' AS v")
+    idx = _global_record_index(df)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    got = sorted(r._record_index for r in idx.select("_record_index").collect())
+    assert got == list(range(5000))
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A corpus where EVERY doc shares one band bucket (identical text)
+    must produce zero candidate pairs once the bucket exceeds the cap —
+    the O(b^2) blowup guard — while normal corpora are unaffected."""
+    from airbyte_destination_spark.functions.textdedup import minhash_lsh_pairs
+
+    clones = spark.createDataFrame(
+        [(i, "same text everywhere for all docs") for i in range(40)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_pairs(clones, n_hashes=8, bands=4, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(clones, n_hashes=8, bands=4, max_bucket=10_000)
+    assert uncapped.count() == 40 * 39 // 2

@@ -168,3 +168,20 @@ def test_ivf_topk_probes_subset(spark):
     got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     assert got == want
+
+
+def test_multimodal_arbitrary_binary_bytes(spark):
+    """True non-UTF8 bytes (all 256 values, embedded NULs) must survive
+    the Arrow binary path into the decode stub unchanged."""
+    import hashlib
+
+    payloads = [bytes(range(256)), b"\x00" * 64, b"\xff\xfe" * 100]
+    rows = [(f"b-{i}", "image", p, {"source": "raw"}) for i, p in enumerate(payloads)]
+    from airbyte_destination_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(df, fake=True).collect()}
+    for i, p in enumerate(payloads):
+        r = got[f"b-{i}"]
+        assert r.n_bytes == len(p)
+        assert r.checksum == hashlib.sha256(p).hexdigest()[:16]
