@@ -244,6 +244,14 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_docs_wide(spark, sf_dir)).select("doc_id", "rhash")
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: sliding-window chunking — 32-word windows every 16
+    words per document (fixed-context chunking for training)."""
+    from airbyte_destination_spark.functions.text import chunk_windows
+
+    return chunk_windows(_docs_wide(spark, sf_dir), window=32, stride=16)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: IVF-style approximate top-5 — corpus partitioned
     into 16 Voronoi cells, queries probe the 4 nearest cells."""
@@ -486,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "chunk_windows": q_chunk_windows,
         "rolling_fingerprint": q_rolling_fingerprint,
         "media_frames": q_media_frames,
         "multimodal_features": q_multimodal_features,
@@ -925,6 +934,23 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),
         "ann_ivf_topk": _ivf_topk_oracle(),
+        "chunk_windows": """
+            -- 32-word windows every 16 words; DuckDB list_slice end is
+            -- INCLUSIVE, Spark slice takes a length
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), idx AS (
+              SELECT doc_id, ws, CAST(u.i AS INT) AS chunk_idx
+              FROM w, LATERAL unnest(range(0, CAST(floor((len(ws) - 1) / 16.0) AS BIGINT) + 1)) u(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(list_slice(ws, chunk_idx * 16 + 1,
+                                              least(chunk_idx * 16 + 32, len(ws))), ' ')
+                     AS chunk_text,
+                   CAST(least(chunk_idx * 16 + 32, len(ws)) - chunk_idx * 16 AS INT)
+                     AS n_chunk_tokens
+            FROM idx
+        """,
         "multimodal_features": _multimodal_oracle(),
         "media_frames": _media_frames_oracle(),
         "rolling_fingerprint": r"""

@@ -107,6 +107,39 @@ def fingerprint(
     return df.withColumn(out_col, F.md5(normalized))
 
 
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    word windows of `window` tokens every `stride` tokens (the
+    fixed-context chunking step of a training-data pipeline; the final
+    window may be shorter). One row per (doc, chunk); pure JVM
+    sequence/slice/explode — row count grows ~n_words/stride with no
+    shuffle at all."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    chunk = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(words, i * stride + 1, window).alias("w"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), chunk.alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("c.w")).alias("chunk_text"),
+        F.size(F.col("c.w")).alias("n_chunk_tokens"),
+    )
+
+
 # Karp-Rabin parameters, shared verbatim by the DuckDB oracle
 RH_BASE, RH_MOD = 1_000_003, 2_147_483_647
 
