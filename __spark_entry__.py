@@ -473,6 +473,46 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING sessionization (applyInPandasWithState +
+    EventTimeTimeout) run to completion with availableNow over the
+    events table. A session is emitted when a later same-user event
+    exceeds the 30-min gap (fold close) or when the event-time
+    watermark (max ts - 30 min) passes its gap deadline (timeout
+    close); both paths are modeled exactly by the batch SQL oracle."""
+    import tempfile
+
+    from airbyte_destination_spark.streaming.stateful import sessionize_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    work = tempfile.mkdtemp(prefix="sess-stream-")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100000")  # one data batch
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("sessionize stream did not finish")
+    q.stop()
+    return spark.read.schema(
+        "user_id long, session_start_ms long, session_end_ms long, n_events long"
+    ).parquet(f"{work}/out")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -502,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily": q_rollup_daily,
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
+        "sessionize_stream": q_sessionize_stream,
     }
 
 
@@ -1027,5 +1068,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(event_id) AS first_event, max(event_id) AS last_event
             FROM sess GROUP BY user_id, session_id
+        """,
+        "sessionize_stream": """
+            -- closed sessions only: every non-last session per user
+            -- (a later event crossed the 30-min gap), plus last
+            -- sessions whose timeout deadline (end + gap + 1 ms) fell
+            -- below the final watermark (max ts - gap)
+            WITH t AS (
+              SELECT user_id, epoch_ms(ts) AS ms FROM events
+            ), gaps AS (
+              SELECT user_id, ms,
+                     CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                               > 30 * 60 * 1000 THEN 1 ELSE 0 END AS gap
+              FROM t
+            ), sess AS (
+              SELECT user_id, ms,
+                     CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ms
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+              FROM gaps
+            ), agg AS (
+              SELECT user_id, sid, min(ms) AS session_start_ms,
+                     max(ms) AS session_end_ms, CAST(count(*) AS BIGINT) AS n_events
+              FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, session_start_ms, session_end_ms, n_events
+            FROM agg
+            WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+               OR session_end_ms + 30 * 60 * 1000 + 1
+                  < (SELECT max(ms) FROM t) - 30 * 60 * 1000
         """,
     }
