@@ -161,6 +161,45 @@ def q_microbatch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: Airbyte wire-envelope parse. NDJSON lines are constructed
+    by string concatenation (identically in the oracle — to_json key
+    order/number formatting is engine-specific) and parsed back through
+    the real wire schema (protocol.airbyte_wire_schema); the oracle
+    parses the same lines with DuckDB's independent JSON parser."""
+    from airbyte_destination_spark.protocol import airbyte_wire_schema
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('{"type":"RECORD","record":{"stream":"'),
+        F.col("event_type"),
+        F.lit('","emitted_at":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"data":{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user_id":'),
+        F.col("user_id").cast("string"),
+        F.lit("}}}"),
+    )
+    wire = airbyte_wire_schema(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+            ]
+        )
+    )
+    parsed = ev.select(F.from_json(line, wire).alias("m")).select(
+        F.col("m.type").alias("msg_type"),
+        F.col("m.record.stream").alias("stream"),
+        F.col("m.record.emitted_at").alias("emitted_at"),
+        F.col("m.record.data.event_id").alias("event_id"),
+        F.col("m.record.data.user_id").alias("user_id"),
+    )
+    return parsed
+
+
 def q_overwrite_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O13: overwrite-mode deletion — rows surviving
     DELETE WHERE extracted_at <= cutoff."""
@@ -520,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_raw_id": q_enrich_raw_id,
         "route_stream_counts": q_route_stream_counts,
         "microbatch_bounds": q_microbatch_bounds,
+        "envelope_parse": q_envelope_parse,
         "overwrite_delete_filter": q_overwrite_delete_filter,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -840,6 +880,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nb) AS BIGINT) AS n_bytes,
                    min(event_id) AS lsn_min, max(event_id) AS lsn_max
             FROM s GROUP BY 1, 2
+        """,
+        "envelope_parse": """
+            WITH lines AS (
+              SELECT '{"type":"RECORD","record":{"stream":"' || event_type
+                     || '","emitted_at":' || CAST(event_id AS VARCHAR)
+                     || ',"data":{"event_id":' || CAST(event_id AS VARCHAR)
+                     || ',"user_id":' || CAST(user_id AS VARCHAR) || '}}}' AS line
+              FROM events
+            )
+            SELECT json_extract_string(line, '$.type') AS msg_type,
+                   json_extract_string(line, '$.record.stream') AS stream,
+                   CAST(json_extract(line, '$.record.emitted_at') AS BIGINT) AS emitted_at,
+                   CAST(json_extract(line, '$.record.data.event_id') AS BIGINT) AS event_id,
+                   CAST(json_extract(line, '$.record.data.user_id') AS BIGINT) AS user_id
+            FROM lines
         """,
         "overwrite_delete_filter": """
             SELECT event_id, epoch_ms(ts) AS ts_ms, event_type
