@@ -161,6 +161,51 @@ def q_microbatch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_engine_final_state(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """Replay the events-derived change log through the REAL lake engine
+    (create -> 3 ordered merges -> read) and return the final state in
+    _LWW_SQL's shape. Unlike cdc_lww_final_state (a DataFrame
+    expression), this exercises bucketing, tombstones, snapshot commits
+    and (for mor) the delta fold — the oracle is the same LWW SQL."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    log = _cdc_events(spark, sf_dir)
+    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    table = LakeTable(tempfile.mkdtemp(prefix=f"engine-{strategy}-") + "/t")
+    schema = T.StructType(
+        [
+            T.StructField("doc_key", T.LongType(), False),
+            T.StructField("change_lsn", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    table.create(schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy=strategy)
+    step = max((hi - lo) // 3 + 1, 1)
+    for i in range(3):  # ordered lsn-range batches, like a log replay
+        batch = log.where(
+            (F.col("change_lsn") >= lo + i * step) & (F.col("change_lsn") < lo + (i + 1) * step)
+        )
+        table.merge(batch, epoch_id=f"replay-{i}")
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_cdc_engine_cow_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9/O11 through the engine: copy-on-write merges."""
+    return _cdc_engine_final_state(spark, sf_dir, "cow")
+
+
+def q_cdc_engine_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9/O11 through the engine: merge-on-read deltas + read-time fold."""
+    return _cdc_engine_final_state(spark, sf_dir, "mor")
+
+
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2: Airbyte wire-envelope parse. NDJSON lines are constructed
     by string concatenation (identically in the oracle — to_json key
@@ -556,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lww_salted": q_cdc_lww_salted,
+        "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
+        "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "enrich_raw_id": q_enrich_raw_id,
         "route_stream_counts": q_route_stream_counts,
         "microbatch_bounds": q_microbatch_bounds,
@@ -847,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_SQL,
         "cdc_lww_salted": _LWW_SQL,
+        "cdc_engine_cow_final_state": _LWW_SQL,
+        "cdc_engine_mor_final_state": _LWW_SQL,
         "enrich_raw_id": """
             SELECT event_id,
                    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
