@@ -64,6 +64,11 @@ class IngestConfig:
     # granularity: an epoch closes once the next file would cross it.
     max_files_per_trigger: int = 64
     max_bytes_per_trigger: int | None = 64 * 1_047_000
+    # MOR read amplification bound: after a merge, any bucket holding
+    # >= this many delta files is folded (ReplacingMergeTree's
+    # background merge as an inline policy). None disables; COW tables
+    # never accumulate deltas so the policy is a no-op there.
+    auto_compact_files: int | None = 16
 
 
 def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | None):
@@ -135,7 +140,10 @@ def apply_change_batch(
         qdir = os.path.join(cfg.quarantine_root, f"epoch={epoch_id}")
         quarantined.write.mode("overwrite").parquet(qdir)
 
-    return table.merge(reduced, epoch_id=epoch_id)
+    stats = table.merge(reduced, epoch_id=epoch_id)
+    if cfg.merge_strategy == "mor" and cfg.auto_compact_files:
+        table.compact(batch.sparkSession, min_files=cfg.auto_compact_files)
+    return stats
 
 
 def run_ingest_batches(

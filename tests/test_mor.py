@@ -111,3 +111,26 @@ def test_mor_read_keys_and_overwrite_where(spark, table):
     assert len(got) == 1 and got[0].tokens == [2]
     table.overwrite_where(spark, "change_lsn <= 2")
     assert [r.doc_id for r in table.read(spark).collect()] == ["c"]
+
+
+def test_auto_compact_bounds_file_count(spark, tmp_path):
+    """With auto_compact_files set, per-bucket delta-file counts stay
+    bounded across many small MOR epochs and the final state is
+    unchanged."""
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
+
+    cfg = IngestConfig(n_buckets=2, merge_strategy="mor", auto_compact_files=4, validate=False)
+    table = LakeTable(str(tmp_path / "t"))
+    for i in range(12):
+        batch = spark.createDataFrame(
+            [(f"d{j}", [i * 10 + j], i * 100 + j, 1000 + i, "U") for j in range(8)],
+            "doc_id string, tokens array<int>, change_lsn long, emitted_at long, op string",
+        )
+        apply_change_batch(table, batch, f"e{i}", cfg)
+    m = table.manifest()
+    max_files = max(len(fs) for fs in m["buckets"].values())
+    assert max_files < 4 + 1, f"auto-compact did not bound file count: {max_files}"
+    # final state: every doc at its last version
+    rows = {r.doc_id: r.change_lsn for r in table.read(spark).collect()}
+    assert rows == {f"d{j}": 1100 + j for j in range(8)}
