@@ -161,12 +161,11 @@ def q_microbatch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_engine_final_state(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+def _engine_replay(spark: SparkSession, sf_dir: str, strategy: str):
     """Replay the events-derived change log through the REAL lake engine
-    (create -> 3 ordered merges -> read) and return the final state in
-    _LWW_SQL's shape. Unlike cdc_lww_final_state (a DataFrame
-    expression), this exercises bucketing, tombstones, snapshot commits
-    and (for mor) the delta fold — the oracle is the same LWW SQL."""
+    (create -> 3 ordered lsn-range merges). Returns (table, versions) —
+    versions[i] is the snapshot committed by epoch i. Exercises
+    bucketing, tombstones, snapshot commits and (for mor) delta folds."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -186,11 +185,19 @@ def _cdc_engine_final_state(spark: SparkSession, sf_dir: str, strategy: str) -> 
     )
     table.create(schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy=strategy)
     step = max((hi - lo) // 3 + 1, 1)
+    versions = []
     for i in range(3):  # ordered lsn-range batches, like a log replay
         batch = log.where(
             (F.col("change_lsn") >= lo + i * step) & (F.col("change_lsn") < lo + (i + 1) * step)
         )
-        table.merge(batch, epoch_id=f"replay-{i}")
+        versions.append(table.merge(batch, epoch_id=f"replay-{i}").version)
+    return table, versions, (lo, step)
+
+
+def _cdc_engine_final_state(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """Final engine state in _LWW_SQL's shape (the same oracle as the
+    expression-level LWW queries)."""
+    table, _, _ = _engine_replay(spark, sf_dir, strategy)
     return table.read(spark).select(
         "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
     )
@@ -204,6 +211,37 @@ def q_cdc_engine_cow_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_engine_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9/O11 through the engine: merge-on-read deltas + read-time fold."""
     return _cdc_engine_final_state(spark, sf_dir, "mor")
+
+
+def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation: reading the version committed by the FIRST
+    epoch must show exactly the LWW state of the first lsn-range batch,
+    untouched by the two later merges."""
+    table, versions, _ = _engine_replay(spark, sf_dir, "cow")
+    return table.read(spark, version=versions[0]).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_cdc_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage rows (partition_id, lsn_range, rows_applied)
+    are emitted at every commit (the north-star metrics contract);
+    aggregated per epoch they must reproduce the input batch boundaries
+    exactly (bucket ids themselves are murmur3 and not SQL-portable)."""
+    table, _, _ = _engine_replay(spark, sf_dir, "cow")
+    rows = table.lineage_rows()
+    df = spark.createDataFrame(
+        [
+            (r["epoch_id"], int(r["rows_applied"]), int(r["lsn_min"]), int(r["lsn_max"]))
+            for r in rows
+        ],
+        "epoch_id string, rows_applied long, lsn_min long, lsn_max long",
+    )
+    return df.groupBy("epoch_id").agg(
+        F.sum("rows_applied").alias("rows_applied"),
+        F.min("lsn_min").alias("lsn_min"),
+        F.max("lsn_max").alias("lsn_max"),
+    )
 
 
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
+        "cdc_engine_time_travel": q_cdc_engine_time_travel,
+        "cdc_engine_lineage": q_cdc_engine_lineage,
         "enrich_raw_id": q_enrich_raw_id,
         "route_stream_counts": q_route_stream_counts,
         "microbatch_bounds": q_microbatch_bounds,
@@ -896,6 +936,40 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,
         "cdc_engine_mor_final_state": _LWW_SQL,
+        "cdc_engine_time_travel": """
+            -- LWW over the FIRST lsn-range batch only: the engine's
+            -- replay splits [min, max] into 3 ranges of step
+            -- floor((max-min)/3)+1
+            WITH bounds AS (
+              SELECT min(event_id) AS lo,
+                     CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+              FROM events
+            ), log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events, bounds
+              WHERE event_id >= lo AND event_id < lo + step
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+              FROM log
+            )
+            SELECT doc_key, change_lsn AS last_lsn, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_engine_lineage": """
+            WITH bounds AS (
+              SELECT min(event_id) AS lo,
+                     CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+              FROM events
+            )
+            SELECT 'replay-' || CAST(CAST(floor((event_id - lo) / step) AS BIGINT) AS VARCHAR)
+                     AS epoch_id,
+                   count(*) AS rows_applied,
+                   min(event_id) AS lsn_min, max(event_id) AS lsn_max
+            FROM events, bounds
+            GROUP BY 1
+        """,
         "enrich_raw_id": """
             SELECT event_id,
                    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
