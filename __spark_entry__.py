@@ -2,14 +2,19 @@
 
 `entry(spark)` runs the flagship CDC replay end-to-end through the real
 engine (changegen -> validate -> enrich -> LWW reduce -> lake merge) and
-returns the final table state. `queries()` exposes each implemented
-operator from SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable
-with a DuckDB `oracle_sql()` twin over the same parquet tables.
+returns the final table state. `queries()` exposes every implemented
+operator from SURVEY.md §2 — 34 of them, ALL with a DuckDB
+`oracle_sql()` twin over the same parquet tables, including queries
+that drive the real lake engine (COW and MOR replays, snapshot time
+travel, lineage totals) and the real applyInPandasWithState streaming
+sessionizer run to completion under availableNow.
 
 CDC queries derive a deterministic change log from the `events` table:
 key = user_id, version/lsn = event_id (the total order), op = 'D' when
 event_type = 'purchase' else upsert — so last-writer-wins final-state
-semantics are SQL-checkable without external data.
+semantics are SQL-checkable without external data. Hash-bearing ops
+(minhash/simhash/LSH hyperplanes/rolling hash) are md5-derived
+specifically so DuckDB reproduces them bit-for-bit.
 """
 
 from __future__ import annotations

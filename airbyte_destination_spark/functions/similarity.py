@@ -27,8 +27,10 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(col):
@@ -93,45 +95,45 @@ def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def _banded_signature(vec, planes: list[list[float]], bands: int):
-    """Explodable array of (band, bucket) structs; bucket is the band's
-    bit-string of hyperplane signs ('0'/'1' chars)."""
-    n_planes = len(planes)
-    per_band = n_planes // bands
-
-    def plane_bit(j):
-        # ONE parsed SQL array literal per plane: building it from
-        # per-component F.lit's costs 64 py4j round-trips per plane
-        # (measured: 4s of pure driver time for 32 planes, and the
-        # banded self-join re-built it per side -> 61s total); one
-        # F.expr string is a single JVM call and repr(float) + the D
-        # suffix round-trips IEEE754 exactly
-        arr = F.expr("array(" + ",".join(f"{c!r}D" for c in planes[j]) + ")")
-        dot = _dot(vec, arr)
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[plane_bit(b * per_band + r) for r in range(per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-
-
 def _banded_buckets(
     df: DataFrame, id_alias: str, vec_alias: str, planes, bands: int
 ) -> DataFrame:
-    """(id, vec, band, bucket) rows — one per band per input row."""
+    """(id, vec, band, bucket) rows — one per band per input row; bucket
+    is the band's bit-string of hyperplane signs ('0'/'1' chars).
+
+    The sign matrix comes from ONE vectorized Arrow-batched pandas UDF
+    doing a (batch x dim) @ (dim x planes) matmul — the pure-expression
+    form (zip_with/aggregate per plane) is interpreted per element
+    (~2k lambda evaluations per row) and was measured at >30s for 500
+    rows once the self-join recomputed it per side. Numpy's summation
+    order differs from a sequential fold only in the last ulp; a sign
+    flip would need |dot| ~ 1e-12 (verified oracle-exact on the test
+    corpora, and randomly-placed hyperplanes make boundary landings
+    measure-zero)."""
+    per_band = len(planes) // bands
+    matrix = [list(row) for row in planes]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        p = np.asarray(matrix, dtype=np.float64).T  # dim x planes
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        chars = np.where((a @ p) >= 0.0, "1", "0")
+        return pd.Series(
+            [
+                ["".join(r[b * per_band : (b + 1) * per_band]) for b in range(bands)]
+                for r in chars
+            ]
+        )
+
     return df.select(
         id_alias,
         vec_alias,
-        F.explode(_banded_signature(F.col(vec_alias), planes, bands)).alias("bb"),
-    ).select(id_alias, vec_alias, "bb.band", "bb.bucket")
+        F.posexplode(_buckets(F.col(vec_alias))).alias("band", "bucket"),
+    )
 
 
 def _cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
@@ -225,38 +227,54 @@ def ivf_topk(
     LSH). Centroids here are the first n_cells corpus vectors —
     deterministic and oracle-reproducible; production would k-means
     them, which changes recall but none of the partition/probe
-    mechanics. Assignment is a broadcast join + argmin (JVM exprs).
+    mechanics.
+
+    Cell assignment is an INLINE argmax over centroid literals (the
+    centroid table is k rows by definition — collected once, embedded
+    as parsed array literals): the corpus is never shuffled or joined
+    for assignment, each row computes its own cell in the scan
+    projection. Ranking highest-cos / smallest-cell via array_max over
+    (cos, -cell) structs.
     """
-    cent = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
+    cent_rows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.where(F.col(id_col) < n_cells)
+        .select(id_col, _as_double(F.col(vec_col)))
+        .collect()
     )
+
+    def cell_scores(vec):
+        """array<struct(cos, neg_cell)> against every centroid."""
+        entries = []
+        for cell, cv in cent_rows:
+            arr = F.expr("array(" + ",".join(f"{c!r}D" for c in cv) + ")")
+            cos = _dot(vec, arr) / (_norm(arr) * _norm(vec))
+            entries.append(
+                F.struct(cos.alias("cos"), F.lit(-int(cell)).alias("neg_cell"))
+            )
+        return F.array(*entries)
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    cos_cn = (_dot(F.col("cv"), F.col("nv")) / (_norm(F.col("cv")) * _norm(F.col("nv"))))
-    wassign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("_ccos").desc(), F.col("cell").asc()
-    )
-    assigned = (
-        c.join(F.broadcast(cent))
-        .withColumn("_ccos", cos_cn)
-        .withColumn("_r", F.row_number().over(wassign))
-        .where(F.col("_r") == 1)
-        .select("neighbor_id", "nv", "cell")
-    )
+    assigned = c.withColumn(
+        "cell", -F.array_max(cell_scores(F.col("nv"))).getField("neg_cell")
+    ).select("neighbor_id", "nv", "cell")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    cos_qc = (_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))))
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.col("_qcos").desc(), F.col("cell").asc()
-    )
+    # nprobe nearest cells per query: sort the k-entry score array
+    # descending, take nprobe — still per-row, no shuffle
     probes = (
-        q.join(F.broadcast(cent))
-        .withColumn("_qcos", cos_qc)
-        .withColumn("_r", F.row_number().over(wprobe))
-        .where(F.col("_r") <= nprobe)
-        .select("query_id", "qv", "cell")
+        q.withColumn(
+            "cell",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(cell_scores(F.col("qv")))), 1, nprobe
+                ).getField("neg_cell")
+            ),
+        )
+        .select("query_id", "qv", (-F.col("cell")).alias("cell"))
     )
     pairs = (
         assigned.join(probes, "cell")
