@@ -237,45 +237,43 @@ def ivf_topk(
     (cos, -cell) structs.
     """
     cent_rows = sorted(
-        (r[0], [float(x) for x in r[1]])
+        (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.where(F.col(id_col) < n_cells)
         .select(id_col, _as_double(F.col(vec_col)))
         .collect()
     )
+    cell_ids = [c for c, _ in cent_rows]
+    cent_mat = [v for _, v in cent_rows]
 
-    def cell_scores(vec):
-        """array<struct(cos, neg_cell)> against every centroid."""
-        entries = []
-        for cell, cv in cent_rows:
-            arr = F.expr("array(" + ",".join(f"{c!r}D" for c in cv) + ")")
-            cos = _dot(vec, arr) / (_norm(arr) * _norm(vec))
-            entries.append(
-                F.struct(cos.alias("cos"), F.lit(-int(cell)).alias("neg_cell"))
-            )
-        return F.array(*entries)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _ranked_cells(emb: pd.Series) -> pd.Series:
+        """Cells ordered nearest-first (cos desc, cell asc) per row —
+        one Arrow-batched matmul against the centroid matrix."""
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        cm = np.asarray(cent_mat, dtype=np.float64)  # cells x dim
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        ids = np.asarray(cell_ids, dtype=np.int64)
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        cos = (a @ cm.T) / (np.sqrt((a * a).sum(axis=1))[:, None] * cn[None, :])
+        return pd.Series(
+            [ids[np.lexsort((ids, -row))].tolist() for row in cos]
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
     assigned = c.withColumn(
-        "cell", -F.array_max(cell_scores(F.col("nv"))).getField("neg_cell")
+        "cell", F.element_at(_ranked_cells(F.col("nv")), 1)
     ).select("neighbor_id", "nv", "cell")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    # nprobe nearest cells per query: sort the k-entry score array
-    # descending, take nprobe — still per-row, no shuffle
-    probes = (
-        q.withColumn(
-            "cell",
-            F.explode(
-                F.slice(
-                    F.reverse(F.array_sort(cell_scores(F.col("qv")))), 1, nprobe
-                ).getField("neg_cell")
-            ),
-        )
-        .select("query_id", "qv", (-F.col("cell")).alias("cell"))
-    )
+    probes = q.withColumn(
+        "cell", F.explode(F.slice(_ranked_cells(F.col("qv")), 1, nprobe))
+    ).select("query_id", "qv", "cell")
     pairs = (
         assigned.join(probes, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
