@@ -363,6 +363,46 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs_wide(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: character-level Shannon entropy per document (a
+    perplexity-style quality signal: low entropy = repetitive/degenerate
+    text). Relational shape — explode chars, two aggregations — so it
+    scales as plain shuffles rather than per-row quadratic work."""
+    docs = _docs_wide(spark, sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"))
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: resize plumbing — fit each decoded media shape into
+    a 224x224 box preserving aspect ratio (floor semantics; the actual
+    pixel resample stays behind the decode stub, the shape math and
+    pipeline are real)."""
+    from airbyte_destination_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    feats = extract_features(synthetic_media(spark, 200, seed=3), fake=True)
+    s = F.least(F.lit(224.0) / F.col("width"), F.lit(224.0) / F.col("height"))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * s).cast("int").alias("resized_w"),
+        F.floor(F.col("height") * s).cast("int").alias("resized_h"),
+    )
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: Karp-Rabin rolling hash over normalized words
     (order-sensitive fingerprint; md5-fold reproduced in the oracle)."""
@@ -667,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_windows": q_chunk_windows,
+        "char_entropy": q_char_entropy,
+        "media_resize": q_media_resize,
         "rolling_fingerprint": q_rolling_fingerprint,
         "media_frames": q_media_frames,
         "multimodal_features": q_multimodal_features,
@@ -1177,6 +1219,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_oracle(),
         "media_frames": _media_frames_oracle(),
+        "char_entropy": r"""
+            WITH chars AS (
+              SELECT doc_id, u.ch
+              FROM documents, LATERAL unnest(string_split_regex(text, '')) u(ch)
+              WHERE u.ch <> ''
+            ), counts AS (
+              SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1
+            )
+            SELECT counts.doc_id,
+                   round(-sum((n / CAST(total AS DOUBLE))
+                              * log2(n / CAST(total AS DOUBLE))), 6) AS char_entropy
+            FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+            GROUP BY 1
+        """,
+        "media_resize": f"""
+            WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 200)),
+            m AS (
+              SELECT 'm-' || CAST(id AS VARCHAR) AS media_id,
+                     substr(repeat(sha256('media-3-' || CAST(id AS VARCHAR)), 64),
+                            1, CAST(((id % 15) + 1) * 256 AS INT)) AS content
+              FROM ids
+            ),
+            d AS (
+              SELECT media_id, sha256(content) AS h FROM m
+            ),
+            wh AS (
+              SELECT media_id,
+                     CAST(16 + ({_hex4int('h', 1)} % 1024) AS INT) AS width,
+                     CAST(16 + ({_hex4int('h', 5)} % 1024) AS INT) AS height
+              FROM d
+            )
+            SELECT media_id, width, height,
+                   CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT)
+                     AS resized_w,
+                   CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT)
+                     AS resized_h
+            FROM wh
+        """,
         "rolling_fingerprint": r"""
             -- Karp-Rabin fold: h = (h * 1000003 + first-24-bits-of-md5(word))
             -- mod 2147483647 over whitespace-normalized lowercased words
