@@ -16,11 +16,14 @@
 - `embedding_near_dup_pairs`: cosine >= threshold pairs via the same
   banded bucketing — embedding-space near-duplicate detection.
 
-Hyperplanes are a deterministic md5-derived literal matrix computed
-once at plan-build time (driver side) and baked into the plan as
-literals: no per-row hash calls, and the DuckDB oracle can embed the
-exact same doubles, so signatures reproduce bit-for-bit across
-engines.
+Hyperplanes are a deterministic md5-derived matrix computed once at
+plan-build time (driver side); sign signatures come from ONE
+Arrow-batched pandas UDF doing a (batch x dim) @ (dim x planes) matmul
+— dense linear algebra is the one place vectorized Python beats the
+built-in expression tree (higher-order functions evaluate interpreted,
+per element). Exact cosine SCORING stays in JVM zip_with/aggregate
+expressions. The DuckDB oracle embeds the same plane doubles, so
+signatures reproduce bit-for-bit across engines.
 """
 
 from __future__ import annotations
