@@ -21,9 +21,10 @@ plan-build time (driver side); sign signatures come from ONE
 Arrow-batched pandas UDF doing a (batch x dim) @ (dim x planes) matmul
 — dense linear algebra is the one place vectorized Python beats the
 built-in expression tree (higher-order functions evaluate interpreted,
-per element). Exact cosine SCORING stays in JVM zip_with/aggregate
-expressions. The DuckDB oracle embeds the same plane doubles, so
-signatures reproduce bit-for-bit across engines.
+per element). Candidate-pair cosine scoring is likewise one Arrow
+batch (`_cos_pairs`); only the exact `cosine_topk` baseline keeps the
+JVM zip_with/aggregate fold. The DuckDB oracle embeds the same plane
+doubles, so signatures reproduce bit-for-bit across engines.
 """
 
 from __future__ import annotations
@@ -46,6 +47,26 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+@F.pandas_udf(T.DoubleType())
+def _cos_pairs(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized cosine over candidate pairs — one Arrow batch in, one
+    (rows x dim) x (rows x dim) row-wise product out. The built-in
+    zip_with/aggregate fold evaluates interpreted per element (~128
+    lambda invocations per pair), which dominated the near-dup query
+    wall time once candidates reached ~10^6; numpy differs from the
+    sequential fold only in the last ulp (round(6) downstream)."""
+    import numpy as np
+
+    if len(va) == 0:
+        return pd.Series([], dtype=float)
+    a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+    b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(num / den)
 
 
 def cosine_topk(
@@ -101,8 +122,13 @@ def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 def _banded_buckets(
     df: DataFrame, id_alias: str, vec_alias: str, planes, bands: int
 ) -> DataFrame:
-    """(id, vec, band, bucket) rows — one per band per input row; bucket
+    """(id, band, bucket) rows — one per band per input row; bucket
     is the band's bit-string of hyperplane signs ('0'/'1' chars).
+    The embedding payload is deliberately NOT carried through: the
+    bucket join / distinct that follows shuffles only ids, and vectors
+    re-join after pair dedup (a thin id->vec hash join) — at corpus
+    scale the wide distinct over two 64-double arrays per candidate was
+    the dominant shuffle.
 
     The sign matrix comes from ONE vectorized Arrow-batched pandas UDF
     doing a (batch x dim) @ (dim x planes) matmul — the pure-expression
@@ -134,7 +160,6 @@ def _banded_buckets(
 
     return df.select(
         id_alias,
-        vec_alias,
         F.posexplode(_buckets(F.col(vec_alias))).alias("band", "bucket"),
     )
 
@@ -170,39 +195,26 @@ def lsh_topk(
     bucket); over-full corpus buckets are dropped (see _cap_buckets).
     """
     planes = hyperplanes(dim, bands * bits_per_band, seed)
-    q = _banded_buckets(
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        ),
-        "query_id",
-        "qv",
-        planes,
-        bands,
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    q = _banded_buckets(qv, "query_id", "qv", planes, bands)
     c = _cap_buckets(
-        _banded_buckets(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
-            ),
-            "neighbor_id",
-            "nv",
-            planes,
-            bands,
-        ),
-        max_bucket,
+        _banded_buckets(nv, "neighbor_id", "nv", planes, bands), max_bucket
     )
     cands = (
         c.join(q, ["band", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
-        .distinct()  # a pair may collide in several bands
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair may collide in several bands; ids only here
     )
-    pairs = cands.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))).alias(
-            "cos_raw"
-        ),
+    pairs = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", _cos_pairs(F.col("qv"), F.col("nv")).alias("cos_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -283,9 +295,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))).alias(
-                "cos_raw"
-            ),
+            _cos_pairs(F.col("qv"), F.col("nv")).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -312,18 +322,8 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (a < b) above threshold,
     candidate-filtered by banded LSH collision (any band), bucket-capped."""
     planes = hyperplanes(dim, bands * bits_per_band, seed)
-    v = _cap_buckets(
-        _banded_buckets(
-            corpus.select(
-                F.col(id_col).alias("doc"), _as_double(F.col(vec_col)).alias("v")
-            ),
-            "doc",
-            "v",
-            planes,
-            bands,
-        ),
-        max_bucket,
-    )
+    vecs = corpus.select(F.col(id_col).alias("doc"), _as_double(F.col(vec_col)).alias("v"))
+    v = _cap_buckets(_banded_buckets(vecs, "doc", "v", planes, bands), max_bucket)
     a, b = v.alias("a"), v.alias("b")
     cands = (
         a.join(
@@ -332,22 +332,14 @@ def embedding_near_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("a.v").alias("va"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("b.v").alias("vb"),
-        )
-        .distinct()
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()  # ids only — vectors re-join after pair dedup
     )
-    return (
-        cands.select(
-            "doc_a",
-            "doc_b",
-            (
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cos_raw"),
-        )
-        .where(F.col("cos_raw") >= threshold)
-        .select("doc_a", "doc_b", F.round("cos_raw", 6).alias("cos_sim"))
+    scored = (
+        cands.join(vecs.select(F.col("doc").alias("doc_a"), F.col("v").alias("va")), "doc_a")
+        .join(vecs.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb")), "doc_b")
+        .select("doc_a", "doc_b", _cos_pairs(F.col("va"), F.col("vb")).alias("cos_raw"))
+    )
+    return scored.where(F.col("cos_raw") >= threshold).select(
+        "doc_a", "doc_b", F.round("cos_raw", 6).alias("cos_sim")
     )
