@@ -435,6 +435,7 @@ class LakeTable:
         batch: DataFrame,
         epoch_id: str | None = None,
         tiebreak_cols: list[str] | None = None,
+        lineage_df: DataFrame | None = None,
     ) -> MergeStats:
         """Last-writer-wins MERGE of a change batch.
 
@@ -444,8 +445,20 @@ class LakeTable:
         Rows whose winning op is D are removed. Only buckets containing
         batch keys are rewritten. Ties on the version column are broken
         by `tiebreak_cols`, then batch-over-existing.
+
+        `lineage_df` (optional): a cheaper projection to aggregate the
+        per-bucket lineage from — it only needs the key + version
+        columns, so a caller holding the raw pre-validation batch can
+        hand a 2-column scan that never decodes the payload (the
+        default aggregates `batch` itself, which re-runs whatever
+        pipeline produced it, payload columns included). It must cover
+        the same keys as `batch`, since it also decides which buckets
+        the merge reads and rewrites.
         """
-        return self._apply(batch, mode="merge", epoch_id=epoch_id, tiebreak_cols=tiebreak_cols)
+        return self._apply(
+            batch, mode="merge", epoch_id=epoch_id, tiebreak_cols=tiebreak_cols,
+            lineage_df=lineage_df,
+        )
 
     def overwrite_where(
         self, spark: SparkSession, predicate: str, epoch_id: str | None = None
@@ -486,6 +499,7 @@ class LakeTable:
         mode: str,
         epoch_id: str | None,
         tiebreak_cols: list[str] | None = None,
+        lineage_df: DataFrame | None = None,
     ) -> MergeStats:
         spark = batch.sparkSession
         for attempt in range(5):
@@ -517,8 +531,16 @@ class LakeTable:
             )
             # no cache: the lineage agg only references (key, version) so
             # Catalyst prunes everything else from its scan; caching the
-            # full payload costs more than the second pruned scan
+            # full payload costs more than the second pruned scan.
+            # Callers that validate/enrich upstream pass `lineage_df`
+            # (the raw key+version projection) so this pre-pass prunes
+            # all the way down to two thin parquet columns instead of
+            # re-running their pipeline (whose payload-referencing
+            # filters would drag the fat columns into the scan).
             aligned = self._with_bucket(align_to_schema(batch, align_target), m)
+            lin_src = (
+                self._with_bucket(lineage_df, m) if lineage_df is not None else aligned
+            )
 
             # lineage before the reduce: per-bucket lsn range + row count
             lineage_agg = [F.count(F.lit(1)).alias("rows_applied")]
@@ -541,7 +563,7 @@ class LakeTable:
                     "lsn_max": (_json_safe(r["lsn_max"]) if ver_col else None),
                     "rows_applied": int(r["rows_applied"]),
                 }
-                for r in aligned.groupBy(_BUCKET_COL).agg(*lineage_agg).collect()
+                for r in lin_src.groupBy(_BUCKET_COL).agg(*lineage_agg).collect()
             ]
             touched = sorted({l["partition_id"] for l in lineage})
             if not touched:

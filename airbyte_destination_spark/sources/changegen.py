@@ -102,19 +102,27 @@ def write_change_log(
     n_docs: int,
     n_batches: int = 4,
     seed: int = 42,
+    files_per_batch: int = 32,
     **kwargs,
 ) -> list[str]:
     """Materialize the log as `n_batches` parquet directories of
     contiguous lsn ranges — the at-rest form a binlog tail would land in.
-    Returns the batch directories in lsn order."""
+    Returns the batch directories in lsn order.
+
+    `files_per_batch` bounds file size from above via maxRecordsPerFile:
+    AQE coalescing otherwise lands a small batch as 1-4 single-row-group
+    files, and parquet splits at row-group granularity — a reader could
+    then scan the batch with at most that many tasks regardless of
+    cluster width (a real binlog tail is many small files too)."""
     df = change_events(spark, n_events, n_docs, seed=seed, **kwargs)
     per = (n_events + n_batches - 1) // n_batches
+    per_file = max(per // max(files_per_batch, 1), 1)
     dirs = []
     for b in range(n_batches):
         lo, hi = b * per, min((b + 1) * per, n_events)
         path = f"{out_dir}/batch-{b:05d}"
-        df.where((F.col("change_lsn") >= lo) & (F.col("change_lsn") < hi)).write.mode(
-            "overwrite"
-        ).parquet(path)
+        df.where((F.col("change_lsn") >= lo) & (F.col("change_lsn") < hi)).write.option(
+            "maxRecordsPerFile", per_file
+        ).mode("overwrite").parquet(path)
         dirs.append(path)
     return dirs
