@@ -680,6 +680,54 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{work}/out")
 
 
+# data-mixture weights shared by the Spark query and its oracle
+# (documents.source values are src0..src19; unlisted sources drop)
+MIX_WEIGHTS = {
+    "src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1,
+    "src5": 0.9, "src6": 0.0, "src7": 0.6, "src8": 0.3, "src9": 0.8,
+}
+PACK_CONTEXT = 2048
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: stable md5-hash train/val split — a row's side
+    depends only on (doc_id, seed), never on corpus size or layout."""
+    from airbyte_destination_spark.functions.sampling import train_val_split
+
+    return train_val_split(_t(spark, sf_dir, "documents"), val_frac=0.1).select(
+        "doc_id", "split"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: per-source weighted downsampling (mixture
+    construction) — stateless hash filter, fuses into the scan."""
+    from airbyte_destination_spark.functions.sampling import mixture_sample
+
+    return mixture_sample(_t(spark, sf_dir, "documents"), MIX_WEIGHTS).select(
+        "doc_id", "source"
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: concat-then-chunk sequence packing into fixed
+    context windows, sharded by source (parallel windows, no global
+    order)."""
+    from airbyte_destination_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), len_col="n_chars", context_len=PACK_CONTEXT
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: corpus vocabulary histogram (top-50 words), map-side
+    partial aggregation before the one shuffle."""
+    from airbyte_destination_spark.functions.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -717,6 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
+        "train_val_split": q_train_val_split,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1361,5 +1413,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
                OR session_end_ms + 30 * 60 * 1000 + 1
                   < (SELECT max(ms) FROM t) - 30 * 60 * 1000
+        """,
+        # md5 u01 idiom: first 6 hex chars -> 24-bit int / 2^24, exactly
+        # the Spark-side conv(substr(md5, 1, 6), 16, 10) / 16^6
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 6))::BIGINT
+                             / 16777216.0 < 0.1
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "mixture_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6))::BIGINT
+                  / 16777216.0
+                  < CASE source
+                      {' '.join(f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))}
+                      ELSE 0.0 END
+        """,
+        "pack_sequences": f"""
+            WITH offs AS (
+              SELECT source, doc_id, n_chars AS seq_len,
+                     CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS end_off
+              FROM documents
+            )
+            SELECT source, doc_id, seq_len,
+                   end_off - seq_len AS "offset",
+                   CAST(floor((end_off - seq_len) / {PACK_CONTEXT}.0) AS BIGINT) AS bin_id,
+                   CAST(floor((end_off - 1) / {PACK_CONTEXT}.0)
+                        - floor((end_off - seq_len) / {PACK_CONTEXT}.0) + 1 AS BIGINT)
+                     AS bins_spanned
+            FROM offs
+        """,
+        "vocab_topk": """
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY freq DESC, word ASC
+            LIMIT 50
         """,
     }

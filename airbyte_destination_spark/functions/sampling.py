@@ -1,0 +1,125 @@
+"""Deterministic sampling / splitting / packing for training pipelines.
+
+The reference connector moves records; a training-data pipeline built
+on the same table also needs the standard corpus-preparation operators:
+a stable train/validation split, per-source mixture weighting, and
+sequence packing into fixed-size context windows. All three are pure
+JVM expressions (no UDFs, no RNG state): randomness comes from md5 of
+the row key, so the same row always lands in the same split/sample at
+any parallelism and any scale — and the DuckDB oracle reproduces every
+decision bit-for-bit (md5 is the one hash both engines share; the
+minhash family uses the same trick, see textdedup.py).
+
+Scale notes:
+- split / mixture are stateless per-row filters — they fuse into the
+  scan (predicate pushdown applies) and shuffle nothing.
+- packing needs a running sum, i.e. a window. A GLOBAL ordered window
+  is a single-partition plan — the classic scale killer — so packing
+  is per-shard (PARTITION BY a coarse column like `source`): each
+  shard packs independently in parallel, which is exactly how
+  production packers shard the stream. Shard-relative bin ids are
+  globally unique when prefixed with the shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 24 hex chars < 2^96; through double division the ratio is uniform
+# enough for splitting (md5 slice idiom shared with the DuckDB oracle)
+_U01_HEX_CHARS = 6
+_U01_DENOM = float(16 ** _U01_HEX_CHARS)
+
+
+def hash_u01(col, salt: str):
+    """Deterministic uniform [0,1) from md5(col || ':' || salt).
+
+    First 6 hex chars -> 24-bit int -> /2^24. Reproducible verbatim in
+    DuckDB: CAST(from_hex? no — conv(substr(md5(..),1,6),16,10)) —
+    both engines lowercase-hex md5, so the slice matches exactly.
+    """
+    h = F.md5(F.concat(col.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, _U01_HEX_CHARS), 16, 10).cast("double") / F.lit(
+        _U01_DENOM
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable hash split: a row's assignment depends only on (id, seed).
+
+    Adding/removing other rows, repartitioning, or rescaling the corpus
+    never moves a row across the split boundary — the property random
+    sampling lacks and every training pipeline needs for leakage-free
+    eval sets.
+    """
+    u = hash_u01(F.col(id_col), seed)
+    return df.withColumn(
+        out_col, F.when(u < F.lit(val_frac), F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Per-source weighted downsampling (data-mixture construction).
+
+    Keeps a row iff u01(id) < weight[source]; sources absent from
+    `weights` are dropped. Stateless filter — fuses into the scan, no
+    shuffle, exact same keep-set at any parallelism.
+    """
+    u = hash_u01(F.col(id_col), seed)
+    w = F.lit(0.0)
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(float(frac))).otherwise(w)
+    return df.where(u < w)
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str = "n_tok",
+    context_len: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (per shard).
+
+    Sequences are laid end-to-end in (shard, id) order; the stream is
+    cut into fixed `context_len` windows. Returns per row: its byte/token
+    offset in the shard stream, the context bin its FIRST token lands
+    in, and how many bins it spans (a long document may straddle
+    several windows). The window is PARTITIONed by the shard column so
+    each shard packs in parallel — no global ordering, no
+    single-partition exchange.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end_off = F.sum(F.col(len_col)).over(w).cast("long")
+    start_off = (end_off - F.col(len_col)).cast("long")
+    return df.select(
+        shard_col,
+        id_col,
+        F.col(len_col).alias("seq_len"),
+        start_off.alias("offset"),
+        F.floor(start_off / F.lit(context_len)).cast("long").alias("bin_id"),
+        (
+            F.floor((end_off - F.lit(1)) / F.lit(context_len))
+            - F.floor(start_off / F.lit(context_len))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("bins_spanned"),
+    )

@@ -140,6 +140,29 @@ def chunk_windows(
     )
 
 
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary histogram: top-k words by frequency.
+
+    explode(split) -> groupBy(word) -> top-k. The groupBy benefits from
+    map-side partial aggregation (each task pre-counts its words before
+    the shuffle, so the exchange carries one row per distinct word per
+    partition, not one per token — Zipf corpora shrink ~100x). Ties
+    break on the word itself so the result is total-ordered and
+    oracle-comparable.
+    """
+    words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    return (
+        df.select(words)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
 # Karp-Rabin parameters, shared verbatim by the DuckDB oracle
 RH_BASE, RH_MOD = 1_000_003, 2_147_483_647
 

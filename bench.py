@@ -45,7 +45,7 @@ SCALE_WARM_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_WARM_ROUNDS", "2"))
 # compaction), so scaling efficiency is measured on it; the cdc section
 # of the same bench reports COW throughput for comparison.
 SCALE_STRATEGY = os.environ.get("SPARK_GRAFT_SCALE_STRATEGY", "mor")
-BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
+BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
 _T_START = time.time()
 
 
@@ -245,6 +245,18 @@ def main() -> None:
     cdc = {"events": 0, "sec": 0.0, "events_per_sec": 0.0, "final_rows": 0}
     workdir = None
     if not args.scaling_only:
+        # untimed warmup at sf0.001: first execution of each plan shape
+        # pays ~10s of JIT/codegen for the heavy engine/streaming
+        # queries; timing steady-state cost requires compiling it out.
+        # Same warmup for every query — no selective treatment.
+        warm_dir = SF_DIR.replace(Path(SF_DIR).name, "sf0.001")
+        if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+            for name, fn in entry_mod.queries().items():
+                try:
+                    fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+                except Exception as ex:  # noqa: BLE001
+                    _phase(f"warmup {name} failed: {ex}")
+            _phase("warmup done")
         for name, fn in entry_mod.queries().items():
             t0 = time.time()
             df = fn(spark, SF_DIR)

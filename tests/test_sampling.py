@@ -1,0 +1,74 @@
+"""Sampling / splitting / packing ops (functions/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbyte_destination_spark.functions.sampling import (
+    mixture_sample,
+    pack_sequences,
+    train_val_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_is_stable_under_layout(spark):
+    """A row's split depends only on (id, seed): repartitioning and
+    subsetting the corpus never move a row across the boundary."""
+    docs = _docs(spark)
+    full = {r.doc_id: r.split for r in train_val_split(docs).collect()}
+    shuffled = {
+        r.doc_id: r.split
+        for r in train_val_split(docs.repartition(13)).collect()
+    }
+    subset = {
+        r.doc_id: r.split
+        for r in train_val_split(docs.where(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert full == shuffled
+    assert all(full[k] == v for k, v in subset.items())
+    frac = sum(1 for v in full.values() if v == "val") / len(full)
+    assert 0.02 < frac < 0.25  # ~0.1 at tiny corpus size
+
+
+def test_mixture_weights_respected(spark):
+    docs = _docs(spark)
+    out = mixture_sample(docs, {"web": 1.0, "books": 0.0})
+    srcs = {r.source for r in out.select("source").distinct().collect()}
+    assert "books" not in srcs
+    n_web_in = docs.where(F.col("source") == "web").count()
+    n_web_out = out.where(F.col("source") == "web").count()
+    assert n_web_out == n_web_in  # weight 1.0 keeps everything
+
+
+def test_pack_sequences_invariants(spark):
+    docs = _docs(spark)
+    packed = pack_sequences(docs, len_col="n_chars", context_len=512)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in shard_rows:
+            # offsets are contiguous within a shard (concat semantics)
+            assert r.offset == expect_off
+            assert r.bin_id == r.offset // 512
+            span = (r.offset + r.seq_len - 1) // 512 - r.offset // 512 + 1
+            assert r.bins_spanned == span
+            expect_off += r.seq_len
+
+
+def test_pack_no_single_partition_exchange(spark):
+    """The packing window is sharded — the plan must not funnel through
+    a SinglePartition exchange (the global-window scale killer)."""
+    packed = pack_sequences(_docs(spark), len_col="n_chars")
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
