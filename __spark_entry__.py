@@ -720,6 +720,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: benchmark-contamination scan — corpus docs sharing a
+    5-gram with any probe doc (doc_id < 10 plays the eval set). Probe
+    shingles broadcast; the corpus never shuffles its text."""
+    from airbyte_destination_spark.functions.textdedup import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination(docs, docs.where(F.col("doc_id") < 10), shingle_n=5)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -769,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "contamination": q_contamination,
     }
 
 
@@ -1446,6 +1457,18 @@ def oracle_sql() -> dict[str, str]:
                         - floor((end_off - seq_len) / {PACK_CONTEXT}.0) + 1 AS BIGINT)
                      AS bins_spanned
             FROM offs
+        """,
+        "contamination": f"""
+            WITH {_shingles_cte(n=5)},
+            probe AS (
+              SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 10
+            ),
+            corpus AS (
+              SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 10
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM corpus JOIN probe USING (shingle)
+            GROUP BY doc_id
         """,
         "vocab_topk": """
             SELECT word, CAST(count(*) AS BIGINT) AS freq

@@ -228,3 +228,37 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share a
+    word n-gram with any probe document (the eval-set leakage scan a
+    training pipeline runs before a data release).
+
+    The probe set is small by definition (an eval benchmark), so its
+    exploded distinct shingles BROADCAST to every executor and the
+    corpus side joins without shuffling its text — the corpus is
+    scanned once, shuffled only by the final per-doc count (post-join
+    rows only). Returns (doc_id, n_shared) for contaminated documents,
+    probes excluded from the corpus side.
+    """
+    probe_sh = (
+        probes.select(F.explode(_shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    probe_ids = probes.select(F.col(id_col).alias("_pid"))
+    corpus_sh = (
+        df.join(F.broadcast(probe_ids), F.col(id_col) == F.col("_pid"), "left_anti")
+        .select(F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle"))
+    )
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -272,8 +272,22 @@ def main() -> None:
             spark, f"{workdir}/log", BENCH_EVENTS, n_docs, n_batches=4, seed=42,
             num_partitions=CPUS, files_per_batch=4 * CPUS,
         )
+        write_change_log(  # JVM warm batches for the fresh apply process
+            spark, f"{workdir}/warm", WARM_EVENTS, WARM_EVENTS // 10,
+            n_batches=2, seed=45, num_partitions=CPUS,
+        )
         _phase("cdc apply start")
-        cdc = _apply_job(CPUS, f"{workdir}/log", 64, None)
+        # fresh subprocess JVM: get_spark inside this process would
+        # getOrCreate the query session (its conf and heap state), and
+        # the measurement would inherit 39 queries of allocation history
+        cdc_out = os.path.join(workdir, "cdc.json")
+        subprocess.run(
+            [sys.executable, __file__, "--apply-only", "--cores", str(CPUS),
+             "--log-dir", f"{workdir}/log", "--n-buckets", "64", "--out", cdc_out],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=str(Path(__file__).parent),
+        )
+        cdc = json.loads(Path(cdc_out).read_text())
     spark.stop()
 
     # ---- scaling: same smaller job at local[8] vs local[32], subprocesses

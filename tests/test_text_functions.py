@@ -185,3 +185,17 @@ def test_multimodal_arbitrary_binary_bytes(spark):
         r = got[f"b-{i}"]
         assert r.n_bytes == len(p)
         assert r.checksum == hashlib.sha256(p).hexdigest()[:16]
+
+
+def test_contamination_broadcasts_probes(spark):
+    from airbyte_destination_spark.functions.textdedup import contamination
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probes = docs.where(F.col("doc_id") < 10)
+    out = contamination(docs, probes, shingle_n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # probe shingles must broadcast; the corpus text never shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    rows = out.collect()
+    assert all(r.doc_id >= 10 and r.n_shared >= 1 for r in rows)
