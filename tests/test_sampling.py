@@ -72,3 +72,52 @@ def test_pack_no_single_partition_exchange(spark):
     packed = pack_sequences(_docs(spark), len_col="n_chars")
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=40),
+    ctx=st.sampled_from([64, 512, 4096]),
+)
+def test_pack_sequences_property(spark, lens, ctx):
+    """Packing invariants for arbitrary length distributions: offsets
+    tile the shard stream exactly; bin math matches a Python fold."""
+    rows = [("s", i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    from airbyte_destination_spark.functions.sampling import pack_sequences
+
+    got = {
+        r.doc_id: (r.offset, r.bin_id, r.bins_spanned)
+        for r in pack_sequences(df, len_col="n_chars", context_len=ctx).collect()
+    }
+    off = 0
+    for i, n in enumerate(lens):
+        first_bin = off // ctx
+        last_bin = (off + n - 1) // ctx
+        assert got[i] == (off, first_bin, last_bin - first_bin + 1)
+        off += n
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frac=st.floats(min_value=0.0, max_value=1.0))
+def test_split_fraction_monotone(spark, frac):
+    """Growing val_frac only ever MOVES rows train->val (nested splits):
+    the u01 hash is fixed per id, the threshold alone decides."""
+    from airbyte_destination_spark.functions.sampling import train_val_split
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    lo = {r.doc_id for r in train_val_split(df, val_frac=frac).collect() if r.split == "val"}
+    hi = {r.doc_id for r in train_val_split(df, val_frac=min(frac + 0.3, 1.0)).collect() if r.split == "val"}
+    assert lo <= hi
