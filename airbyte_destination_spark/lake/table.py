@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -555,18 +556,37 @@ class LakeTable:
                     return v
                 return str(v)
 
-            lineage = [
-                {
-                    "epoch_id": epoch_id,
-                    "partition_id": int(r[_BUCKET_COL]),
-                    "lsn_min": (_json_safe(r["lsn_min"]) if ver_col else None),
-                    "lsn_max": (_json_safe(r["lsn_max"]) if ver_col else None),
-                    "rows_applied": int(r["rows_applied"]),
-                }
-                for r in lin_src.groupBy(_BUCKET_COL).agg(*lineage_agg).collect()
-            ]
-            touched = sorted({l["partition_id"] for l in lineage})
-            if not touched:
+            def _lineage_rows(collected) -> list[dict]:
+                return [
+                    {
+                        "epoch_id": epoch_id,
+                        "partition_id": int(r[_BUCKET_COL]),
+                        "lsn_min": (_json_safe(r["lsn_min"]) if ver_col else None),
+                        "lsn_max": (_json_safe(r["lsn_max"]) if ver_col else None),
+                        "rows_applied": int(r["rows_applied"]),
+                    }
+                    for r in collected
+                ]
+
+            lineage_job = lin_src.groupBy(_BUCKET_COL).agg(*lineage_agg)
+            is_mor_merge = mode == "merge" and m.get("merge_strategy", "cow") == "mor"
+            if is_mor_merge:
+                # MOR never reads existing data and its bucket-aligned
+                # write ignores n_out, so nothing in the main job's PLAN
+                # depends on the lineage result — run the lineage job on
+                # a background thread, concurrent with the merge write,
+                # and join before assembling the manifest. (COW needs
+                # `touched` up front to prune the existing-bucket read.)
+                holder: dict = {}
+                t = threading.Thread(
+                    target=lambda: holder.update(rows=lineage_job.collect())
+                )
+                t.start()
+                lineage = None
+            else:
+                lineage = _lineage_rows(lineage_job.collect())
+                touched = sorted({l["partition_id"] for l in lineage})
+            if lineage is not None and not touched:
                 m["operation"] = mode
                 m["epoch_id"] = epoch_id
                 m["lineage"] = []
@@ -610,8 +630,11 @@ class LakeTable:
                     _DELETED_COL, F.coalesce(F.col("op") == F.lit("D"), F.lit(False))
                 ).drop("op")
                 new_files = self._write_bucketed(
-                    final, m, base + 1, n_out=len(touched), already_bucket_aligned=True
+                    final, m, base + 1, already_bucket_aligned=True
                 )
+                t.join()
+                lineage = _lineage_rows(holder["rows"])
+                touched = sorted({l["partition_id"] for l in lineage})
                 buckets = dict(m["buckets"])
                 for b, files in new_files.items():
                     buckets[b] = buckets.get(b, []) + files

@@ -195,8 +195,11 @@ def run_ingest_batches(
     """
     cfg = cfg or IngestConfig()
     stats = []
+    schema = None  # infer once; later batches skip the footer-scan job
     for i, path in enumerate(batch_paths):
-        batch = spark.read.parquet(path)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        batch = reader.parquet(path)
+        schema = batch.schema
         stats.append(apply_change_batch(table, batch, f"{job_name}-{i:06d}", cfg))
     return stats
 

