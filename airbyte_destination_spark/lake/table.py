@@ -437,6 +437,8 @@ class LakeTable:
         epoch_id: str | None = None,
         tiebreak_cols: list[str] | None = None,
         lineage_df: DataFrame | None = None,
+        post_reduce=None,
+        carry_cols: tuple[str, ...] = (),
     ) -> MergeStats:
         """Last-writer-wins MERGE of a change batch.
 
@@ -455,10 +457,20 @@ class LakeTable:
         pipeline produced it, payload columns included). It must cover
         the same keys as `batch`, since it also decides which buckets
         the merge reads and rewrites.
+
+        `post_reduce` / `carry_cols` (optional): deferred derived
+        columns. `carry_cols` names batch columns that are NOT table
+        columns but ride through the reduce so `post_reduce(winners)`
+        can compute table columns from them AFTER the per-key dedup —
+        e.g. a deterministic id hash that is pointless to compute for
+        rows the reduce will discard, and wide to shuffle. Carries are
+        excluded from schema evolution, null on the existing-table side
+        (post_reduce must leave existing rows' stored values intact —
+        coalesce on the stored column), and dropped before the write.
         """
         return self._apply(
             batch, mode="merge", epoch_id=epoch_id, tiebreak_cols=tiebreak_cols,
-            lineage_df=lineage_df,
+            lineage_df=lineage_df, post_reduce=post_reduce, carry_cols=carry_cols,
         )
 
     def overwrite_where(
@@ -501,6 +513,8 @@ class LakeTable:
         epoch_id: str | None,
         tiebreak_cols: list[str] | None = None,
         lineage_df: DataFrame | None = None,
+        post_reduce=None,
+        carry_cols: tuple[str, ...] = (),
     ) -> MergeStats:
         spark = batch.sparkSession
         for attempt in range(5):
@@ -522,13 +536,20 @@ class LakeTable:
             if mode == "merge" and m["version_col"] is not None and m["version_col"] not in batch.columns:
                 raise ValueError(f"merge batch is missing version column {m['version_col']!r}")
             has_op = "op" in batch.columns
-            data_fields = [f for f in batch.schema.fields if f.name != "op"]
+            skip = {"op", *carry_cols}
+            data_fields = [f for f in batch.schema.fields if f.name not in skip]
             schema = self._evolve_if_needed(m, T.StructType(data_fields))
 
             # align data columns to the (possibly evolved) table schema,
-            # carrying `op` through as an extra trailing column
+            # carrying `op` and any carry_cols through as trailing columns
+            batch_fields = {f.name: f for f in batch.schema.fields}
             align_target = T.StructType(
-                schema.fields + ([T.StructField("op", T.StringType(), True)] if has_op else [])
+                schema.fields
+                + ([T.StructField("op", T.StringType(), True)] if has_op else [])
+                + [
+                    T.StructField(c, batch_fields[c].dataType, True)
+                    for c in carry_cols
+                ]
             )
             # no cache: the lineage agg only references (key, version) so
             # Catalyst prunes everything else from its scan; caching the
@@ -626,9 +647,11 @@ class LakeTable:
                     )
                     .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
                 )
+                if post_reduce is not None:
+                    winners = post_reduce(winners)
                 final = winners.withColumn(
                     _DELETED_COL, F.coalesce(F.col("op") == F.lit("D"), F.lit(False))
-                ).drop("op")
+                ).drop("op", *carry_cols)
                 new_files = self._write_bucketed(
                     final, m, base + 1, already_bucket_aligned=True
                 )
@@ -659,6 +682,10 @@ class LakeTable:
                         .drop(_DELETED_COL, "_cv")
                         .withColumn("_src", F.lit(0))
                     )
+                    for c in carry_cols:  # existing rows carry nothing
+                        existing = existing.withColumn(
+                            c, F.lit(None).cast(batch_fields[c].dataType)
+                        )
                     combined = existing.unionByName(src)
                 else:
                     # empty target: unioning a LocalRelation measurably
@@ -688,12 +715,14 @@ class LakeTable:
                     )
                     .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
                 )
+                if post_reduce is not None:
+                    winners = post_reduce(winners)
                 # keep delete winners as tombstone rows (versioned via
                 # their version column, payload nulled)
                 final = winners.withColumn(
                     _DELETED_COL,
                     F.coalesce(F.col("op") == F.lit("D"), F.lit(False)),
-                ).drop("_src", "op")
+                ).drop("_src", "op", *carry_cols)
                 new_files = self._write_bucketed(
                     final, m, base + 1, n_out=len(touched), already_bucket_aligned=True
                 )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airbyte_destination_spark import protocol as P
-from airbyte_destination_spark.functions.enrich import enrich_records
+from airbyte_destination_spark.functions.enrich import enrich_records, raw_id_expr
 from airbyte_destination_spark.functions.validate import validate_tokens
 from airbyte_destination_spark.lake import LakeTable, MergeStats
 from airbyte_destination_spark.operators.dedup import (
@@ -53,6 +53,14 @@ class IngestConfig:
     validate: bool = True
     tokens_col: str = "tokens"
     n_tok_col: str = "n_tok"
+    # defer the _airbyte_raw_id hash to AFTER the LWW reduce: the id is
+    # derivable from (namespace, stream, version, extracted_at), all of
+    # which survive the reduce, so computing it per input event wastes a
+    # sha256 + a 36-char string in the shuffle for every row the reduce
+    # will discard (Zipf-keyed logs discard most). The merge carries
+    # (namespace, stream) as thin carry columns and computes the id only
+    # for winning batch rows (existing rows keep their stored id).
+    defer_enrich: bool = True
     repartition: int | None = None  # pre-shuffle width for the reduce
     quarantine_root: str | None = None
     # micro-batch bounds (O7). The reference flushes a buffer at
@@ -88,7 +96,15 @@ def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | 
     for c in ("namespace", "stream"):
         if c not in batch.columns:
             batch = batch.withColumn(c, F.lit(""))
-    batch = enrich_records(batch, index_col=cfg.version_col)
+    defer = cfg.defer_enrich and "emitted_at" in batch.columns
+    if defer:
+        # only the cheap cast now; the raw-id sha256 runs post-reduce on
+        # winners (see IngestConfig.defer_enrich)
+        batch = batch.withColumn(
+            P.EXTRACTED_AT_COL, F.timestamp_millis(F.col("emitted_at"))
+        )
+    else:
+        batch = enrich_records(batch, index_col=cfg.version_col)
 
     if cfg.repartition:
         batch = batch.repartition(cfg.repartition, *cfg.key_cols)
@@ -104,19 +120,31 @@ def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | 
     else:
         reduced = batch  # the merge's own max_by aggregation reduces
 
-    drop = [c for c in ("stream", "namespace", "emitted_at") if c in reduced.columns]
+    carries = ("namespace", "stream") if defer else ()
+    drop = [
+        c
+        for c in ("stream", "namespace", "emitted_at")
+        if c in reduced.columns and c not in carries
+    ]
     reduced = reduced.drop(*drop)
     if table_cols is not None:
-        keep = [c for c in reduced.columns if c in set(table_cols) | {"op"}]
+        keep = [c for c in reduced.columns if c in set(table_cols) | {"op", *carries}]
         reduced = reduced.select(*keep)
-    return reduced, quarantined
+    return reduced, quarantined, carries
 
 
-def _ensure_table(table: LakeTable, merged: DataFrame, cfg: IngestConfig) -> None:
+def _ensure_table(
+    table: LakeTable, merged: DataFrame, cfg: IngestConfig, carries: tuple[str, ...] = ()
+) -> None:
     if not table.exists():
-        schema = T.StructType([f for f in merged.schema.fields if f.name != "op"])
+        skip = {"op", *carries}
+        fields = [f for f in merged.schema.fields if f.name not in skip]
+        if carries and P.RAW_ID_COL not in {f.name for f in fields}:
+            # deferred enrichment: the id column exists in the table
+            # schema even though batches only materialize it post-reduce
+            fields.append(T.StructField(P.RAW_ID_COL, T.StringType(), True))
         table.create(
-            schema,
+            T.StructType(fields),
             cfg.key_cols,
             cfg.version_col,
             n_buckets=cfg.n_buckets,
@@ -155,8 +183,8 @@ def _apply_change_batch_inner(
     table: LakeTable, batch: DataFrame, epoch_id: str, cfg: IngestConfig
 ) -> MergeStats:
 
-    reduced, quarantined = _prepare_batch(batch, cfg, None)
-    _ensure_table(table, reduced, cfg)
+    reduced, quarantined, carries = _prepare_batch(batch, cfg, None)
+    _ensure_table(table, reduced, cfg, carries)
 
     if quarantined is not None and cfg.quarantine_root:
         qdir = os.path.join(cfg.quarantine_root, f"epoch={epoch_id}")
@@ -173,7 +201,30 @@ def _apply_change_batch_inner(
     lineage_df = (
         flat.select(*lin_cols) if set(lin_cols) <= set(flat.columns) else None
     )
-    stats = table.merge(reduced, epoch_id=epoch_id, lineage_df=lineage_df)
+    post_reduce = None
+    if carries:
+        def post_reduce(winners: DataFrame) -> DataFrame:
+            # winning batch rows have a null id (the table side keeps its
+            # stored one); derive it from the carried identity fields —
+            # identical to the eager value, since a row's raw-id depends
+            # only on its own (ns, stream, index, emitted_at)
+            return winners.withColumn(
+                P.RAW_ID_COL,
+                F.coalesce(
+                    F.col(P.RAW_ID_COL),
+                    raw_id_expr(
+                        F.col("namespace"),
+                        F.col("stream"),
+                        F.col(cfg.version_col),
+                        F.unix_millis(F.col(P.EXTRACTED_AT_COL)),
+                    ),
+                ),
+            )
+
+    stats = table.merge(
+        reduced, epoch_id=epoch_id, lineage_df=lineage_df,
+        post_reduce=post_reduce, carry_cols=carries,
+    )
     if cfg.merge_strategy == "mor" and cfg.auto_compact_files:
         table.compact(batch.sparkSession, min_files=cfg.auto_compact_files)
     return stats

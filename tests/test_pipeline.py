@@ -116,3 +116,23 @@ def test_byte_bounded_epochs(spark, tmp_path, changelog):
     n_epochs = len(table.applied_epochs())
     assert n_epochs > 1, "byte bound did not split the log into multiple epochs"
     assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
+
+
+def test_deferred_enrich_ids_match_eager(spark, tmp_path, changelog):
+    """defer_enrich moves the raw-id sha256 after the LWW reduce; the
+    stored ids (and every other column) must be bit-identical to the
+    eager path — a row's id depends only on its own fields."""
+    log_dir, dirs = changelog
+    eager = LakeTable(str(tmp_path / "eager"))
+    run_ingest_batches(
+        spark, dirs, eager, IngestConfig(n_buckets=8, defer_enrich=False)
+    )
+    deferred = LakeTable(str(tmp_path / "deferred"))
+    run_ingest_batches(
+        spark, dirs, deferred, IngestConfig(n_buckets=8, defer_enrich=True)
+    )
+    cols = sorted(c for c in eager.read(spark).columns)
+    assert cols == sorted(deferred.read(spark).columns)
+    a = sorted(map(tuple, eager.read(spark).select(*cols).collect()))
+    b = sorted(map(tuple, deferred.read(spark).select(*cols).collect()))
+    assert a == b and len(a) > 0
