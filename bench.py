@@ -7,13 +7,20 @@
                "eps_small": ..., "eps_large": ..., "efficiency": ...}}
 
 - headline queries: every __spark_entry__.queries() entry at
-  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), local[$SPARK_GRAFT_CPUS]
-- cdc: full change-log apply (generate excluded from timing)
-- scaling: the SAME apply job at local[8] vs local[32] on identical input
-  (the sandbox stand-in for N vs 4N executors, BASELINE.md row 10);
-  efficiency = eps_large / (4 * eps_small)
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), local[$SPARK_GRAFT_CPUS],
+  after one untimed warmup pass at sf0.001 (JIT/codegen compiles out)
+- cdc: full change-log apply in a fresh subprocess JVM (generate and
+  JVM warmup excluded from timing)
+- scaling: IDENTICAL work at local[8] vs local[32] (the sandbox
+  stand-in for N vs 4N executors, BASELINE.md row 10): per round and
+  per config, a fresh table + untimed seed batch + min of repeated
+  timed merge batches, paired adjacent-in-time with alternating order;
+  efficiency = median over post-warmup rounds of
+  eps_large / (4 * eps_small). Measured on the MOR strategy (the
+  at-scale configuration; see BASELINE.md COW-vs-MOR).
 
-Run `python bench.py --apply-only ...` is the internal subprocess mode.
+`--apply-only` / `--worker` are internal subprocess modes;
+`--scaling-only` runs just the scaling phase for iteration.
 """
 
 from __future__ import annotations
