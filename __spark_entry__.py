@@ -720,6 +720,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: Gopher-style duplicate-3-gram fraction per doc —
+    the intra-document repetition quality filter."""
+    from airbyte_destination_spark.functions.text import repetition_ratio
+
+    return repetition_ratio(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_ngram_frac"
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: benchmark-contamination scan — corpus docs sharing a
     5-gram with any probe doc (doc_id < 10 plays the eval set). Probe
@@ -780,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
+        "repetition_ratio": q_repetition_ratio,
     }
 
 
@@ -1457,6 +1468,26 @@ def oracle_sql() -> dict[str, str]:
                         - floor((end_off - seq_len) / {PACK_CONTEXT}.0) + 1 AS BIGINT)
                      AS bins_spanned
             FROM offs
+        """,
+        "repetition_ratio": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE [] END AS grams
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN len(grams) > 0
+                        THEN round((len(grams) - len(list_distinct(grams)))
+                                   / CAST(len(grams) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_ngram_frac
+            FROM g
         """,
         "contamination": f"""
             WITH {_shingles_cte(n=5)},

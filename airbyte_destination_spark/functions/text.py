@@ -140,6 +140,29 @@ def chunk_windows(
     )
 
 
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "dup_ngram_frac"
+) -> DataFrame:
+    """Intra-document repetition signal: fraction of word n-grams that
+    are duplicates of an earlier n-gram in the same document (the
+    Gopher/RefinedWeb-style quality rule — high values flag boilerplate
+    and degenerate repetition). Pure per-row JVM array expressions: no
+    shuffle, no UDF, scales as a scan projection.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array())
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.withColumn(
+        out_col,
+        F.when(total > 0, F.round((total - distinct) / total, 6)).otherwise(F.lit(0.0)),
+    )
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:
