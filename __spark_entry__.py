@@ -420,12 +420,16 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training op: IVF-style approximate top-5 — corpus partitioned
-    into 16 Voronoi cells, queries probe the 4 nearest cells."""
+    """Training op: IVF approximate top-5 — corpus partitioned into 16
+    Voronoi cells around deterministic 2-iteration Lloyd's k-means
+    centroids, queries probe the 4 nearest cells."""
     from airbyte_destination_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4,
+        kmeans_iters=2,
+    )
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,7 +729,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intra-document repetition quality filter."""
     from airbyte_destination_spark.functions.text import repetition_ratio
 
-    return repetition_ratio(_t(spark, sf_dir, "documents")).select(
+    return repetition_ratio(_docs_wide(spark, sf_dir)).select(
         "doc_id", "dup_ngram_frac"
     )
 
@@ -736,7 +740,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles broadcast; the corpus never shuffles its text."""
     from airbyte_destination_spark.functions.textdedup import contamination
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return contamination(docs, docs.where(F.col("doc_id") < 10), shingle_n=5)
 
 
@@ -939,24 +943,64 @@ def _cos_dd(x: str, y: str) -> str:
     )
 
 
-def _ivf_topk_oracle() -> str:
-    return f"""
-WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
-assigned AS (
-  SELECT neighbor_id, cell FROM (
-    SELECT v.vec_id AS neighbor_id, c.cell,
+def _ivf_topk_oracle(iters: int = 2) -> str:
+    """Unrolls `kmeans_centroids`' fixed recurrence in SQL: seeds =
+    lowest-16 vectors, `iters` Lloyd steps of (nearest-cell assign,
+    per-dim mean), every centroid value rounded half-up to 6 dp with
+    the same floor(x*1e6+0.5)/1e6 expression the Spark driver uses —
+    centroids therefore match bit-for-bit and the probe/scan mechanics
+    reproduce the engine exactly."""
+    # cosine between a centroid double-list and a sample double-list
+    cos_cv = (
+        "list_sum(list_transform(range(1, 65), i -> c.cent[i] * v.emb[i]))"
+        " / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(v.emb, x -> x * x))))"
+    )
+    r6 = "floor({} * 1000000 + 0.5) / 1000000"
+    avg64 = ", ".join(r6.format(f"avg(v.emb[{i}])") for i in range(1, 65))
+    steps = []
+    for it in range(1, iters + 1):
+        steps.append(f"""
+assign{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_cos_dd('c', 'v')} DESC, c.cell ASC) AS r
-    FROM embeddings v, cent c
+                              ORDER BY {cos_cv} DESC, c.cell ASC) AS r
+    FROM s v, cent{it - 1} c
+  ) WHERE r = 1
+),
+cent{it} AS (
+  SELECT c.cell, coalesce(n.cent, c.cent) AS cent
+  FROM cent{it - 1} c LEFT JOIN (
+    SELECT a.cell, LIST_VALUE({avg64}) AS cent
+    FROM assign{it} a JOIN s v USING (vec_id) GROUP BY a.cell
+  ) n USING (cell)
+)""")
+    seed_r6 = r6.format("CAST(x AS DOUBLE)")
+    return f"""
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cell, list_transform(embedding, x -> {seed_r6}) AS cent
+  FROM embeddings WHERE vec_id < 16
+),{",".join(steps)},
+assigned AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_cv} DESC, c.cell ASC) AS r
+    FROM s v, cent{iters} c
   ) WHERE r = 1
 ),
 probes AS (
-  SELECT query_id, cell FROM (
-    SELECT q.vec_id AS query_id, c.cell,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY {_cos_dd('c', 'q')} DESC, c.cell ASC) AS r
-    FROM embeddings q, cent c
-    WHERE q.vec_id < 10
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_cv} DESC, c.cell ASC) AS r
+    FROM s v, cent{iters} c
+    WHERE v.vec_id < 10
   ) WHERE r <= 4
 ),
 scored AS (

@@ -89,10 +89,18 @@ def _global_record_index(records: DataFrame) -> DataFrame:
     contiguous within a partition, so the arithmetic needs no window
     and the plan has NO single-partition exchange (the round-1 version
     was a global Window.orderBy — one task saw the whole sync).
+
+    The _pid/_mid projection is CACHED before pass 1 so pass 2 reads the
+    exact same partitions/ids instead of re-running the scan — the
+    numbering would otherwise silently break for any upstream source
+    that doesn't reproduce identical partitioning across jobs (the
+    spooled file scan does; a future socket/queue source would not).
+    Callers must unpersist the returned DataFrame when done.
     """
     base = records.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
+    base = base.persist()
     parts = sorted(
         (r["_pid"], r["n"], r["lo"])
         for r in base.groupBy("_pid")
@@ -105,16 +113,19 @@ def _global_record_index(records: DataFrame) -> DataFrame:
         offsets[pid], lows[pid] = acc, lo
         acc += n
     if not parts:
+        base.unpersist()
         return records.withColumn("_record_index", F.lit(0).cast("long"))
     off_map = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
     low_map = F.create_map(*[F.lit(x) for pid in lows for x in (pid, lows[pid])])
-    return (
+    out = (
         base.withColumn(
             "_record_index",
             off_map[F.col("_pid")] + (F.col("_mid") - low_map[F.col("_pid")]),
         )
         .drop("_mid", "_pid")
     )
+    out._cached_base = base  # handle for the caller's unpersist
+    return out
 
 
 def _echo_state(line: str) -> str:
@@ -176,6 +187,9 @@ class Destination:
         for s in catalog.streams:
             result.tables[s.table_name] = self._write_stream(s, records, sync_start_ms)
         records.unpersist()
+        base = getattr(records, "_cached_base", None)
+        if base is not None:  # the index's _pid/_mid projection cache
+            base.unpersist()
 
         # Full-reset detection (destination.go:181-184,262-268): a sync
         # where EVERY stream is overwrite and ZERO records arrive is the

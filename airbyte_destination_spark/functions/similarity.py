@@ -226,44 +226,24 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """IVF-style approximate top-k: the corpus is partitioned into
-    `n_cells` Voronoi cells around centroid vectors; a query scores only
-    vectors in its `nprobe` nearest cells, so scan cost drops to
-    ~nprobe/n_cells of the corpus (the inverted-file scale path next to
-    LSH). Centroids here are the first n_cells corpus vectors —
-    deterministic and oracle-reproducible; production would k-means
-    them, which changes recall but none of the partition/probe
-    mechanics.
+def _round6(v: float) -> float:
+    """round-half-up to 6 dp, floor(x*1e6 + 0.5)/1e6 — the exact
+    expression the DuckDB oracle uses, so centroids match bit-for-bit
+    across engines (Python round()/numpy round half-to-even; DuckDB
+    round() rounds half away from zero — neither matches the other)."""
+    import math
 
-    Cell assignment is an INLINE argmax over centroid literals (the
-    centroid table is k rows by definition — collected once, embedded
-    as parsed array literals): the corpus is never shuffled or joined
-    for assignment, each row computes its own cell in the scan
-    projection. Ranking highest-cos / smallest-cell via array_max over
-    (cos, -cell) structs.
-    """
-    cent_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) < n_cells)
-        .select(id_col, _as_double(F.col(vec_col)))
-        .collect()
-    )
-    cell_ids = [c for c, _ in cent_rows]
-    cent_mat = [v for _, v in cent_rows]
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def _ranked_cells_udf(cent_mat: list[list[float]], cell_ids: list[int]):
+    """Pandas UDF: cells ordered nearest-first (cos desc, cell asc) per
+    row — one Arrow-batched matmul against the centroid matrix literal
+    (k rows by definition, embedded in the closure: assignment is a
+    scan projection, never a shuffle or join)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _ranked_cells(emb: pd.Series) -> pd.Series:
-        """Cells ordered nearest-first (cos desc, cell asc) per row —
-        one Arrow-batched matmul against the centroid matrix."""
         import numpy as np
 
         if len(emb) == 0:
@@ -276,6 +256,97 @@ def ivf_topk(
         return pd.Series(
             [ids[np.lexsort((ids, -row))].tolist() for row in cos]
         )
+
+    return _ranked_cells
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> tuple[list[int], list[list[float]]]:
+    """Deterministic fixed-iteration Lloyd's k-means for IVF training.
+    Returns (cell_ids, centroids) — cell ids are the seed vectors' ids.
+
+    Seeds are the `n_cells` lowest-id corpus vectors; each iteration
+    assigns the training sample to its nearest centroid (cos desc, cell
+    asc ties) and recomputes centroids as per-dimension means, rounded
+    half-up to 6 dp so an external engine replaying the same fixed
+    recurrence (the DuckDB oracle unrolls it in SQL) reproduces the
+    exact same centroids. Empty cells keep their previous centroid.
+
+    Scale: training runs on a deterministic subsample (`id % sample_mod
+    == 0`) — FAISS-style IVF training on ~10^5 vectors regardless of
+    corpus size; assignment cost is iters × one scan of the sample with
+    per-dim avg (map-side partial agg, one k-row shuffle).
+    """
+    seeds = sorted(
+        (int(r[0]), [_round6(float(x)) for x in r[1]])
+        for r in corpus.where(F.col(id_col) < n_cells)
+        .select(id_col, _as_double(F.col(vec_col)))
+        .collect()
+    )
+    cell_ids = [c for c, _ in seeds]
+    cm = [v for _, v in seeds]
+    if not cm or iters <= 0:
+        return cell_ids, cm
+    dim = len(cm[0])
+    sample = corpus
+    if sample_mod > 1:
+        sample = sample.where(F.col(id_col) % sample_mod == 0)
+    sample = sample.select(_as_double(F.col(vec_col)).alias("nv"))
+    for _ in range(iters):
+        ranked = _ranked_cells_udf(cm, cell_ids)
+        means = (
+            sample.withColumn("cell", F.element_at(ranked(F.col("nv")), 1))
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("nv")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {int(r["cell"]): r for r in means}
+        cm = [
+            [_round6(float(by_cell[cid][f"c{i}"])) for i in range(dim)]
+            if cid in by_cell
+            else cm[j]
+            for j, cid in enumerate(cell_ids)
+        ]
+    return cell_ids, cm
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into `n_cells`
+    Voronoi cells around k-means centroids; a query scores only vectors
+    in its `nprobe` nearest cells, so scan cost drops to
+    ~nprobe/n_cells of the corpus (the inverted-file scale path next to
+    LSH). Centroids come from `kmeans_centroids` — deterministic
+    fixed-iteration Lloyd's seeded by the lowest-id vectors, 6-dp
+    rounded so the oracle reproduces them (kmeans_iters=0 recovers the
+    round-2 seeds-as-centroids behavior).
+
+    Cell assignment is an INLINE argmax over centroid literals (the
+    centroid table is k rows by definition — computed once at the
+    driver, embedded in the UDF closure): the corpus is never shuffled
+    or joined for assignment, each row computes its own cell in the
+    scan projection.
+    """
+    cell_ids, cent_mat = kmeans_centroids(
+        corpus, n_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
+        sample_mod=sample_mod,
+    )
+    _ranked_cells = _ranked_cells_udf(cent_mat, cell_ids)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")

@@ -2,13 +2,17 @@
 
 Storage layout (all under the table root):
 
-    _meta/version-00000001.json   immutable snapshot manifests
+    _meta/version-00000001.json   immutable commit records
     _meta/LATEST                  pointer file (atomic rename commit)
     data/snap-<version>-<nonce>/_b=<bucket>/*.parquet
 
-A snapshot manifest records, per hash bucket, the list of data files
-(with the schema id each file was written under), the full schema
+A resolved snapshot manifest records, per hash bucket, the list of data
+files (with the schema id each file was written under), the full schema
 history, applied epoch ids (exactly-once markers), and lineage rows.
+On disk most commit records are DELTAS (touched buckets + new epoch
+markers only) against the previous version, with a full manifest every
+_CHECKPOINT_INTERVAL versions — commits stay O(touched), not O(table),
+over 10^4-10^5 epochs (the Iceberg manifest-list idea, flattened).
 
 MERGE rewrites only the buckets a change batch touches; all other
 buckets carry their previous files forward — the same copy-on-write
@@ -25,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -51,6 +56,114 @@ class CommitConflict(Exception):
     """Another writer committed the version we tried to write."""
 
 
+# ------------------------------------------------------- manifest scaling
+#
+# A long-running sync commits one snapshot per epoch: 10^10 events at
+# ~10^6-event epochs is 10^4-10^5 commits. Rewriting the FULL manifest
+# (every bucket's file list + every applied epoch id) per commit is
+# O(table) metadata work per epoch — the same wall Iceberg hits and
+# solves with manifest lists + snapshot expiry. Here:
+#
+#  * DELTA manifests: a commit records only the buckets it changed
+#    (full-list replacement per touched bucket) plus new epoch markers;
+#    every _CHECKPOINT_INTERVAL-th version is a full self-contained
+#    manifest, so reconstructing any version walks at most that many
+#    small delta files (cached per LakeTable instance).
+#  * EPOCH WATERMARKS: exactly-once markers with ordered ids
+#    ("<prefix>-<n>") fold losslessly into a per-prefix high watermark —
+#    `applied_epochs` stays O(out-of-order tail), not O(history). An
+#    epoch is applied iff it is in the explicit map OR its suffix is
+#    <= its prefix's watermark; contiguous suffixes fold on every
+#    commit, so a single-writer stream keeps the map empty.
+
+_CHECKPOINT_INTERVAL = 32
+_EPOCH_RE = re.compile(r"(.*)-(\d+)\Z")
+# delta-record bookkeeping keys (never part of a resolved manifest)
+_DELTA_KEYS = ("delta", "buckets_set", "buckets_del", "schemas_add",
+               "epochs_add", "epochs_del")
+
+
+def _split_epoch(epoch_id: str):
+    m = _EPOCH_RE.fullmatch(epoch_id)
+    return (m.group(1), int(m.group(2))) if m else None
+
+
+def _epoch_applied(m: dict, epoch_id: str) -> bool:
+    if epoch_id in m.get("applied_epochs", {}):
+        return True
+    p = _split_epoch(epoch_id)
+    return p is not None and p[1] <= m.get("epoch_watermarks", {}).get(p[0], -1)
+
+
+def _fold_epochs(applied: dict, watermarks: dict) -> tuple[dict, dict]:
+    """Advance each prefix's watermark over contiguous suffixes and drop
+    the folded explicit entries. Lossless: applied-set membership is
+    unchanged, only its representation shrinks."""
+    wms = dict(watermarks)
+    by_prefix: dict[str, dict[int, str]] = {}
+    out: dict = {}
+    for k, v in applied.items():
+        p = _split_epoch(k)
+        if p is None:
+            out[k] = v
+        else:
+            by_prefix.setdefault(p[0], {})[p[1]] = k
+    for prefix, suffixes in by_prefix.items():
+        wm = wms.get(prefix, -1)
+        while wm + 1 in suffixes:
+            wm += 1
+        if wm >= 0:
+            wms[prefix] = wm
+        for s, k in suffixes.items():
+            if s > wm:
+                out[k] = applied[k]
+    return out, wms
+
+
+def _delta_record(base: dict, full: dict) -> dict:
+    """The commit record for `full` relative to its parent `base`:
+    scalars verbatim (they're tiny), buckets/schemas/epochs as diffs."""
+    d = {k: v for k, v in full.items()
+         if k not in ("buckets", "schemas", "applied_epochs")}
+    d["delta"] = True
+    bset = {k: v for k, v in full["buckets"].items()
+            if base["buckets"].get(k) != v}
+    bdel = [k for k in base["buckets"] if k not in full["buckets"]]
+    d["buckets_set"] = bset
+    if bdel:
+        d["buckets_del"] = bdel
+    sadd = {k: v for k, v in full["schemas"].items() if k not in base["schemas"]}
+    if sadd:
+        d["schemas_add"] = sadd
+    eadd = {k: v for k, v in full["applied_epochs"].items()
+            if k not in base["applied_epochs"]}
+    edel = [k for k in base["applied_epochs"]
+            if k not in full["applied_epochs"]]
+    if eadd:
+        d["epochs_add"] = eadd
+    if edel:
+        d["epochs_del"] = edel
+    return d
+
+
+def _resolve_delta(parent: dict, d: dict) -> dict:
+    m = {k: v for k, v in d.items() if k not in _DELTA_KEYS}
+    buckets = dict(parent["buckets"])
+    buckets.update(d.get("buckets_set", {}))
+    for k in d.get("buckets_del", []):
+        buckets.pop(k, None)
+    m["buckets"] = buckets
+    schemas = dict(parent["schemas"])
+    schemas.update(d.get("schemas_add", {}))
+    m["schemas"] = schemas
+    applied = dict(parent["applied_epochs"])
+    applied.update(d.get("epochs_add", {}))
+    for k in d.get("epochs_del", []):
+        applied.pop(k, None)
+    m["applied_epochs"] = applied
+    return m
+
+
 @dataclass
 class MergeStats:
     epoch_id: str | None
@@ -60,6 +173,11 @@ class MergeStats:
     buckets_touched: int
     skipped: bool = False  # epoch had already been applied
     lineage: list[dict] = field(default_factory=list)
+    # lineage/rows_upserted count records RECEIVED per bucket (the
+    # reference's destinationStats.recordCount, destination.go:417-419);
+    # when validation quarantines rows, this records how many of those
+    # received rows were diverted and never merged.
+    rows_quarantined: int = 0
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -81,6 +199,9 @@ class LakeTable:
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, _META)
+        # resolved-manifest cache: versions are immutable once written,
+        # so entries never invalidate; bounded to the recent tail
+        self._mcache: dict[int, dict] = {}
 
     # ------------------------------------------------------------- meta io
 
@@ -97,12 +218,42 @@ class LakeTable:
         except FileNotFoundError:
             return 0
 
+    def _read_raw(self, v: int) -> dict:
+        """The commit record as written — a full manifest or a delta."""
+        with open(self._version_path(v)) as f:
+            return json.load(f)
+
+    def _resolved(self, v: int) -> dict:
+        """Reconstruct version v by applying delta records onto the
+        nearest full checkpoint manifest (<= _CHECKPOINT_INTERVAL hops,
+        usually 1 thanks to the cache). Do NOT mutate the result."""
+        hit = self._mcache.get(v)
+        if hit is not None:
+            return hit
+        raw = self._read_raw(v)
+        if raw.get("delta"):
+            raw = _resolve_delta(self._resolved(v - 1), raw)
+        self._mcache[v] = raw
+        if len(self._mcache) > 8:  # keep the recent tail only
+            for old in sorted(self._mcache)[:-4]:
+                del self._mcache[old]
+        return raw
+
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
-        with open(self._version_path(v)) as f:
-            return json.load(f)
+        m = self._resolved(v)
+        # callers mutate top-level containers in place — hand out copies
+        # so the cache stays pristine (inner file lists are only ever
+        # replaced wholesale, never mutated, so sharing them is safe)
+        return {
+            **m,
+            "buckets": dict(m["buckets"]),
+            "schemas": dict(m["schemas"]),
+            "applied_epochs": dict(m["applied_epochs"]),
+            "epoch_watermarks": dict(m.get("epoch_watermarks", {})),
+        }
 
     def schema(self) -> T.StructType:
         m = self.manifest()
@@ -112,13 +263,28 @@ class LakeTable:
         return self.manifest().get("properties", {})
 
     def applied_epochs(self) -> dict:
-        """epoch_id -> version that applied it (exactly-once markers)."""
+        """epoch_id -> version, for the UNFOLDED tail only (out-of-order
+        or non-parseable ids). Contiguous ordered epochs live in
+        `epoch_watermarks` — use is_epoch_applied() for membership."""
         return self.manifest().get("applied_epochs", {})
+
+    def is_epoch_applied(self, epoch_id: str) -> bool:
+        """Exactly-once check: has this epoch already been committed?"""
+        return _epoch_applied(self.manifest(), epoch_id)
+
+    def n_applied_epochs(self) -> int:
+        """Total applied epochs = folded watermark spans + explicit tail."""
+        m = self.manifest()
+        return sum(w + 1 for w in m.get("epoch_watermarks", {}).values()) + len(
+            m.get("applied_epochs", {})
+        )
 
     def history(self) -> list[dict]:
         out = []
         for v in range(1, self.current_version() + 1):
-            m = self.manifest(v)
+            # per-commit scalars live verbatim in every record (delta or
+            # full) — raw reads keep history O(versions), not O(v * K)
+            m = self._read_raw(v)
             out.append(
                 {
                     "version": v,
@@ -133,28 +299,50 @@ class LakeTable:
         """All lineage rows across history: one per (commit, bucket)."""
         rows = []
         for v in range(1, self.current_version() + 1):
-            rows.extend(self.manifest(v).get("lineage", []))
+            rows.extend(self._read_raw(v).get("lineage", []))
         return rows
 
     # ------------------------------------------------------------- commit
 
     def _commit(self, manifest: dict, expected_base: int) -> int:
         """Optimistic-concurrency commit: exclusively create the next
-        version file, then atomically flip the LATEST pointer."""
+        version file, then atomically flip the LATEST pointer.
+
+        The record written is a DELTA relative to the parent version
+        (touched buckets + new epoch markers only) except every
+        _CHECKPOINT_INTERVAL-th version, which is written full — a
+        commit is O(touched buckets) metadata, not O(table), and
+        `applied_epochs` is folded into per-prefix watermarks first so
+        exactly-once markers stay O(1) for an ordered stream."""
         os.makedirs(self.meta_dir, exist_ok=True)
         new_v = expected_base + 1
         manifest["version"] = new_v
         manifest["committed_at"] = time.time()
+        manifest["applied_epochs"], manifest["epoch_watermarks"] = _fold_epochs(
+            manifest.get("applied_epochs", {}),
+            manifest.get("epoch_watermarks", {}),
+        )
+        record = manifest
+        if expected_base >= 1 and new_v % _CHECKPOINT_INTERVAL != 0:
+            record = _delta_record(self._resolved(expected_base), manifest)
         path = self._version_path(new_v)
         try:
             with open(path, "x") as f:
-                json.dump(manifest, f)
+                json.dump(record, f)
         except FileExistsError as e:
             raise CommitConflict(f"version {new_v} already exists at {self.root}") from e
         tmp = os.path.join(self.meta_dir, f".latest.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, os.path.join(self.meta_dir, _LATEST))  # atomic
+        # seed the cache with what we just committed (manifest() copies)
+        self._mcache[new_v] = {
+            **manifest,
+            "buckets": dict(manifest["buckets"]),
+            "schemas": dict(manifest["schemas"]),
+            "applied_epochs": dict(manifest["applied_epochs"]),
+            "epoch_watermarks": dict(manifest["epoch_watermarks"]),
+        }
         return new_v
 
     # ------------------------------------------------------------- create
@@ -200,6 +388,7 @@ class LakeTable:
             "bucket_fn": "murmur3_pmod",  # == Spark HashPartitioning
             "buckets": {},
             "applied_epochs": {},
+            "epoch_watermarks": {},
             "properties": properties or {},
             "operation": "create",
             "lineage": [],
@@ -523,7 +712,7 @@ class LakeTable:
 
             # exactly-once: an epoch already recorded in the snapshot is
             # a replay (foreachBatch re-delivery) — skip without writing.
-            if epoch_id is not None and epoch_id in m.get("applied_epochs", {}):
+            if epoch_id is not None and _epoch_applied(m, epoch_id):
                 return MergeStats(epoch_id, base, 0, 0, 0, skipped=True)
 
             key_cols = m["key_cols"]
@@ -599,9 +788,14 @@ class LakeTable:
                 # and join before assembling the manifest. (COW needs
                 # `touched` up front to prune the existing-bucket read.)
                 holder: dict = {}
-                t = threading.Thread(
-                    target=lambda: holder.update(rows=lineage_job.collect())
-                )
+
+                def _lineage_bg() -> None:
+                    try:
+                        holder["rows"] = lineage_job.collect()
+                    except BaseException as e:  # surfaced after join()
+                        holder["err"] = e
+
+                t = threading.Thread(target=_lineage_bg)
                 t.start()
                 lineage = None
             else:
@@ -652,10 +846,16 @@ class LakeTable:
                 final = winners.withColumn(
                     _DELETED_COL, F.coalesce(F.col("op") == F.lit("D"), F.lit(False))
                 ).drop("op", *carry_cols)
-                new_files = self._write_bucketed(
-                    final, m, base + 1, already_bucket_aligned=True
-                )
-                t.join()
+                try:
+                    new_files = self._write_bucketed(
+                        final, m, base + 1, already_bucket_aligned=True
+                    )
+                finally:
+                    # always reap the background lineage job — a failed
+                    # write must not orphan the thread
+                    t.join()
+                if "err" in holder:
+                    raise holder["err"]
                 lineage = _lineage_rows(holder["rows"])
                 touched = sorted({l["partition_id"] for l in lineage})
                 buckets = dict(m["buckets"])

@@ -17,6 +17,7 @@ upgraded from at-least-once to exactly-once.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,6 +153,10 @@ def _ensure_table(
         )
 
 
+# serializes applies on a session so the AQE save/restore below is safe
+_APPLY_LOCK = threading.RLock()
+
+
 def apply_change_batch(
     table: LakeTable, batch: DataFrame, epoch_id: str, cfg: IngestConfig | None = None
 ) -> MergeStats:
@@ -163,20 +168,26 @@ def apply_change_batch(
     buys nothing — but it costs a driver-side re-optimization barrier
     per stage, which at high parallelism was measured as ~1s of the
     epoch wall (2.3x epoch throughput at local[32] with it off).
-    Queries on the same session keep AQE.
+
+    The override is SESSION-WIDE while an apply is in flight (SQLConf
+    has no per-plan AQE switch): a query planned concurrently on the
+    same session during that window is planned without AQE (it still
+    runs correctly). Applies themselves are serialized under a module
+    lock, so overlapping applies can't corrupt the saved conf value.
     """
     cfg = cfg or IngestConfig()
     # cheap pre-check before any work: replayed epoch -> skip
-    if table.exists() and epoch_id in table.applied_epochs():
+    if table.exists() and table.is_epoch_applied(epoch_id):
         return MergeStats(epoch_id, table.current_version(), 0, 0, 0, skipped=True)
 
-    conf = batch.sparkSession.conf
-    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _apply_change_batch_inner(table, batch, epoch_id, cfg)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    with _APPLY_LOCK:
+        conf = batch.sparkSession.conf
+        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return _apply_change_batch_inner(table, batch, epoch_id, cfg)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def _apply_change_batch_inner(
@@ -186,9 +197,13 @@ def _apply_change_batch_inner(
     reduced, quarantined, carries = _prepare_batch(batch, cfg, None)
     _ensure_table(table, reduced, cfg, carries)
 
+    n_quarantined = 0
     if quarantined is not None and cfg.quarantine_root:
         qdir = os.path.join(cfg.quarantine_root, f"epoch={epoch_id}")
         quarantined.write.mode("overwrite").parquet(qdir)
+        # footer-count read of what was just written (cheap; quarantine
+        # is the cold path) so MergeStats can report received vs applied
+        n_quarantined = batch.sparkSession.read.parquet(qdir).count()
 
     # lineage pre-pass on the RAW key+version projection: it prunes to
     # two thin parquet columns, where aggregating `reduced` would
@@ -225,6 +240,7 @@ def _apply_change_batch_inner(
         reduced, epoch_id=epoch_id, lineage_df=lineage_df,
         post_reduce=post_reduce, carry_cols=carries,
     )
+    stats.rows_quarantined = n_quarantined
     if cfg.merge_strategy == "mor" and cfg.auto_compact_files:
         table.compact(batch.sparkSession, min_files=cfg.auto_compact_files)
     return stats

@@ -89,11 +89,22 @@ def _sessionize_fn(
         for lo, hi in zip(seg_lo, seg_hi)
     ]
     if last is not None:
-        if segs[0][0] - last <= GAP_MS:
-            # batch's first segment continues the open session
-            segs[0] = (start, segs[0][1], n + segs[0][2])
-        else:
-            segs.insert(0, (start, last, n))
+        # a micro-batch may deliver events OLDER than the open session's
+        # span (they're still inside the watermark), so the state segment
+        # can land anywhere among the batch segments: merge by sorted
+        # order and coalesce any adjacent pair within GAP, taking
+        # min(start)/max(end) so an old event can never regress the
+        # session end (and may bridge two batch segments through state).
+        segs.append((start, last, n))
+        segs.sort(key=lambda s: s[0])
+        merged = [segs[0]]
+        for s in segs[1:]:
+            p = merged[-1]
+            if s[0] - p[1] <= GAP_MS:
+                merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2])
+            else:
+                merged.append(s)
+        segs = merged
     closed = segs[:-1]
     start, last, n = segs[-1]
     state.update((start, last, n))

@@ -1,0 +1,282 @@
+"""Snapshot-metadata scaling: a 10^10-event sync commits 10^4-10^5
+epochs, so a commit must write O(touched buckets) metadata, not
+O(table), and exactly-once markers must not accumulate forever.
+
+These tests drive the REAL commit/reconstruct path (LakeTable._commit /
+manifest()) metadata-only — no Spark jobs — so hundreds of epochs run in
+milliseconds; the data path over the same machinery is covered by the
+CDC end-to-end tests. The conflict tests exercise the optimistic
+CommitConflict retry loop (the reference's analogue: WaitForState
+polling around every mutation, destination.go:246-254 area)."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+from airbyte_destination_spark.lake.table import (
+    _CHECKPOINT_INTERVAL,
+    CommitConflict,
+    _fold_epochs,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("change_lsn", T.LongType(), False),
+    ]
+)
+BATCH_SCHEMA = "doc_id string, tokens array<int>, change_lsn long, op string"
+
+
+def _meta_table(root, n_buckets=64) -> LakeTable:
+    t = LakeTable(root)
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=n_buckets)
+    return t
+
+
+def _fake_entry(i: int, bucket: str, sid) -> dict:
+    return {"path": f"data/snap-{i:08d}/_b={bucket}/part.parquet",
+            "schema_id": sid, "cv": i}
+
+
+def test_manifest_bytes_stay_bounded_over_250_epochs(tmp_path):
+    """250 epochs on a 64-bucket table, each touching 2 buckets (with
+    compaction-like steady-state file lists): per-commit record bytes
+    must be O(touched), flat over time; full checkpoints must stay
+    bounded because applied_epochs folds into watermarks."""
+    t = _meta_table(str(tmp_path / "t"))
+    shadow: dict[str, list] = {}
+    shadow_at_50 = None
+    sizes = {}
+    for i in range(250):
+        base = t.current_version()
+        m = t.manifest(base)
+        assert m["buckets"] == shadow, f"reconstruction diverged at v{base}"
+        for bb in (str(i % 64), str((i * 7 + 3) % 64)):
+            # keep the last 3 files per bucket — the auto-compacted
+            # steady state a real MOR table holds
+            lst = (m["buckets"].get(bb, []) + [_fake_entry(i, bb, m["schema_id"])])[-3:]
+            m["buckets"][bb] = lst
+            shadow = dict(shadow)
+            shadow[bb] = lst
+        m["operation"] = "merge"
+        m["epoch_id"] = f"job-{i:06d}"
+        m["lineage"] = [
+            {"epoch_id": m["epoch_id"], "partition_id": i % 64,
+             "lsn_min": i, "lsn_max": i, "rows_applied": 10}
+        ]
+        m["applied_epochs"][m["epoch_id"]] = base + 1
+        v = t._commit(m, base)
+        sizes[v] = os.path.getsize(t._version_path(v))
+        if v == 50:
+            shadow_at_50 = dict(shadow)
+
+    # -- growth bounds ---------------------------------------------------
+    deltas = {v: s for v, s in sizes.items() if v % _CHECKPOINT_INTERVAL != 0}
+    ckpts = {v: s for v, s in sizes.items() if v % _CHECKPOINT_INTERVAL == 0}
+    assert max(deltas.values()) < 2500, f"delta record grew: {max(deltas.values())}B"
+    # late deltas must not be bigger than early ones (flat, not linear)
+    early = max(s for v, s in deltas.items() if v <= 30)
+    late = max(s for v, s in deltas.items() if v > 220)
+    assert late <= early * 1.5, (early, late)
+    # checkpoints carry every bucket's (bounded) file list but a FOLDED
+    # epoch set — flat once all 64 buckets exist
+    assert max(ckpts.values()) < 64 * 400 + 8000
+    # flat in steady state (early checkpoints are smaller only because
+    # not every bucket has files yet)
+    steady = {v: s for v, s in ckpts.items() if v >= 128}
+    assert max(steady.values()) <= min(steady.values()) * 1.05
+
+    # -- exactly-once markers folded, membership exact -------------------
+    m = t.manifest()
+    assert m["applied_epochs"] == {}  # all contiguous -> all folded
+    assert m["epoch_watermarks"] == {"job": 249}
+    assert t.n_applied_epochs() == 250
+    assert t.is_epoch_applied("job-000000")
+    assert t.is_epoch_applied("job-000249")
+    assert not t.is_epoch_applied("job-000250")
+    assert not t.is_epoch_applied("other-000001")
+
+    # -- time travel across delta chains ---------------------------------
+    assert t.manifest(50)["buckets"] == shadow_at_50
+    # a fresh handle (cold cache) reconstructs identically
+    t2 = LakeTable(str(tmp_path / "t"))
+    assert t2.manifest(50)["buckets"] == shadow_at_50
+    assert t2.manifest()["buckets"] == shadow
+
+
+def test_out_of_order_epochs_keep_explicit_tail_then_fold(tmp_path):
+    """Epochs applied out of order stay in the explicit map until the
+    gap fills, then fold into the watermark — membership is exact
+    throughout (lossless pruning)."""
+    t = _meta_table(str(tmp_path / "t"), n_buckets=4)
+    for suffix in (0, 1, 3, 4):  # 2 missing -> watermark stops at 1
+        base = t.current_version()
+        m = t.manifest(base)
+        m["operation"], m["epoch_id"], m["lineage"] = "merge", f"s-{suffix:03d}", []
+        m["applied_epochs"][m["epoch_id"]] = base + 1
+        t._commit(m, base)
+    m = t.manifest()
+    assert m["epoch_watermarks"] == {"s": 1}
+    assert set(m["applied_epochs"]) == {"s-003", "s-004"}
+    assert t.is_epoch_applied("s-003") and not t.is_epoch_applied("s-002")
+    # fill the gap: everything folds
+    base = t.current_version()
+    m = t.manifest(base)
+    m["operation"], m["epoch_id"], m["lineage"] = "merge", "s-002", []
+    m["applied_epochs"]["s-002"] = base + 1
+    t._commit(m, base)
+    m = t.manifest()
+    assert m["epoch_watermarks"] == {"s": 4} and m["applied_epochs"] == {}
+    assert t.n_applied_epochs() == 5
+    # non-parseable ids never fold but still count
+    base = t.current_version()
+    m = t.manifest(base)
+    m["operation"], m["epoch_id"], m["lineage"] = "merge", "adhoc", []
+    m["applied_epochs"]["adhoc"] = base + 1
+    t._commit(m, base)
+    assert t.is_epoch_applied("adhoc") and t.n_applied_epochs() == 6
+
+
+def test_fold_epochs_unit():
+    applied = {"j-000": 1, "j-001": 2, "j-002": 3, "j-007": 8, "x": 4}
+    folded, wms = _fold_epochs(applied, {})
+    assert wms == {"j": 2}
+    assert folded == {"j-007": 8, "x": 4}
+    # idempotent
+    again, wms2 = _fold_epochs(folded, wms)
+    assert again == folded and wms2 == wms
+
+
+def test_schema_evolution_survives_delta_chain(spark, tmp_path):
+    """A schema added mid-chain (delta record) must reconstruct for
+    later versions and for time travel before/after the evolution."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    t.merge(spark.createDataFrame([("a", [1], 1, "U")], BATCH_SCHEMA), epoch_id="e-0")
+    v_before = t.current_version()
+    wide = spark.createDataFrame(
+        [("b", [2], 2, "U", "web")],
+        "doc_id string, tokens array<int>, change_lsn long, op string, source string",
+    )
+    t.merge(wide, epoch_id="e-1")
+    t.merge(spark.createDataFrame([("c", [3], 3, "U")], BATCH_SCHEMA), epoch_id="e-2")
+    assert "source" in t.schema().fieldNames()
+    m_before = t.manifest(v_before)
+    before_schema = T.StructType.fromJson(
+        m_before["schemas"][str(m_before["schema_id"])]
+    )
+    assert "source" not in before_schema.fieldNames()
+    got = {r.doc_id: r.source for r in t.read(spark).collect()}
+    assert got == {"a": None, "b": "web", "c": None}
+
+
+# ----------------------------------------------------------------- O22
+
+
+def test_commit_conflict_retry_deterministic(spark, tmp_path, monkeypatch):
+    """Two writers race one table: writer B commits between writer A's
+    manifest read and A's commit. A must hit CommitConflict, retry
+    against the NEW base, and both batches must land — final state
+    equals the serial oracle."""
+    root = str(tmp_path / "t")
+    a, b = LakeTable(root), LakeTable(root)
+    a.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+
+    batch_a = spark.createDataFrame(
+        [("k1", [1], 10, "U"), ("k2", [2], 10, "U")], BATCH_SCHEMA
+    )
+    batch_b = spark.createDataFrame(
+        [("k2", [9], 20, "U"), ("k3", [3], 10, "U")], BATCH_SCHEMA
+    )
+
+    real_commit = LakeTable._commit
+    seen = {"conflicts": 0, "injected": False}
+
+    def racing_commit(self, m, base):
+        if self is a and not seen["injected"]:
+            seen["injected"] = True
+            b.merge(batch_b, epoch_id="race-b")  # steals version base+1
+        try:
+            return real_commit(self, m, base)
+        except CommitConflict:
+            seen["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(LakeTable, "_commit", racing_commit)
+    stats = a.merge(batch_a, epoch_id="race-a")
+    monkeypatch.setattr(LakeTable, "_commit", real_commit)
+
+    assert seen["conflicts"] >= 1, "no CommitConflict was ever raised"
+    assert stats.version == 3  # create + B's steal + A's retry
+    assert a.is_epoch_applied("race-a") and a.is_epoch_applied("race-b")
+
+    # serial oracle: same batches, no race
+    o = LakeTable(str(tmp_path / "oracle"))
+    o.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    o.merge(batch_b, epoch_id="race-b")
+    o.merge(batch_a, epoch_id="race-a")
+    got = {r.doc_id: (r.tokens, r.change_lsn) for r in a.read(spark).collect()}
+    want = {r.doc_id: (r.tokens, r.change_lsn) for r in o.read(spark).collect()}
+    assert got == want
+    assert got["k2"] == ([9], 20)  # LWW held across the retry
+
+
+def test_commit_conflict_threaded_writers(spark, tmp_path):
+    """Four concurrent writers, disjoint keys, one table: every writer
+    must eventually commit (retrying as needed) and the final state is
+    the union — no lost update, no double-apply."""
+    root = str(tmp_path / "t")
+    LakeTable(root).create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    errs = []
+
+    def work(w: int):
+        try:
+            t = LakeTable(root)
+            batch = spark.createDataFrame(
+                [(f"w{w}-{i}", [w, i], 1, "U") for i in range(5)], BATCH_SCHEMA
+            )
+            t.merge(batch, epoch_id=f"w{w}-000")
+        except Exception as e:  # noqa: BLE001
+            errs.append((w, e))
+
+    threads = [threading.Thread(target=work, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t = LakeTable(root)
+    assert t.current_version() == 5  # create + exactly one commit per writer
+    rows = t.read(spark).collect()
+    assert len(rows) == 20
+    assert {r.doc_id for r in rows} == {f"w{w}-{i}" for w in range(4) for i in range(5)}
+    for w in range(4):
+        assert t.is_epoch_applied(f"w{w}-000")
+
+
+def test_delta_records_are_actually_deltas_on_disk(spark, tmp_path):
+    """Guard the format itself: a mid-interval commit record on disk
+    must carry only the touched buckets, not the whole table."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=8)
+    t.merge(
+        spark.createDataFrame(
+            [(f"k{i}", [i], 1, "U") for i in range(40)], BATCH_SCHEMA
+        ),
+        epoch_id="e-0",
+    )  # seeds ~all 8 buckets
+    t.merge(spark.createDataFrame([("k1", [99], 2, "U")], BATCH_SCHEMA), epoch_id="e-1")
+    with open(t._version_path(3)) as f:
+        rec = json.load(f)
+    assert rec.get("delta") is True
+    assert "buckets" not in rec
+    assert len(rec["buckets_set"]) == 1  # only k1's bucket rewritten
+    # and the resolved view still sees every bucket
+    assert len(t.manifest()["buckets"]) == 8
+    assert t.read(spark).where("doc_id = 'k1'").collect()[0].tokens == [99]

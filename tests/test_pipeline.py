@@ -113,7 +113,7 @@ def test_byte_bounded_epochs(spark, tmp_path, changelog):
         cfg=IngestConfig(n_buckets=8, max_bytes_per_trigger=1),  # 1 byte -> 1 file/epoch
     )
     q.awaitTermination(timeout=300)
-    n_epochs = len(table.applied_epochs())
+    n_epochs = table.n_applied_epochs()
     assert n_epochs > 1, "byte bound did not split the log into multiple epochs"
     assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
 
