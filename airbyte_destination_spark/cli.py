@@ -98,9 +98,11 @@ def main(argv: list[str] | None = None) -> int:
             path = f.name
     else:
         path = args.input
-    result = Destination(spark, config).write(catalog, path)
-    for state_line in result.states:
-        sys.stdout.write(state_line + "\n")  # state echo (destination.go:417-420)
+    # state echo streams line-by-line (destination.go:417-420) — a
+    # state-heavy sync never buffers every STATE blob in the driver
+    result = Destination(spark, config).write(
+        catalog, path, on_state=lambda line: sys.stdout.write(line + "\n")
+    )
     _emit({"type": "LOG", "log": {"level": "INFO", "message": f"wrote {result.tables}"}})
     return 0
 

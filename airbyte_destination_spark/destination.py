@@ -37,6 +37,7 @@ from airbyte_destination_spark.operators.dedup import lww_reduce
 class WriteResult:
     tables: dict[str, int] = field(default_factory=dict)  # table -> rows written
     states: list[str] = field(default_factory=list)  # echoed state blobs (in order)
+    n_states: int = 0  # echoed count (states list is empty when streamed)
     quarantined: int = 0
     full_reset: bool = False  # all-overwrite + 0 records -> tables dropped
 
@@ -154,8 +155,17 @@ class Destination:
         catalog: P.ConfiguredCatalog,
         lines: DataFrame | str,
         sync_start_ms: int | None = None,
+        on_state=None,
     ) -> WriteResult:
-        """Apply one sync's NDJSON message stream to the warehouse."""
+        """Apply one sync's NDJSON message stream to the warehouse.
+
+        `on_state` (optional callable): when given, echoed STATE lines
+        stream through it one at a time (toLocalIterator pulls one
+        partition to the driver at a time) instead of accumulating in
+        WriteResult.states — a pathological state-heavy sync keeps the
+        driver's memory flat. Echo happens AFTER the data is applied,
+        preserving the reference's flush-before-state checkpoint
+        protocol (destination.go:403-420)."""
         spark = self.spark
         for s in catalog.streams:
             s.validate()
@@ -177,12 +187,8 @@ class Destination:
 
         records = _global_record_index(typed.where(F.col("type") == P.TYPE_RECORD))
         records = records.cache()
-        states = [
-            _echo_state(r["value"])
-            for r in typed.where(F.col("type") == P.TYPE_STATE).select("value").collect()
-        ]
 
-        result = WriteResult(states=states)
+        result = WriteResult()
         n_records = records.count()
         for s in catalog.streams:
             result.tables[s.table_name] = self._write_stream(s, records, sync_start_ms)
@@ -190,6 +196,18 @@ class Destination:
         base = getattr(records, "_cached_base", None)
         if base is not None:  # the index's _pid/_mid projection cache
             base.unpersist()
+
+        # STATE echo after the data landed (flush-before-state)
+        state_src = typed.where(F.col("type") == P.TYPE_STATE).select("value")
+        if on_state is not None:
+            for r in state_src.toLocalIterator():
+                on_state(_echo_state(r["value"]))
+                result.n_states += 1
+        else:
+            result.states = [
+                _echo_state(r["value"]) for r in state_src.collect()
+            ]
+            result.n_states = len(result.states)
 
         # Full-reset detection (destination.go:181-184,262-268): a sync
         # where EVERY stream is overwrite and ZERO records arrive is the

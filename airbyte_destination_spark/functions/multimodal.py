@@ -102,27 +102,43 @@ def extract_features(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            widths = np.empty(n, dtype=np.int32)
-            heights = np.empty(n, dtype=np.int32)
-            sums = []
-            feats = []
-            for i, content in enumerate(pdf["content"]):
-                b = bytes(content) if content is not None else b""
-                w, h, ck = _fake_decode(b)
-                widths[i], heights[i] = w, h
-                sums.append(ck)
-                # deterministic feature: first feature_dim bytes scaled
-                arr = np.frombuffer(b[:feature_dim].ljust(feature_dim, b"\0"), dtype=np.uint8)
-                feats.append((arr.astype(np.float32) / 255.0))
+            payloads = [
+                bytes(c) if c is not None else b"" for c in pdf["content"]
+            ]
+            # the sha256 itself is per-row by nature (hashlib has no
+            # batch API); everything derived from it is whole-array:
+            # digests concatenated once -> (n x 32) uint8 matrix, shape
+            # and checksum computed by vectorized slices instead of the
+            # round-1 per-row int(hex) parsing
+            digests = b"".join(hashlib.sha256(b).digest() for b in payloads)
+            dm = (
+                np.frombuffer(digests, dtype=np.uint8).reshape(n, 32).astype(np.int64)
+                if n
+                else np.empty((0, 32), dtype=np.int64)
+            )
+            widths = (16 + ((dm[:, 0] << 8 | dm[:, 1]) % 1024)).astype(np.int32)
+            heights = (16 + ((dm[:, 2] << 8 | dm[:, 3]) % 1024)).astype(np.int32)
+            sums = [d.tobytes().hex() for d in dm[:, :8].astype(np.uint8)]
+            # deterministic feature: first feature_dim bytes scaled —
+            # one frombuffer over the fixed-size padded slices
+            fbytes = b"".join(b[:feature_dim].ljust(feature_dim, b"\0") for b in payloads)
+            fmat = (
+                np.frombuffer(fbytes, dtype=np.uint8)
+                .reshape(n, feature_dim)
+                .astype(np.float32)
+                / 255.0
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "width": widths,
                     "height": heights,
-                    "n_bytes": pdf["content"].map(lambda c: len(c) if c is not None else 0),
+                    "n_bytes": np.fromiter(
+                        (len(b) for b in payloads), dtype=np.int32, count=n
+                    ),
                     "checksum": sums,
-                    "feature": feats,
+                    "feature": list(fmat),
                 }
             )
 

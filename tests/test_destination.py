@@ -234,3 +234,32 @@ def test_full_reset_drops_tables(spark, dest):
     result2 = dest.write(reset_catalog, _lines_df(spark, LINES[:2]))
     assert result2.full_reset is False
     assert dest._table(catalog.streams[0]).exists()
+
+
+def test_state_heavy_sync_streams_echo(spark, dest):
+    """A sync with 10^4 STATE lines: with `on_state`, echoes stream
+    through the callback (toLocalIterator pulls one partition at a
+    time) and NOTHING accumulates in WriteResult.states — the driver
+    never holds the full state set. Order and stats-echo semantics are
+    preserved, and the echo happens after the records landed
+    (flush-before-state)."""
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    lines = [_rec("airlines_ow", 1705379716, id=1, name="northern")]
+    lines += [
+        json.dumps(
+            {
+                "type": "STATE",
+                "state": {"id": n, "sourceStats": {"recordCount": 1.0}},
+            }
+        )
+        for n in range(10_000)
+    ]
+    got = []
+    result = dest.write(catalog, _lines_df(spark, lines), on_state=got.append)
+    assert result.states == []  # streamed, not accumulated
+    assert result.n_states == 10_000 and len(got) == 10_000
+    ids = [json.loads(s)["state"]["id"] for s in got]
+    assert ids == list(range(10_000))  # wire order preserved
+    first = json.loads(got[0])["state"]
+    assert first["destinationStats"] == {"recordCount": 1.0}
+    assert dest.read_table("airlines_ow").count() == 1
