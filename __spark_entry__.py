@@ -497,6 +497,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: end-to-end near-dup clustering — MinHash-LSH
+    candidates -> exact 3-gram Jaccard >= 0.8 verify -> connected
+    components (min-label propagation); cluster_id = smallest doc id
+    in the cluster (the keep-one dedup survivor)."""
+    from airbyte_destination_spark.functions.textdedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs_wide(spark, sf_dir), n_hashes=8, bands=4, threshold=0.8
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: 64-bit SimHash (md5-derived bit votes, bit-for-bit
     reproducible in the DuckDB oracle)."""
@@ -744,6 +756,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(docs, docs.where(F.col("doc_id") < 10), shingle_n=5)
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: PII pre-release scan — per-doc email/IPv4/phone
+    counts + md5 of the redacted text. Pure codegen regex over the
+    scan; zero shuffle."""
+    from airbyte_destination_spark.functions.text import pii_scan
+
+    return pii_scan(_docs_wide(spark, sf_dir))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -774,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -793,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "pii_scan": q_pii_scan,
         "contamination": q_contamination,
         "repetition_ratio": q_repetition_ratio,
     }
@@ -1314,6 +1337,59 @@ def oracle_sql() -> dict[str, str]:
             FROM capped l JOIN capped r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
+        "near_dup_clusters": f"""
+            -- same LSH candidate + Jaccard-verify pipeline as the
+            -- minhash_lsh_pairs / ngram_jaccard oracles, then connected
+            -- components as recursive min-reachability (cluster_id =
+            -- smallest doc id reachable in the verified-pair graph)
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 1, 8)), 'min') AS m0,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 9, 8)), 'min') AS m1,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 17, 8)), 'min') AS m2,
+                list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 25, 8)), 'min') AS m3,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 1, 8)), 'min') AS m4,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 9, 8)), 'min') AS m5,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 17, 8)), 'min') AS m6,
+                list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 25, 8)), 'min') AS m7
+              FROM sh
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig
+              UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+            ),
+            capped AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000
+            ),
+            cands AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM capped l JOIN capped r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+            ),
+            verified AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b
+              WHERE round(len(list_intersect(a.s, b.s))
+                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM verified
+              UNION SELECT doc_b, doc_a FROM verified
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        """,
         "simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),
@@ -1544,6 +1620,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
             FROM corpus JOIN probe USING (shingle)
             GROUP BY doc_id
+        """,
+        "pii_scan": r"""
+            -- same regex set as functions/text.py PII_*; DuckDB RE2 and
+            -- Java regex agree on this lookaround-free subset
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text,
+                '\+?\d[\d -]{7,}\d')) AS INT) AS n_phones,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+?\d[\d -]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+            FROM documents
         """,
         "vocab_topk": """
             SELECT word, CAST(count(*) AS BIGINT) AS freq

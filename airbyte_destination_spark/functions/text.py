@@ -211,3 +211,42 @@ def rolling_fingerprint(
         lambda acc, w: (acc * RH_BASE + wval(w)) % RH_MOD,
     )
     return df.withColumn(out_col, h)
+
+
+# regexes shared with the DuckDB oracle — keep them in the portable
+# subset of Java regex and RE2 (no lookarounds, no backrefs)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII pre-release scan: per-document counts of email addresses,
+    IPv4 literals, and phone-shaped numbers, plus the md5 of the
+    redacted text (emails -> <EMAIL>, then IPs -> <IP>, then phones ->
+    <PHONE>, in that order — the redaction a training-data release
+    applies before packing).
+
+    Pure regexp_count/regexp_replace expressions — whole-stage codegen,
+    scan-fused, zero shuffle; scales with the scan like the other
+    quality signals.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -262,3 +262,94 @@ def contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: every node's cluster id converges to the SMALLEST id
+    reachable from it (the canonical representative a near-dup dedup
+    keeps). Returns (node, cluster).
+
+    Scale shape: each iteration is one broadcast-free join of the edge
+    list against current labels plus one min-aggregate — O(E) shuffled
+    per iteration, O(diameter) iterations. Near-duplicate graphs are
+    overwhelmingly tiny cliques (diameter 1-2), so this converges in
+    2-3 rounds at any corpus size; `max_iters` bounds pathological
+    chains. The driver loop only ever sees a one-row convergence count
+    (control plane), never data. Deterministic: pure min-lattice
+    fixpoint, independent of partitioning or iteration interleaving.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        via_neighbors = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("node"), F.col("cluster"))
+        )
+        new_labels = (
+            labels.unionByName(via_neighbors)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
+            .where(F.col("cluster") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash-LSH candidates ->
+    exact n-gram Jaccard verification -> connected components. Returns
+    (doc_id, cluster_id) for every document in at least one verified
+    near-dup pair; cluster_id is the smallest doc id in the cluster
+    (the canonical survivor of keep-one dedup). Fully deterministic,
+    so the DuckDB oracle replays it with a recursive min-reachability
+    CTE over the same verified pairs.
+    """
+    cands = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes, bands=bands,
+        max_bucket=max_bucket,
+    )
+    verified = ngram_jaccard_pairs(
+        df, cands, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    return connected_components(verified).select(
+        F.col("node").alias(id_col), F.col("cluster").alias("cluster_id")
+    )

@@ -244,3 +244,54 @@ def test_ivf_kmeans_recall_on_clustered_corpus(spark):
     # determinism: retraining reproduces identical centroids
     _, cm2 = kmeans_centroids(emb, n_cells=8, iters=3)
     assert cm == cm2
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b and b~c (but no a~c edge) must land in ONE cluster labeled by
+    the smallest member; disjoint pairs stay separate; convergence is
+    reached via propagation, not direct edges."""
+    from airbyte_destination_spark.functions.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    """Identical and near-identical docs cluster under the smallest id;
+    unique docs are absent from the output."""
+    from airbyte_destination_spark.functions.textdedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (5, base),                      # exact dup of 1
+        (3, base + " extra"),           # near dup of 1/5
+        (7, "completely different text about spark scaling and shuffles here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, threshold=0.5).collect()}
+    assert got[1] == 1 and got[5] == 1 and got[3] == 1
+    assert 7 not in got
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from airbyte_destination_spark.functions.text import pii_scan
+
+    rows = [
+        (1, "mail me at a.b+c@example.org or root@10.0.0.1 cluster at 192.168.0.12"),
+        (2, "call +1 415 555 0100 or 020-7946-0958 now"),
+        (3, "clean text, no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_ipv4 >= 1
+    assert got[2].n_phones == 2
+    assert got[3].n_emails == got[3].n_ipv4 == got[3].n_phones == 0
+    # redaction changes the hash only when something was redacted
+    import hashlib
+    assert got[3].redacted_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+    assert got[1].redacted_md5 != hashlib.md5(rows[0][1].encode()).hexdigest()
