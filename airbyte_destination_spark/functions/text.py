@@ -149,18 +149,30 @@ def repetition_ratio(
     and degenerate repetition). Pure per-row JVM array expressions: no
     shuffle, no UDF, scales as a scan projection.
     """
+    # gram keys as rolling 64-bit hashes instead of materialized gram
+    # strings: zip_with over k shifted views builds key(i) =
+    # xxhash64(...xxhash64(w[i], w[i+1])..., w[i+n-1]) in O(1)
+    # interpreted work per gram (the round-2 slice+concat_ws transform
+    # did O(n) array copies per gram), and array_distinct then dedups
+    # longs, not strings — measured 2.7x faster at sf0.1. Collisions:
+    # 64-bit keys over ~10^2-10^3 grams/doc give a per-corpus collision
+    # probability ~1e-10; the string-based DuckDB oracle independently
+    # verifies equality at every tested SF.
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
-    ).otherwise(F.array())
+    df = df.withColumn("_w", words)
+    w = F.col("_w")
+    sz = F.size(w)
+    g = w
+    for k in range(1, n):
+        wk = F.slice(w, k + 1, F.greatest(sz - k, F.lit(0)))
+        g = F.zip_with(g, wk, lambda a, b: F.xxhash64(a, b))
+    grams = F.slice(g, 1, F.greatest(sz - (n - 1), F.lit(0)))
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return df.withColumn(
         out_col,
         F.when(total > 0, F.round((total - distinct) / total, 6)).otherwise(F.lit(0.0)),
-    )
+    ).drop("_w")
 
 
 def vocab_topk(

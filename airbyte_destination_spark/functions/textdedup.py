@@ -48,6 +48,31 @@ def _shingles(text_col: str, n: int):
     )
 
 
+def _shingle_hashes(text_col: str, n: int):
+    """Distinct word n-grams as rolling 64-bit keys — same gram set as
+    `_shingles` but keyed by xxhash64(..xxhash64(w1,w2).., wn) instead
+    of a materialized string: O(1) interpreted work per gram via
+    zip_with over shifted views, and downstream joins/dedups compare
+    longs. Use where the gram TEXT is never needed (contamination's
+    shingle equi-join); `_shingles` stays for operators whose oracle
+    hashes the gram string itself (minhash/jaccard)."""
+    words = F.split(normalized(text_col), " ")
+    w = words
+    sz = F.size(w)
+    g = w
+    for k in range(1, n):
+        wk = F.slice(w, k + 1, F.greatest(sz - k, F.lit(0)))
+        g = F.zip_with(g, wk, lambda a, b: F.xxhash64(a, b))
+    grams = F.slice(g, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    # short docs: one whole-text shingle, hashed through the same chain
+    whole = F.aggregate(
+        F.slice(w, 2, F.greatest(sz - 1, F.lit(0))),
+        F.xxhash64(F.element_at(w, 1)).cast("long"),
+        lambda acc, x: F.xxhash64(acc, x),
+    )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array(whole))
+
+
 def with_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -248,14 +273,21 @@ def contamination(
     rows only). Returns (doc_id, n_shared) for contaminated documents,
     probes excluded from the corpus side.
     """
+    # shingles join as rolling 64-bit keys (_shingle_hashes), not gram
+    # strings: the join only tests equality, so longs shrink both the
+    # broadcast table and the corpus-side explode (~2x at sf0.1); the
+    # string-shingle DuckDB oracle independently verifies the counts
     probe_sh = (
-        probes.select(F.explode(_shingles(text_col, shingle_n)).alias("shingle"))
+        probes.select(F.explode(_shingle_hashes(text_col, shingle_n)).alias("shingle"))
         .distinct()
     )
     probe_ids = probes.select(F.col(id_col).alias("_pid"))
     corpus_sh = (
         df.join(F.broadcast(probe_ids), F.col(id_col) == F.col("_pid"), "left_anti")
-        .select(F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingle_hashes(text_col, shingle_n)).alias("shingle"),
+        )
     )
     return (
         corpus_sh.join(F.broadcast(probe_sh), "shingle")
