@@ -284,7 +284,10 @@ class LakeTable:
         for v in range(1, self.current_version() + 1):
             # per-commit scalars live verbatim in every record (delta or
             # full) — raw reads keep history O(versions), not O(v * K)
-            m = self._read_raw(v)
+            try:
+                m = self._read_raw(v)
+            except FileNotFoundError:  # expired by expire_snapshots
+                continue
             out.append(
                 {
                     "version": v,
@@ -299,7 +302,10 @@ class LakeTable:
         """All lineage rows across history: one per (commit, bucket)."""
         rows = []
         for v in range(1, self.current_version() + 1):
-            rows.extend(self._read_raw(v).get("lineage", []))
+            try:
+                rows.extend(self._read_raw(v).get("lineage", []))
+            except FileNotFoundError:  # expired by expire_snapshots
+                continue
         return rows
 
     # ------------------------------------------------------------- commit
@@ -517,6 +523,71 @@ class LakeTable:
                 if attempt == 4:
                     raise
         raise CommitConflict("unreachable")
+
+    def expire_snapshots(self, keep_last: int = 100) -> dict:
+        """Snapshot expiry (the other half of the Iceberg answer to
+        metadata growth, next to delta manifests): retire history older
+        than the last `keep_last` versions and garbage-collect data
+        files no retained version references.
+
+        The expiry BOUNDARY is the newest FULL checkpoint manifest at or
+        below (current - keep_last): delta records chain off their
+        parent, so everything >= that checkpoint stays reconstructable
+        while commit records strictly below it are deleted. Referenced
+        data files are accumulated in ONE incremental walk of the
+        retained chain (the boundary's resolved file lists, plus every
+        later delta's buckets_set) — O(retained) work, no Spark jobs.
+        Time travel below the boundary raises afterwards, exactly like
+        Iceberg's expire_snapshots. Returns a summary dict.
+
+        Concurrency: safe next to readers of retained versions and
+        appends of new ones (only strictly-older immutable files are
+        removed); do not run two expiries at once.
+        """
+        cur = self.current_version()
+        if cur == 0:
+            return {"expired_versions": 0, "deleted_files": 0, "boundary": 0}
+        cutoff = max(cur - keep_last, 1)
+        boundary = None
+        for v in range(cutoff, 0, -1):
+            if not self._read_raw(v).get("delta"):
+                boundary = v
+                break
+        if boundary is None or boundary <= 1:
+            return {"expired_versions": 0, "deleted_files": 0, "boundary": boundary or 1}
+
+        # one incremental walk: every data path any retained version uses
+        referenced: set[str] = set()
+        m = self._resolved(boundary)
+        for files in m["buckets"].values():
+            referenced.update(e["path"] for e in files)
+        for v in range(boundary + 1, cur + 1):
+            raw = self._read_raw(v)
+            src = raw.get("buckets_set") if raw.get("delta") else raw.get("buckets", {})
+            for files in (src or {}).values():
+                referenced.update(e["path"] for e in files)
+        referenced_snaps = {p.split(os.sep)[1] for p in referenced if p.startswith("data")}
+
+        expired = 0
+        for v in range(1, boundary):
+            try:
+                os.remove(self._version_path(v))
+                expired += 1
+            except FileNotFoundError:
+                pass
+            self._mcache.pop(v, None)
+        deleted = 0
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for snap in os.listdir(data_dir):
+                if snap not in referenced_snaps:
+                    shutil.rmtree(os.path.join(data_dir, snap), ignore_errors=True)
+                    deleted += 1
+        return {
+            "expired_versions": expired,
+            "deleted_files": deleted,  # snapshot dirs removed
+            "boundary": boundary,
+        }
 
     def _read_buckets(
         self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType

@@ -280,3 +280,60 @@ def test_delta_records_are_actually_deltas_on_disk(spark, tmp_path):
     # and the resolved view still sees every bucket
     assert len(t.manifest()["buckets"]) == 8
     assert t.read(spark).where("doc_id = 'k1'").collect()[0].tokens == [99]
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """Expiry retires commit records below the newest full checkpoint at
+    or under (current - keep_last) and GCs unreferenced data snapshot
+    dirs; retained versions — including time travel back to the
+    boundary — stay fully readable."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    # 70 metadata-only epochs with realistic file-list churn: every
+    # commit replaces one bucket's file list (old entries unreferenced)
+    for i in range(70):
+        base = t.current_version()
+        m = t.manifest(base)
+        bb = str(i % 4)
+        snap = f"snap-{base + 1:08d}-x"
+        # materialize a real (empty) file so GC has something to delete
+        d = tmp_path / "t" / "data" / snap / f"_b={bb}"
+        d.mkdir(parents=True)
+        (d / "part.parquet").write_bytes(b"")
+        m["buckets"][bb] = [
+            {"path": f"data/{snap}/_b={bb}/part.parquet",
+             "schema_id": m["schema_id"], "cv": base + 1}
+        ]
+        m["operation"], m["epoch_id"], m["lineage"] = "merge", f"e-{i:06d}", []
+        m["applied_epochs"][m["epoch_id"]] = base + 1
+        t._commit(m, base)
+
+    cur = t.current_version()
+    before_versions = len(list((tmp_path / "t" / "_meta").glob("version-*.json")))
+    before_snaps = len(list((tmp_path / "t" / "data").iterdir()))
+    state_before = t.manifest()["buckets"]
+
+    res = t.expire_snapshots(keep_last=10)
+    assert res["boundary"] == _CHECKPOINT_INTERVAL * ((cur - 10) // _CHECKPOINT_INTERVAL)
+    after_versions = len(list((tmp_path / "t" / "_meta").glob("version-*.json")))
+    after_snaps = len(list((tmp_path / "t" / "data").iterdir()))
+    assert res["expired_versions"] == res["boundary"] - 1
+    assert after_versions == before_versions - res["expired_versions"]
+    assert after_snaps < before_snaps  # unreferenced snap dirs GC'd
+
+    # current state unchanged; cold-cache handle agrees; exactly-once intact
+    t2 = LakeTable(str(tmp_path / "t"))
+    assert t2.manifest()["buckets"] == state_before
+    assert t2.is_epoch_applied("e-000000") and t2.is_epoch_applied("e-000069")
+    # time travel works at/above the boundary, raises below
+    assert t2.manifest(res["boundary"]) is not None
+    assert t2.manifest(res["boundary"] + 3) is not None
+    with pytest.raises(FileNotFoundError):
+        t2._resolved(res["boundary"] - 1)
+    # every file referenced by retained versions still exists
+    for files in t2.manifest()["buckets"].values():
+        for e in files:
+            assert (tmp_path / "t" / e["path"]).exists()
+    # history() tolerates the expired prefix
+    hist = t2.history()
+    assert hist[0]["version"] == res["boundary"] and hist[-1]["version"] == cur
