@@ -236,7 +236,7 @@ class LakeTable:
         self._mcache[v] = raw
         if len(self._mcache) > 8:  # keep the recent tail only
             for old in sorted(self._mcache)[:-4]:
-                del self._mcache[old]
+                self._mcache.pop(old, None)  # tolerant of racing threads
         return raw
 
     def manifest(self, version: int | None = None) -> dict:
