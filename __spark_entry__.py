@@ -249,6 +249,21 @@ def q_cdc_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC OUT: the change data feed between the first epoch's snapshot
+    and the final one — net insert/update/delete per key (a key that
+    appears and dies inside the window emits nothing). The oracle
+    recomputes both LWW states in SQL and classifies the diff."""
+    table, versions, _ = _engine_replay(spark, sf_dir, "cow")
+    return table.table_changes(spark, v_from=versions[0]).select(
+        "doc_key",
+        "change_type",
+        F.col("change_lsn").alias("lsn"),
+        "event_type",
+        "value",
+    )
+
+
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2: Airbyte wire-envelope parse. NDJSON lines are constructed
     by string concatenation (identically in the oracle — to_json key
@@ -780,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
+        "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
         "enrich_raw_id": q_enrich_raw_id,
         "route_stream_counts": q_route_stream_counts,
@@ -1144,6 +1160,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_key, change_lsn AS last_lsn, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_engine_changefeed": """
+            -- visible LWW state after batch 0 (A) vs after full replay
+            -- (B); net diff classified insert/update/delete
+            WITH bounds AS (
+              SELECT min(event_id) AS lo,
+                     CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+              FROM events
+            ), log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), a AS (
+              SELECT doc_key, change_lsn, event_type, value FROM (
+                SELECT l.*, row_number() OVER (PARTITION BY doc_key
+                                               ORDER BY change_lsn DESC) AS rn
+                FROM log l, bounds WHERE change_lsn < lo + step
+              ) WHERE rn = 1 AND op <> 'D'
+            ), b AS (
+              SELECT doc_key, change_lsn, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_key
+                                             ORDER BY change_lsn DESC) AS rn
+                FROM log
+              ) WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT coalesce(b.doc_key, a.doc_key) AS doc_key,
+                   CASE WHEN a.doc_key IS NULL THEN 'insert'
+                        WHEN b.doc_key IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   CASE WHEN b.doc_key IS NULL THEN a.change_lsn
+                        ELSE b.change_lsn END AS lsn,
+                   CASE WHEN b.doc_key IS NULL THEN a.event_type
+                        ELSE b.event_type END AS event_type,
+                   CASE WHEN b.doc_key IS NULL THEN a.value
+                        ELSE b.value END AS value
+            FROM b FULL OUTER JOIN a ON a.doc_key = b.doc_key
+            WHERE a.doc_key IS NULL OR b.doc_key IS NULL
+               OR a.change_lsn <> b.change_lsn
         """,
         "cdc_engine_lineage": """
             WITH bounds AS (

@@ -460,6 +460,69 @@ class LakeTable:
         pruned = self._resolve(spark, m, buckets, schema)
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
 
+    def table_changes(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change data feed (Iceberg/Delta CDF analogue): the net row
+        changes between snapshot `v_from` and snapshot `v_to` (default:
+        current). Emits one row per key whose VISIBLE state changed:
+
+            change_type = 'insert'  key absent (or deleted) at v_from,
+                                    present at v_to — payload = post
+            change_type = 'update'  present in both, version advanced —
+                                    payload = post
+            change_type = 'delete'  present at v_from, gone at v_to —
+                                    payload = pre (the last-seen row)
+
+        NET semantics (like Iceberg CDF between non-adjacent snapshots):
+        a key inserted and deleted inside the window emits nothing.
+
+        Plan shape: two snapshot reads full-outer-joined on the key —
+        both sides hash-partition on the same key columns, one exchange
+        each, no broadcast of table-sized data; with a version column
+        the changed-row test compares versions only (LWW invariant: one
+        (key, version) is one row), so payload columns never widen the
+        join condition.
+        """
+        m = self.manifest(v_to)
+        key_cols = m["key_cols"]
+        ver = m["version_col"]
+        after = self.read(spark, version=v_to)
+        before = self.read(spark, version=v_from)
+        cols = after.columns
+        af = after.select([F.col(c).alias(f"a_{c}") for c in cols])
+        bf = before.select([F.col(c).alias(f"b_{c}") for c in cols])
+        cond = None
+        for k in key_cols:
+            e = af[f"a_{k}"].eqNullSafe(bf[f"b_{k}"])
+            cond = e if cond is None else (cond & e)
+        j = af.join(bf, cond, "full_outer")
+        is_ins = F.col(f"b_{key_cols[0]}").isNull()
+        is_del = F.col(f"a_{key_cols[0]}").isNull()
+        if ver is not None:
+            differs = F.col(f"a_{ver}") != F.col(f"b_{ver}")
+        else:
+            payload = [c for c in cols if c not in key_cols]
+            differs = F.xxhash64(*[F.col(f"a_{c}") for c in payload]) != F.xxhash64(
+                *[F.col(f"b_{c}") for c in payload]
+            )
+        out_cols = [
+            F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k) for k in key_cols
+        ]
+        out_cols.append(
+            F.when(is_ins, F.lit("insert"))
+            .when(is_del, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type")
+        )
+        for c in cols:
+            if c in key_cols:
+                continue
+            out_cols.append(
+                F.when(is_del, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(c)
+            )
+        return j.where(is_ins | is_del | differs).select(*out_cols)
+
     def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
         """Fold MOR delta files (and small-file buildup generally):
         rewrite every bucket holding >= min_files files as one reduced

@@ -119,3 +119,47 @@ def test_lineage_rows(spark, table):
     assert all(r["epoch_id"] == "e0" for r in rows)
     assert min(r["lsn_min"] for r in rows) == 5
     assert max(r["lsn_max"] for r in rows) == 7
+
+
+def test_table_changes_net_semantics(spark, tmp_table_root):
+    """CDF between snapshots: insert/update/delete classified on the
+    visible state diff; a key that appears AND dies inside the window
+    emits nothing (net semantics); payload is post-image except for
+    deletes (pre-image)."""
+    from pyspark.sql import types as T
+
+    t = LakeTable(tmp_table_root)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("change_lsn", T.LongType(), False),
+        ]
+    )
+    bs = "doc_id string, tokens array<int>, change_lsn long, op string"
+    t.create(schema, ["doc_id"], "change_lsn", n_buckets=4)
+    v0 = t.merge(
+        spark.createDataFrame(
+            [("keep", [1], 1, "I"), ("upd", [2], 2, "I"), ("gone", [3], 3, "I")], bs
+        ),
+        epoch_id="w-0",
+    ).version
+    t.merge(
+        spark.createDataFrame(
+            [("upd", [9], 10, "U"), ("gone", None, 11, "D"),
+             ("new", [4], 12, "I"), ("flash", [5], 13, "I")], bs
+        ),
+        epoch_id="w-1",
+    )
+    t.merge(spark.createDataFrame([("flash", None, 14, "D")], bs), epoch_id="w-2")
+
+    got = {r.doc_id: r for r in t.table_changes(spark, v_from=v0).collect()}
+    assert set(got) == {"upd", "gone", "new"}  # keep unchanged, flash net-zero
+    assert got["new"].change_type == "insert" and got["new"].tokens == [4]
+    assert got["upd"].change_type == "update" and got["upd"].tokens == [9]
+    assert got["gone"].change_type == "delete" and got["gone"].tokens == [3]
+    assert got["gone"].change_lsn == 3  # pre-image for deletes
+    # explicit v_to: window ending before the flash delete sees it alive
+    vs = [h["version"] for h in t.history() if h["operation"] == "merge"]
+    mid = t.table_changes(spark, v_from=v0, v_to=vs[1])
+    assert {r.doc_id for r in mid.collect()} == {"upd", "gone", "new", "flash"}
