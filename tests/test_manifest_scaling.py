@@ -337,3 +337,47 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # history() tolerates the expired prefix
     hist = t2.history()
     assert hist[0]["version"] == res["boundary"] and hist[-1]["version"] == cur
+
+
+def test_fold_epochs_property():
+    """Hypothesis: for ANY sequence of (prefix, suffix) applications in
+    ANY order, folding preserves exact membership — every applied epoch
+    tests True, every unapplied tests False — and folded size is
+    bounded by the out-of-order tail."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from airbyte_destination_spark.lake.table import _epoch_applied, _fold_epochs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c-x"]), st.integers(0, 30)),
+            max_size=60,
+        )
+    )
+    def prop(applies):
+        applied, wms = {}, {}
+        seen = set()
+        for i, (prefix, suffix) in enumerate(applies):
+            eid = f"{prefix}-{suffix:03d}"
+            m = {"applied_epochs": applied, "epoch_watermarks": wms}
+            if _epoch_applied(m, eid):
+                assert eid in seen  # no false positives, ever
+                continue
+            seen.add(eid)
+            applied = dict(applied)
+            applied[eid] = i
+            applied, wms = _fold_epochs(applied, wms)
+        m = {"applied_epochs": applied, "epoch_watermarks": wms}
+        for prefix, suffix in applies:
+            assert _epoch_applied(m, f"{prefix}-{suffix:03d}")
+        for prefix in ("a", "b", "c-x", "zzz"):
+            assert not _epoch_applied(m, f"{prefix}-{31:03d}")
+        # boundedness: explicit map holds only above-watermark entries
+        for k in applied:
+            from airbyte_destination_spark.lake.table import _split_epoch
+            p, s = _split_epoch(k)
+            assert s > wms.get(p, -1)
+
+    prop()
