@@ -206,10 +206,18 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
     seed = spark.read.parquet(seed_dir)
     timed = spark.read.schema(seed.schema).parquet(timed_dir)
     Path(sync_dir, f"ready-{cores}").write_text("1")
+    pending_cleanup = None
     for i in range(n_rounds):
         go = Path(sync_dir, f"go-{cores}-{i}")
         while not go.exists():
             time.sleep(0.05)
+        if pending_cleanup:
+            # deleting the previous round's multi-GB shm table is
+            # DEFERRED to the start of our NEXT turn: doing it right
+            # after `done` ran it concurrently with the OTHER worker's
+            # timed reps (kernel shm teardown stole its cores — every
+            # observed eps collapse was the second-in-order worker)
+            shutil.rmtree(pending_cleanup, ignore_errors=True)
         tdir = os.path.join(work, f"t{i}")
         table = LakeTable(tdir)
         apply_change_batch(table, seed, "seed", cfg)
@@ -236,7 +244,7 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
                         "eps": round(ev / el, 1), "loadavg_before": load,
                         "reps": [round(x, 3) for x in reps]})
         )
-        shutil.rmtree(tdir, ignore_errors=True)
+        pending_cleanup = tdir
     shutil.rmtree(work, ignore_errors=True)
 
 
@@ -439,7 +447,40 @@ def main() -> None:
             cwd=str(Path(__file__).parent),
         )
         cdc = json.loads(Path(cdc_out).read_text())
+    # ---- merge-on-read variant (O(batch) ingest + explicit compaction),
+    # BEFORE scaling: it reuses the cdc phase's change log and the warm
+    # query session; running it last kept getting budget-starved
+    _phase("mor start")
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
+
+    mor = None
+    if workdir is not None and not _over_budget():
+        mor_work = _scratch("bench-mor-")
+        mor_table = LakeTable(os.path.join(mor_work, "t"))
+        mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
+        mor_dirs = sorted(str(p) for p in Path(f"{workdir}/log").glob("batch-*"))
+        t0 = time.time()
+        for i, d in enumerate(mor_dirs):
+            apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
+        mor_apply = time.time() - t0
+        t0 = time.time()
+        mor_table.compact(spark)
+        mor_compact = time.time() - t0
+        mor = {
+            "events": BENCH_EVENTS,
+            "apply_sec": round(mor_apply, 3),
+            "compact_sec": round(mor_compact, 3),
+            "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
+            "events_per_sec_with_compact": round(
+                BENCH_EVENTS / (mor_apply + mor_compact), 1
+            ),
+        }
+        shutil.rmtree(mor_work, ignore_errors=True)
+    if workdir is not None:
+        shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
+
 
     # ---- scaling: identical paired jobs at N vs 4N pinned cores
     _phase("scaling start")
@@ -479,38 +520,6 @@ def main() -> None:
             n_small, scale_events, warm_rounds=warm_rounds, n_measured=3
         )
 
-    # ---- merge-on-read variant (O(batch) ingest + explicit compaction),
-    # AFTER scaling: scaling efficiency is the graded target, so it gets
-    # the remaining budget first
-    _phase("mor start")
-    from airbyte_destination_spark.lake import LakeTable
-    from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
-
-    mor = None
-    if workdir is not None and not _over_budget():
-        spark = get_spark(app_name="bench-mor", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-        mor_work = _scratch("bench-mor-")
-        mor_table = LakeTable(os.path.join(mor_work, "t"))
-        mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
-        mor_dirs = sorted(str(p) for p in Path(f"{workdir}/log").glob("batch-*"))
-        t0 = time.time()
-        for i, d in enumerate(mor_dirs):
-            apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
-        mor_apply = time.time() - t0
-        t0 = time.time()
-        mor_table.compact(spark)
-        mor_compact = time.time() - t0
-        mor = {
-            "events": BENCH_EVENTS,
-            "apply_sec": round(mor_apply, 3),
-            "compact_sec": round(mor_compact, 3),
-            "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
-            "events_per_sec_with_compact": round(
-                BENCH_EVENTS / (mor_apply + mor_compact), 1
-            ),
-        }
-        shutil.rmtree(mor_work, ignore_errors=True)
-        spark.stop()
     if workdir is not None:
         shutil.rmtree(workdir, ignore_errors=True)
 
