@@ -780,6 +780,51 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(_docs_wide(spark, sf_dir))
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP training-data curation: the end-to-end filter a corpus
+    release runs, composed from the individual operators — keep docs
+    that are (1) English by stopword language-ID, (2) above a stopword-
+    ratio quality floor, (3) below the Gopher duplicate-3-gram ceiling,
+    (4) not sharing a 5-gram with the eval probes (doc_id < 10), and
+    (5) not a non-canonical member of a MinHash-LSH near-dup cluster.
+    Every stage is scan-parallel or bucket-bounded; the composition
+    adds only key-joins on doc_id."""
+    from airbyte_destination_spark.functions.text import (
+        lang_id,
+        quality_features,
+        repetition_ratio,
+    )
+    from airbyte_destination_spark.functions.textdedup import (
+        contamination,
+        near_dup_clusters,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    li = lang_id(docs).select("doc_id", "lang_pred")
+    qs = quality_features(docs).select("doc_id", "stopword_ratio")
+    rr = repetition_ratio(docs).select("doc_id", "dup_ngram_frac")
+    cont = contamination(docs, docs.where(F.col("doc_id") < 10), shingle_n=5).select(
+        "doc_id"
+    )
+    dupes = (
+        near_dup_clusters(docs, n_hashes=8, bands=4, threshold=0.8)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(li, "doc_id")
+        .where(F.col("lang_pred") == "en")
+        .join(qs, "doc_id")
+        .where(F.col("stopword_ratio") >= 0.03)
+        .join(rr, "doc_id")
+        .where(F.col("dup_ngram_frac") <= 0.2)
+        .join(cont, "doc_id", "left_anti")
+        .join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "stopword_ratio", "dup_ngram_frac")
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -832,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "pii_scan": q_pii_scan,
+        "curate": q_curate,
         "contamination": q_contamination,
         "repetition_ratio": q_repetition_ratio,
     }
@@ -1118,6 +1164,123 @@ SELECT media_id, kind,
        substr(h, 1, 16) AS checksum
 FROM d
 """
+
+def _curate_oracle() -> str:
+    """Composes the lang-ID, quality, repetition, contamination and
+    near-dup-cluster oracles into the one curation filter (thresholds
+    mirror q_curate)."""
+    sh5 = (
+        _shingles_cte(n=5)
+        .replace("norm AS", "norm5 AS")
+        .replace("sh AS", "sh5 AS")
+        .replace("FROM norm", "FROM norm5")
+    )
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 1, 8)), 'min') AS m0,
+    list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 9, 8)), 'min') AS m1,
+    list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 17, 8)), 'min') AS m2,
+    list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 25, 8)), 'min') AS m3,
+    list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 1, 8)), 'min') AS m4,
+    list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 9, 8)), 'min') AS m5,
+    list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 17, 8)), 'min') AS m6,
+    list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 25, 8)), 'min') AS m7
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+capped AS (
+  SELECT * FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM capped l JOIN capped r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b
+  WHERE round(len(list_intersect(a.s, b.s))
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+dupes AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+),{sh5},
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM
+    (SELECT doc_id, unnest(s) AS shingle FROM sh5 WHERE doc_id >= 10) c
+    JOIN (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id < 10) p
+      USING (shingle)
+),
+lw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+lh AS (
+  SELECT doc_id,
+    len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en,
+    len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de,
+    len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr,
+    len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','en','para','por'))) AS es
+  FROM lw
+),
+lang AS (
+  SELECT doc_id FROM lh
+  WHERE greatest(en,de,fr,es) > 0 AND en = greatest(en,de,fr,es)
+),
+qual AS (
+  -- quality_features' stopword_ratio uses the full 10-word en list
+  SELECT doc_id,
+         round(len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the','a','of','and','to','in','is','that','it','for')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+  FROM documents
+),
+wr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS grams
+  FROM wr
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN round((len(grams) - len(list_distinct(grams)))
+                         / CAST(len(grams) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_ngram_frac
+  FROM gr
+)
+SELECT d.doc_id, q.stopword_ratio, r.dup_ngram_frac
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id AND q.stopword_ratio >= 0.03
+JOIN rep r ON r.doc_id = d.doc_id AND r.dup_ngram_frac <= 0.2
+LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+LEFT JOIN dupes dp ON dp.doc_id = d.doc_id
+WHERE ct.doc_id IS NULL AND dp.doc_id IS NULL
+"""
+
 
 _LWW_SQL = """
 WITH log AS (
@@ -1445,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
         """,
+        "curate": _curate_oracle(),
         "simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),

@@ -482,31 +482,19 @@ def main() -> None:
     spark.stop()
 
 
-    # ---- scaling: identical paired jobs at N vs 4N pinned cores
+    # ---- scaling: identical paired jobs at N vs 4N pinned cores.
+    # BOTH phases always run (bounded: each breaks after >=2 measured
+    # rounds once over budget) — the 8->32 headline first, then the
+    # low-range 2->8 plan-scalability evidence (below ~12 busy cores
+    # this box's memory bandwidth is NOT saturated, BASELINE.md probes,
+    # so that phase isolates PLAN scalability from the machine wall).
+    # An earlier layout gated both phases on the budget and one
+    # heavy-steal day produced scaling=null in the headline JSON.
     _phase("scaling start")
     scaling = None
     scaling_low = None
-    if not args.skip_scaling and not _over_budget():
-        # LOW-RANGE phase first (2 -> 8 cores, small log): below ~12
-        # busy cores this box's memory bandwidth is NOT saturated
-        # (BASELINE.md probes), so this phase isolates PLAN scalability
-        # from the machine wall — it is the evidence for the >=0.8
-        # N->4N criterion. The 8->32 phase below then reports absolute
-        # throughput at full width plus the measured single-box ceiling.
-        if os.environ.get("SPARK_GRAFT_SCALE_LOW", "1") == "1":
-            scaling_low = _run_scaling(
-                int(os.environ.get("SPARK_GRAFT_SCALE_LOW_SMALL", "2")),
-                # 2M events -> the 8-core timed rep runs ~3.5s, safely
-                # above the ~2s per-job latency floor; at 1M it dropped
-                # under the floor and suppressed the measured ratio
-                int(os.environ.get("SPARK_GRAFT_SCALE_LOW_EVENTS", "2000000")),
-                warm_rounds=1,  # startup warm (6 applies at <=4 cores) +
-                n_measured=3,   # rep0 discard carry the JIT load
-            )
-    if not args.skip_scaling and not _over_budget():
+    if not args.skip_scaling:
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "8"))
-        # adapt the scaling workload to whatever budget the earlier
-        # phases left — partial scaling evidence beats none
         elapsed = time.time() - _T_START
         scale_events = SCALE_EVENTS
         warm_rounds = SCALE_WARM_ROUNDS
@@ -519,9 +507,16 @@ def main() -> None:
         scaling = _run_scaling(
             n_small, scale_events, warm_rounds=warm_rounds, n_measured=3
         )
-
-    if workdir is not None:
-        shutil.rmtree(workdir, ignore_errors=True)
+        if os.environ.get("SPARK_GRAFT_SCALE_LOW", "1") == "1":
+            scaling_low = _run_scaling(
+                int(os.environ.get("SPARK_GRAFT_SCALE_LOW_SMALL", "2")),
+                # 2M events -> the 8-core timed rep runs ~3.5s, safely
+                # above the ~2s per-job latency floor; at 1M it dropped
+                # under the floor and suppressed the measured ratio
+                int(os.environ.get("SPARK_GRAFT_SCALE_LOW_EVENTS", "2000000")),
+                warm_rounds=1,  # startup warm (6 applies at <=4 cores) +
+                n_measured=3,   # rep0 discard carry the JIT load
+            )
 
     out = {
         "metric": "cdc_apply_events_per_sec",
