@@ -8,7 +8,9 @@ exprs) -> last-writer-wins reduce (salted window) -> LakeTable.merge
 
 Exactly-once: every micro-batch carries a deterministic epoch id; the
 merge is a no-op when the table snapshot already records that epoch
-(LakeTable.applied_epochs). Structured Streaming's checkpoint gives
+(LakeTable.is_epoch_applied — explicit map plus folded per-prefix
+watermarks, so markers stay O(1) over 10^5 epochs). Structured
+Streaming's checkpoint gives
 resume; the epoch marker makes re-delivered batches idempotent — the
 flush-before-state-echo protocol of the reference (destination.go:403-420)
 upgraded from at-least-once to exactly-once.
