@@ -711,6 +711,41 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{work}/out")
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup (dropDuplicatesWithinWatermark) run to
+    completion under availableNow: each user_id's first occurrence
+    passes, later ones are dropped by watermark-bounded keyed state.
+    Output projected to the key alone, so the result is deterministic
+    (= batch DISTINCT) regardless of which physical row arrived first."""
+    import tempfile
+
+    from airbyte_destination_spark.streaming.stateful import dedup_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    work = tempfile.mkdtemp(prefix="dedup-stream-")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100000")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    q = (
+        dedup_stream(stream, ["user_id"])
+        .select("user_id")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("dedup stream did not finish")
+    q.stop()
+    return spark.read.schema("user_id long").parquet(f"{work}/out")
+
+
 # data-mixture weights shared by the Spark query and its oracle
 # (documents.source values are src0..src19; unlisted sources drop)
 MIX_WEIGHTS = {
@@ -878,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "pii_scan": q_pii_scan,
         "curate": q_curate,
+        "dedup_stream": q_dedup_stream,
         "contamination": q_contamination,
         "repetition_ratio": q_repetition_ratio,
     }
@@ -1609,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
         """,
         "curate": _curate_oracle(),
+        "dedup_stream": "SELECT DISTINCT user_id FROM events",
         "simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),

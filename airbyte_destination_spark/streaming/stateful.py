@@ -147,3 +147,20 @@ def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataF
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup: emit each key's first occurrence, keyed
+    state expiring with the watermark (dropDuplicatesWithinWatermark) —
+    the streaming twin of the batch exact_dedup operator. State is
+    bounded by keys-per-watermark-window, not stream length, so it
+    holds at unbounded-log scale where a plain dropDuplicates would
+    grow state forever."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

@@ -263,3 +263,34 @@ def test_state_heavy_sync_streams_echo(spark, dest):
     first = json.loads(got[0])["state"]
     assert first["destinationStats"] == {"recordCount": 1.0}
     assert dest.read_table("airlines_ow").count() == 1
+
+
+def test_state_types_echo_opaque_with_stats(spark, dest):
+    """STREAM / GLOBAL / LEGACY state messages (protocol.go:92-115) all
+    echo with their payload intact and destinationStats injected — the
+    reference treats state_type opaquely (echo-after-flush only) and so
+    do we; this pins that parity."""
+    catalog = P.ConfiguredCatalog.from_dict(CATALOG)
+    lines = [
+        _rec("airlines_ow", 1705379716, id=1, name="northern"),
+        json.dumps({"type": "STATE", "state": {
+            "type": "STREAM",
+            "stream": {"stream_descriptor": {"name": "airlines_ow"},
+                        "stream_state": {"cursor": 7}},
+            "sourceStats": {"recordCount": 1.0}}}),
+        json.dumps({"type": "STATE", "state": {
+            "type": "GLOBAL",
+            "global": {"shared_state": {"lsn": 123},
+                        "stream_states": [{"stream_descriptor": {"name": "airlines_ow"},
+                                           "stream_state": {"cursor": 8}}]}}}),
+        json.dumps({"type": "STATE", "state": {"id": 9}}),  # LEGACY-ish
+    ]
+    result = dest.write(catalog, _lines_df(spark, lines))
+    echoed = [json.loads(s)["state"] for s in result.states]
+    assert echoed[0]["type"] == "STREAM"
+    assert echoed[0]["stream"]["stream_state"] == {"cursor": 7}
+    assert echoed[0]["destinationStats"] == {"recordCount": 1.0}
+    assert echoed[1]["type"] == "GLOBAL"
+    assert echoed[1]["global"]["shared_state"] == {"lsn": 123}
+    assert echoed[1]["destinationStats"] == {"recordCount": 0}
+    assert echoed[2]["id"] == 9 and echoed[2]["destinationStats"] == {"recordCount": 0}
