@@ -587,6 +587,25 @@ class LakeTable:
                     raise
         raise CommitConflict("unreachable")
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        keep_last: int = 100,
+        purge_tombstones: bool = False,
+    ) -> dict:
+        """One-call table maintenance, the nightly-job surface: fold
+        MOR deltas / small files (compact), optionally rewrite
+        tombstones away (only safe once the source can no longer
+        deliver events older than them), then expire old snapshots and
+        GC unreferenced data files. Returns a summary of what ran."""
+        out: dict = {}
+        out["compacted_version"] = self.compact(spark, min_files=min_files)
+        if purge_tombstones:
+            out["purged_version"] = self.purge_tombstones(spark)
+        out.update(self.expire_snapshots(keep_last=keep_last))
+        return out
+
     def expire_snapshots(self, keep_last: int = 100) -> dict:
         """Snapshot expiry (the other half of the Iceberg answer to
         metadata growth, next to delta manifests): retire history older

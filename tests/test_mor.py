@@ -134,3 +134,21 @@ def test_auto_compact_bounds_file_count(spark, tmp_path):
     # final state: every doc at its last version
     rows = {r.doc_id: r.change_lsn for r in table.read(spark).collect()}
     assert rows == {f"d{j}": 1100 + j for j in range(8)}
+
+
+def test_optimize_one_call_maintenance(spark, table):
+    """optimize() = compact + (optional purge) + expire: deltas fold,
+    state unchanged, metadata bounded."""
+    for i in range(6):
+        b = spark.createDataFrame(
+            [(f"k{j}", [i * 10 + j], i * 10 + j, "U") for j in range(3)], BATCH_SCHEMA
+        )
+        table.merge(b, epoch_id=f"opt-{i:03d}")
+    before = {r.doc_id: r.tokens for r in table.read(spark).collect()}
+    res = table.optimize(spark, min_files=2, keep_last=3)
+    assert res["compacted_version"] is not None
+    after = {r.doc_id: r.tokens for r in table.read(spark).collect()}
+    assert after == before
+    m = table.manifest()
+    assert all(len(fs) <= 1 for fs in m["buckets"].values())  # deltas folded
+    assert table.is_epoch_applied("opt-000") and table.is_epoch_applied("opt-005")

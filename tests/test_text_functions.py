@@ -295,3 +295,26 @@ def test_pii_scan_counts_and_redaction(spark):
     import hashlib
     assert got[3].redacted_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
     assert got[1].redacted_md5 != hashlib.md5(rows[0][1].encode()).hexdigest()
+
+
+def test_lsh_topk_recall_on_clustered_corpus(spark):
+    """Banded hyperplane LSH must recover most exact top-5 neighbors on
+    a clustered corpus — the recall twin of the IVF k-means test."""
+    import numpy as np
+
+    from airbyte_destination_spark.functions.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(8, 64))
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + 0.05 * rng.normal(size=64)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 16")
+    approx = lsh_topk(emb, q, k=5, dim=64, bands=8, bits_per_band=6, seed=7)
+    exact = cosine_topk(emb, q, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} < 0.85"
