@@ -92,6 +92,18 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the host's direct
+    signal of time stolen from this VM (loadavg can't separate our own
+    load from external interference; steal can)."""
+    try:
+        f = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+        vals = [int(x) for x in f]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:  # noqa: BLE001
+        return (0, 0)
+
+
 def _apply_job(master_cores: int, log_dir: str, n_buckets: int, out_file: str | None) -> dict:
     """Apply the change log at the given parallelism (the cdc phase).
 
@@ -222,6 +234,7 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
         table = LakeTable(tdir)
         apply_change_batch(table, seed, "seed", cfg)
         load = _loadavg()
+        st0, tt0 = _cpu_ticks()
         # re-applying the timed batch under fresh epoch ids is identical
         # work each rep (LWW is content-idempotent: the table state after
         # rep 1 is a fixed point). rep 0 warms the union-plan shapes and
@@ -239,9 +252,12 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
                 reps.append(el)
                 ev = sum(l["rows_applied"] for l in s.lineage)
         el = min(reps)
+        st1, tt1 = _cpu_ticks()
+        steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2)
         Path(sync_dir, f"done-{cores}-{i}").write_text(
             json.dumps({"sec": round(el, 3), "events": ev,
                         "eps": round(ev / el, 1), "loadavg_before": load,
+                        "steal_pct": steal_pct,
                         "reps": [round(x, 3) for x in reps]})
         )
         pending_cleanup = tdir
@@ -323,6 +339,10 @@ def _run_scaling(
                 "eps_large": pair[n_large]["eps"],
                 "efficiency": round(pair[n_large]["eps"] / (4 * pair[n_small]["eps"]), 4),
                 "loadavg": pair[n_small]["loadavg_before"],
+                # host CPU-steal during each side's timed window — the
+                # direct external-interference signal for this round
+                "steal_small_pct": pair[n_small].get("steal_pct", -1),
+                "steal_large_pct": pair[n_large].get("steal_pct", -1),
             }
         )
         _phase(f"scaling {n_small}->{n_large} round {i} eff={rounds[-1]['efficiency']}")
@@ -333,34 +353,48 @@ def _run_scaling(
         except subprocess.TimeoutExpired:
             p.kill()
     # ONE estimator, stated up front: the MEDIAN of per-round paired
-    # efficiencies over post-warmup rounds. No best-of, no
-    # cross-estimator max, no clamping — the per-round detail
-    # (warmup rounds included) stays visible below for scrutiny.
+    # efficiencies over post-warmup rounds whose DIRECTLY MEASURED host
+    # CPU-steal stayed <= 3% in both timed windows (/proc/stat steal
+    # delta — an external signal we don't control, recorded per round;
+    # a stolen window corrupts the ratio, and the bad side is visible
+    # in the detail). If fewer than 2 clean rounds exist the unfiltered
+    # post-warmup set is used and steal_filtered=false says so. No
+    # best-of, no cross-estimator max, no clamping — every round stays
+    # visible below for scrutiny.
     meas = [r for r in rounds if not r["warmup"]] or rounds
-    effs = sorted(r["efficiency"] for r in meas)
+    clean = [
+        r for r in meas
+        if max(r.get("steal_small_pct", 0), r.get("steal_large_pct", 0)) <= 3.0
+    ]
+    used = clean if len(clean) >= 2 else meas
+    effs = sorted(r["efficiency"] for r in used)
     mid = len(effs) // 2
     eff_median = round(
         effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2, 4
     )
-    med_s = sorted(r["eps_small"] for r in meas)[len(meas) // 2]
-    med_l = sorted(r["eps_large"] for r in meas)[len(meas) // 2]
+    med_s = sorted(r["eps_small"] for r in used)[len(used) // 2]
+    med_l = sorted(r["eps_large"] for r in used)[len(used) // 2]
     out = {
         "n_small": n_small, "n_large": n_large,
         "strategy": SCALE_STRATEGY,
         "eps_small": med_s, "eps_large": med_l,
         "efficiency": eff_median,
+        "steal_filtered": used is clean,
+        "rounds_used": len(used),
         "rounds": rounds,
         "pinned": pin,
         "note": "each round = IDENTICAL work per config (fresh table, "
         "untimed seed batch, then 3 reps of the same timed merge "
         "batch: rep0 discarded as plan warmup, round value = min of "
-        "reps 1-2, filtering host CPU-steal spikes), paired adjacent "
-        "in time with alternating order; efficiency = median of "
-        f"per-round ratios, first {warm_rounds} rounds excluded "
-        "as JIT warmup; eps_small/eps_large are per-config medians "
-        "over the same rounds; each worker JVM is CPU-pinned to "
-        "exactly its core count (sched_setaffinity before JVM start) "
-        "so the small config is a true N-core machine",
+        "reps 1-2), paired adjacent in time with alternating order; "
+        "efficiency = median of per-round ratios over post-warmup "
+        f"rounds (first {warm_rounds} excluded as JIT warmup) whose "
+        "measured /proc/stat steal stayed <=3% in both timed windows "
+        "(falls back to all post-warmup rounds, flagged, when <2 are "
+        "clean); eps_small/eps_large are per-config medians over the "
+        "same rounds; each worker JVM is CPU-pinned to exactly its "
+        "core count (sched_setaffinity before JVM start) so the small "
+        "config is a true N-core machine",
     }
     shutil.rmtree(sc_dir, ignore_errors=True)
     return out
