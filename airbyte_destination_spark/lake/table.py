@@ -310,6 +310,25 @@ class LakeTable:
 
     # ------------------------------------------------------------- commit
 
+    def _recover_orphan(self) -> None:
+        """Roll forward a commit whose writer died between publishing
+        the version record and flipping LATEST. Without this, the
+        orphaned record makes every later commit of that version number
+        raise CommitConflict forever — the table bricks. Version
+        records are published atomically (see _commit), so an existing
+        record is always complete and finishing the pointer flip is
+        safe; if the original writer is merely slow, both flips write
+        the same value (idempotent). Writers call this at the top of
+        every optimistic attempt."""
+        while True:
+            v = self.current_version()
+            if not os.path.exists(self._version_path(v + 1)):
+                return
+            tmp = os.path.join(self.meta_dir, f".latest.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(v + 1))
+            os.replace(tmp, os.path.join(self.meta_dir, _LATEST))
+
     def _commit(self, manifest: dict, expected_base: int) -> int:
         """Optimistic-concurrency commit: exclusively create the next
         version file, then atomically flip the LATEST pointer.
@@ -332,11 +351,22 @@ class LakeTable:
         if expected_base >= 1 and new_v % _CHECKPOINT_INTERVAL != 0:
             record = _delta_record(self._resolved(expected_base), manifest)
         path = self._version_path(new_v)
+        # publish the commit record ATOMICALLY-AND-EXCLUSIVELY: write a
+        # private temp then hard-link it into place. link() fails if the
+        # name exists (the optimistic-concurrency conflict check, like
+        # open("x")) and, unlike open("x") + write, a crash mid-write
+        # can never leave a HALF-WRITTEN version file behind — any
+        # version file that exists is complete, which is what makes the
+        # orphan roll-forward in _recover_orphan() safe.
+        tmpv = os.path.join(self.meta_dir, f".v.{uuid.uuid4().hex}")
+        with open(tmpv, "w") as f:
+            json.dump(record, f)
         try:
-            with open(path, "x") as f:
-                json.dump(record, f)
+            os.link(tmpv, path)
         except FileExistsError as e:
             raise CommitConflict(f"version {new_v} already exists at {self.root}") from e
+        finally:
+            os.unlink(tmpv)
         tmp = os.path.join(self.meta_dir, f".latest.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(new_v))
@@ -534,6 +564,7 @@ class LakeTable:
         (ReplacingMergeTree merge threads) as an explicit operation.
         """
         for attempt in range(5):
+            self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
@@ -569,6 +600,7 @@ class LakeTable:
         rows. Safe once the source can no longer deliver events older
         than the tombstones' versions (e.g. past the log's watermark)."""
         for attempt in range(5):
+            self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
@@ -822,6 +854,7 @@ class LakeTable:
         buckets. Spark-side equivalent of the reference's DeletionJob
         (destination.go:198-241), synchronous and transactional."""
         for attempt in range(5):
+            self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
@@ -860,6 +893,7 @@ class LakeTable:
     ) -> MergeStats:
         spark = batch.sparkSession
         for attempt in range(5):
+            self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
 

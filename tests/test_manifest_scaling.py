@@ -381,3 +381,40 @@ def test_fold_epochs_property():
             assert s > wms.get(p, -1)
 
     prop()
+
+
+def test_orphaned_commit_record_rolls_forward(spark, tmp_path):
+    """A writer that dies between publishing its version record and
+    flipping LATEST must not brick the table: the next writer rolls the
+    orphan forward (its data is a real committed snapshot) and commits
+    on top. Before _recover_orphan this raised CommitConflict forever."""
+    import json as _json
+
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    t.merge(
+        spark.createDataFrame([("a", [1], 1, "U")], BATCH_SCHEMA), epoch_id="c-0"
+    )
+    v = t.current_version()
+
+    # simulate the crash: publish a COMPLETE version record for v+1
+    # (what _commit's atomic link guarantees) without flipping LATEST
+    m = t.manifest(v)
+    m["version"] = v + 1
+    m["operation"], m["epoch_id"], m["lineage"] = "merge", "c-crashed", []
+    m["applied_epochs"]["c-crashed"] = v + 1
+    with open(t._version_path(v + 1), "x") as f:
+        _json.dump(m, f)
+    assert t.current_version() == v  # pointer still behind
+
+    # next writer must succeed, landing AFTER the adopted orphan
+    t2 = LakeTable(str(tmp_path / "t"))
+    stats = t2.merge(
+        spark.createDataFrame([("b", [2], 2, "U")], BATCH_SCHEMA), epoch_id="c-1"
+    )
+    assert stats.version == v + 2
+    assert t2.current_version() == v + 2
+    assert t2.is_epoch_applied("c-crashed")  # orphan's markers adopted
+    assert t2.is_epoch_applied("c-1")
+    got = {r.doc_id for r in t2.read(spark).collect()}
+    assert got == {"a", "b"}
