@@ -418,3 +418,28 @@ def test_orphaned_commit_record_rolls_forward(spark, tmp_path):
     assert t2.is_epoch_applied("c-1")
     got = {r.doc_id for r in t2.read(spark).collect()}
     assert got == {"a", "b"}
+
+
+def test_changefeed_after_expiry_raises_cleanly(spark, tmp_path):
+    """table_changes against an expired v_from must fail with
+    FileNotFoundError (the snapshot is gone), while windows at or above
+    the expiry boundary still work."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    for i in range(40):
+        base = t.current_version()
+        m = t.manifest(base)
+        m["buckets"]["0"] = [{"path": f"data/snap-{base + 1:08d}-x/_b=0/p.parquet",
+                              "schema_id": m["schema_id"], "cv": base + 1}]
+        d = tmp_path / "t" / "data" / f"snap-{base + 1:08d}-x" / "_b=0"
+        d.mkdir(parents=True)
+        (d / "p.parquet").write_bytes(b"")
+        m["operation"], m["epoch_id"], m["lineage"] = "merge", f"x-{i:03d}", []
+        m["applied_epochs"][m["epoch_id"]] = base + 1
+        t._commit(m, base)
+    res = t.expire_snapshots(keep_last=5)
+    assert res["expired_versions"] > 0
+    with pytest.raises(FileNotFoundError):
+        t.table_changes(spark, v_from=res["boundary"] - 2)
+    # at/above the boundary the manifest side still resolves
+    assert t.manifest(res["boundary"]) is not None

@@ -150,3 +150,52 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert capped.count() == 0
     uncapped = minhash_lsh_pairs(clones, n_hashes=8, bands=4, max_bucket=10_000)
     assert uncapped.count() == 40 * 39 // 2
+
+
+def test_table_changes_plan_has_no_serial_stage(spark, tmp_path):
+    """The CDF join must stay partition-parallel: no SinglePartition
+    exchange, no Cartesian product — at 100 TB both snapshot sides are
+    large and the plan must be a key-partitioned join."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "t"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("change_lsn", T.LongType(), False),
+        ]
+    )
+    bs = "doc_id string, tokens array<int>, change_lsn long, op string"
+    t.create(schema, ["doc_id"], "change_lsn", n_buckets=4)
+    v0 = t.merge(
+        spark.createDataFrame([(f"k{i}", [i], i, "U") for i in range(50)], bs),
+        epoch_id="p-0",
+    ).version
+    t.merge(
+        spark.createDataFrame([("k1", [99], 100, "U")], bs), epoch_id="p-1"
+    )
+    plan = (
+        t.table_changes(spark, v_from=v0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_connected_components_iteration_plan(spark):
+    """One CC iteration = key joins + min-aggregate; never a Cartesian
+    product or a single-partition funnel."""
+    from airbyte_destination_spark.functions.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
