@@ -806,6 +806,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(docs, docs.where(F.col("doc_id") < 10), shingle_n=5)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: per-doc top-3 TF-IDF keywords — document frequency
+    aggregated corpus-wide once, broadcast back onto per-doc term
+    counts; ties rank by (rounded score desc, word asc) so both
+    engines agree at 6-dp precision."""
+    from airbyte_destination_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_docs_wide(spark, sf_dir), k=3)
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: PII pre-release scan — per-doc email/IPv4/phone
     counts + md5 of the redacted text. Pure codegen regex over the
@@ -912,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "pii_scan": q_pii_scan,
+        "tfidf_topk": q_tfidf_topk,
         "curate": q_curate,
         "dedup_stream": q_dedup_stream,
         "contamination": q_contamination,
@@ -1646,6 +1657,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate": _curate_oracle(),
         "dedup_stream": "SELECT DISTINCT user_id FROM events",
+        "tfidf_topk": r"""
+            -- tf * ln(N/df), rank by (rounded score desc, word asc)
+            WITH w AS (
+              SELECT doc_id, u.w AS word
+              FROM documents,
+                   LATERAL unnest(string_split_regex(lower(text), '\s+')) u(w)
+              WHERE u.w <> ''
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+            scored AS (
+              SELECT tf.doc_id, tf.word,
+                     round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (word), n
+            )
+            SELECT doc_id, word, tfidf, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, word ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
         "simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),

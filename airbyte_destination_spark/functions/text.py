@@ -10,7 +10,7 @@ queries (oracle-SQL twins exist for each in __spark_entry__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny built-in stopword lists per language — enough signal for a
@@ -261,4 +261,45 @@ def pii_scan(
         F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
         F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (tf * ln(N/df)).
+
+    Scale shape: document frequency is one word-keyed aggregate over
+    the exploded corpus (map-side combined), then BROADCAST back onto
+    the per-doc term counts — the corpus-sized side never shuffles
+    twice, and the vocabulary side (bounded by distinct words) is the
+    only broadcast. Ranking partitions by document. Ties rank by
+    (rounded score desc, word asc) so results are reproducible across
+    engines at 6-dp precision.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    n_docs = df.count()  # one scalar, driver-side by necessity
+    docfreq = words.groupBy("w").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(F.broadcast(docfreq), "w").select(
+        F.col(id_col),
+        F.col("w").alias("word"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(id_col, "word", "tfidf", "rank")
     )
