@@ -276,7 +276,17 @@ def kmeans_centroids(
     asc ties) and recomputes centroids as per-dimension means, rounded
     half-up to 6 dp so an external engine replaying the same fixed
     recurrence (the DuckDB oracle unrolls it in SQL) reproduces the
-    exact same centroids. Empty cells keep their previous centroid.
+    same centroids. Empty cells keep their previous centroid.
+
+    Determinism tolerance: the 6-dp rounding absorbs the FP
+    non-associativity of F.avg across partitions in every observed run,
+    but it is a TOLERANCE, not a proof — a per-dimension mean landing
+    within FP jitter (~1e-13 relative) of a 0.5e-6 rounding boundary
+    could flip the last digit vs another engine or another partitioning
+    and diverge downstream cell assignments. Recall, not equality, is
+    the contract callers may rely on (tests assert recall >= 0.9); the
+    oracle's exact-match check is empirical evidence on this corpus,
+    not a guarantee.
 
     Scale: training runs on a deterministic subsample (`id % sample_mod
     == 0`) — FAISS-style IVF training on ~10^5 vectors regardless of

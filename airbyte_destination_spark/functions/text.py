@@ -273,12 +273,18 @@ def tfidf_topk(
     """Per-document top-k keywords by TF-IDF (tf * ln(N/df)).
 
     Scale shape: document frequency is one word-keyed aggregate over
-    the exploded corpus (map-side combined), then BROADCAST back onto
-    the per-doc term counts — the corpus-sized side never shuffles
-    twice, and the vocabulary side (bounded by distinct words) is the
-    only broadcast. Ranking partitions by document. Ties rank by
-    (rounded score desc, word asc) so results are reproducible across
-    engines at 6-dp precision.
+    the exploded corpus (map-side combined), joined back onto the
+    per-doc term counts with a shuffled HASH join on the word (hinted,
+    so the planner can't pick a broadcast off a bad stats estimate) —
+    both sides are already word-keyed aggregates so the join reuses
+    their partitioning, and NO side is broadcast: a web-scale
+    vocabulary is 10^8-10^9 distinct tokens, far past any broadcast
+    threshold. shuffle_hash (not sort-merge) because each partition's
+    docfreq slice is the small build side and neither side benefits
+    from sortedness downstream. Ranking partitions by document. Ties
+    rank by (rounded score desc, word asc) so results are reproducible
+    across engines at 6-dp precision. Plan pinned by
+    tests/test_plans.py::test_tfidf_docfreq_join_not_broadcast.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
@@ -288,7 +294,7 @@ def tfidf_topk(
         F.countDistinct(id_col).alias("df")
     )
     tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
-    scored = tf.join(F.broadcast(docfreq), "w").select(
+    scored = tf.join(docfreq.hint("shuffle_hash"), "w").select(
         F.col(id_col),
         F.col("w").alias("word"),
         F.round(

@@ -376,7 +376,7 @@ def near_dup_clusters(
     """
     cands = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes, bands=bands,
-        max_bucket=max_bucket,
+        shingle_n=shingle_n, max_bucket=max_bucket,
     )
     verified = ngram_jaccard_pairs(
         df, cands, id_col=id_col, text_col=text_col, shingle_n=shingle_n,

@@ -319,14 +319,44 @@ class LakeTable:
         record is always complete and finishing the pointer flip is
         safe; if the original writer is merely slow, both flips write
         the same value (idempotent). Writers call this at the top of
-        every optimistic attempt."""
+        every optimistic attempt.
+
+        Two defenses against racing/torn state: (1) the record is
+        json-parsed before the flip — a record torn by power loss is
+        never rolled forward as LATEST. Because _commit fsyncs the temp
+        file BEFORE the atomic os.link, an unparseable version file can
+        only be pre-fsync power-loss debris that no reader ever saw, so
+        it is deleted (leaving it would brick every writer: link →
+        FileExistsError → CommitConflict forever). (2) LATEST is
+        re-read immediately before the replace and the flip is skipped
+        if another writer already advanced the pointer at or past v+1 —
+        otherwise a slow recovery could overwrite a newer LATEST with
+        an older value and concurrent readers would transiently observe
+        an older snapshot (monotonic-read violation)."""
         while True:
             v = self.current_version()
-            if not os.path.exists(self._version_path(v + 1)):
+            path = self._version_path(v + 1)
+            if not os.path.exists(path):
                 return
+            try:
+                with open(path) as f:
+                    json.load(f)
+            except FileNotFoundError:
+                continue  # another recovery/expiry raced us; re-read LATEST
+            except json.JSONDecodeError:
+                try:
+                    os.unlink(path)  # torn pre-fsync debris, never visible
+                except FileNotFoundError:
+                    pass
+                continue
             tmp = os.path.join(self.meta_dir, f".latest.{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 f.write(str(v + 1))
+                f.flush()
+                os.fsync(f.fileno())
+            if self.current_version() >= v + 1:  # another writer got there
+                os.unlink(tmp)
+                continue
             os.replace(tmp, os.path.join(self.meta_dir, _LATEST))
 
     def _commit(self, manifest: dict, expected_base: int) -> int:
@@ -361,15 +391,28 @@ class LakeTable:
         tmpv = os.path.join(self.meta_dir, f".v.{uuid.uuid4().hex}")
         with open(tmpv, "w") as f:
             json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())  # record durable BEFORE it becomes visible
         try:
             os.link(tmpv, path)
         except FileExistsError as e:
             raise CommitConflict(f"version {new_v} already exists at {self.root}") from e
         finally:
             os.unlink(tmpv)
+        # fsync the directory so the link itself survives power loss —
+        # "any version file that exists is complete" must hold across
+        # system crashes, not just process crashes, for _recover_orphan's
+        # roll-forward to stay safe.
+        dfd = os.open(self.meta_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         tmp = os.path.join(self.meta_dir, f".latest.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(new_v))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.meta_dir, _LATEST))  # atomic
         # seed the cache with what we just committed (manifest() copies)
         self._mcache[new_v] = {
@@ -625,6 +668,7 @@ class LakeTable:
         min_files: int = 2,
         keep_last: int = 100,
         purge_tombstones: bool = False,
+        grace_seconds: float = 3600.0,
     ) -> dict:
         """One-call table maintenance, the nightly-job surface: fold
         MOR deltas / small files (compact), optionally rewrite
@@ -635,10 +679,12 @@ class LakeTable:
         out["compacted_version"] = self.compact(spark, min_files=min_files)
         if purge_tombstones:
             out["purged_version"] = self.purge_tombstones(spark)
-        out.update(self.expire_snapshots(keep_last=keep_last))
+        out.update(
+            self.expire_snapshots(keep_last=keep_last, grace_seconds=grace_seconds)
+        )
         return out
 
-    def expire_snapshots(self, keep_last: int = 100) -> dict:
+    def expire_snapshots(self, keep_last: int = 100, grace_seconds: float = 3600.0) -> dict:
         """Snapshot expiry (the other half of the Iceberg answer to
         metadata growth, next to delta manifests): retire history older
         than the last `keep_last` versions and garbage-collect data
@@ -654,9 +700,16 @@ class LakeTable:
         Time travel below the boundary raises afterwards, exactly like
         Iceberg's expire_snapshots. Returns a summary dict.
 
-        Concurrency: safe next to readers of retained versions and
-        appends of new ones (only strictly-older immutable files are
-        removed); do not run two expiries at once.
+        Concurrency: safe next to READERS of retained versions (only
+        strictly-older immutable files are removed) and next to
+        in-flight WRITES: a merge/compact writes its snapshot data dir
+        for version cur+1 BEFORE its metadata commit, so the GC below
+        never touches a snap dir whose encoded version is above the
+        `cur` this expiry observed — an unreferenced higher-versioned
+        dir is either an in-flight write (deleting it would corrupt the
+        upcoming commit) or an aborted one (the NEXT expiry, run after
+        that version number is surpassed, collects it). Do not run two
+        expiries at once.
         """
         cur = self.current_version()
         if cur == 0:
@@ -664,8 +717,14 @@ class LakeTable:
         cutoff = max(cur - keep_last, 1)
         boundary = None
         for v in range(cutoff, 0, -1):
-            if not self._read_raw(v).get("delta"):
-                boundary = v
+            try:
+                if not self._read_raw(v).get("delta"):
+                    boundary = v
+                    break
+            except FileNotFoundError:
+                # a previous, tighter expiry already deleted records at
+                # and below v — nothing older survives, so there is no
+                # full checkpoint at or below the cutoff: no-op.
                 break
         if boundary is None or boundary <= 1:
             return {"expired_versions": 0, "deleted_files": 0, "boundary": boundary or 1}
@@ -694,9 +753,27 @@ class LakeTable:
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
             for snap in os.listdir(data_dir):
-                if snap not in referenced_snaps:
-                    shutil.rmtree(os.path.join(data_dir, snap), ignore_errors=True)
-                    deleted += 1
+                if snap in referenced_snaps:
+                    continue
+                # snap dirs are named snap-<version:08d>-<nonce>; skip
+                # any at a version above the observed current — those
+                # belong to writes still in flight (data lands before
+                # the metadata commit). Unparseable names are skipped
+                # too: never delete what we can't identify.
+                try:
+                    snap_v = int(snap.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if snap_v > cur:
+                    continue
+                full = os.path.join(data_dir, snap)
+                try:
+                    if time.time() - os.path.getmtime(full) < grace_seconds:
+                        continue  # possibly a conflicted writer mid-write
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                deleted += 1
         return {
             "expired_versions": expired,
             "deleted_files": deleted,  # snapshot dirs removed

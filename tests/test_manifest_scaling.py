@@ -313,7 +313,7 @@ def test_expire_snapshots_gc(spark, tmp_path):
     before_snaps = len(list((tmp_path / "t" / "data").iterdir()))
     state_before = t.manifest()["buckets"]
 
-    res = t.expire_snapshots(keep_last=10)
+    res = t.expire_snapshots(keep_last=10, grace_seconds=0)
     assert res["boundary"] == _CHECKPOINT_INTERVAL * ((cur - 10) // _CHECKPOINT_INTERVAL)
     after_versions = len(list((tmp_path / "t" / "_meta").glob("version-*.json")))
     after_snaps = len(list((tmp_path / "t" / "data").iterdir()))
@@ -443,3 +443,121 @@ def test_changefeed_after_expiry_raises_cleanly(spark, tmp_path):
         t.table_changes(spark, v_from=res["boundary"] - 2)
     # at/above the boundary the manifest side still resolves
     assert t.manifest(res["boundary"]) is not None
+
+
+def _churn_table(root, n_commits=40):
+    """A table with n_commits merges, each replacing bucket (i%4)'s file
+    list with a freshly materialized (empty) snapshot file — the churn
+    pattern the GC tests need."""
+    t = LakeTable(str(root))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    for i in range(n_commits):
+        base = t.current_version()
+        m = t.manifest(base)
+        bb = str(i % 4)
+        snap = f"snap-{base + 1:08d}-x"
+        d = os.path.join(str(root), "data", snap, f"_b={bb}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part.parquet"), "wb"):
+            pass
+        m["buckets"][bb] = [
+            {"path": f"data/{snap}/_b={bb}/part.parquet",
+             "schema_id": m["schema_id"], "cv": base + 1}
+        ]
+        m["operation"], m["epoch_id"], m["lineage"] = "merge", f"g-{i:06d}", []
+        m["applied_epochs"][m["epoch_id"]] = base + 1
+        t._commit(m, base)
+    return t
+
+
+def test_expiry_skips_inflight_higher_version_snap_dirs(tmp_path):
+    """GC must never touch a snap dir whose encoded version is above the
+    observed current version: merge/compact write data BEFORE the
+    metadata commit, so such a dir is an in-flight write (deleting it
+    would corrupt the upcoming commit). Unparseable dir names are
+    skipped too."""
+    t = _churn_table(tmp_path / "t")
+    cur = t.current_version()
+    inflight = tmp_path / "t" / "data" / f"snap-{cur + 3:08d}-inflight" / "_b=0"
+    inflight.mkdir(parents=True)
+    (inflight / "p.parquet").write_bytes(b"")
+    weird = tmp_path / "t" / "data" / "not-a-snapshot-dir"
+    weird.mkdir()
+
+    res = t.expire_snapshots(keep_last=5, grace_seconds=0)
+    assert res["deleted_files"] > 0  # old unreferenced churn IS collected
+    assert inflight.is_dir()         # future-versioned dir untouched
+    assert weird.is_dir()            # never delete what we can't identify
+
+
+def test_expiry_grace_period_protects_recent_unreferenced_dirs(tmp_path):
+    """A conflicted writer may have materialized a snapshot dir at a
+    version another writer then took; until grace_seconds pass, that
+    dir could still be mid-write — the default expiry must leave it."""
+    t = _churn_table(tmp_path / "t")
+    res = t.expire_snapshots(keep_last=5)  # default 1h grace, fresh mtimes
+    assert res["deleted_files"] == 0
+    assert res["expired_versions"] > 0     # metadata expiry is NOT grace-gated
+    res2 = t.expire_snapshots(keep_last=5, grace_seconds=0)
+    assert res2["deleted_files"] > 0
+
+
+def test_tighter_then_looser_expiry_is_noop(tmp_path):
+    """expire(keep_last=large) after an earlier expire(keep_last=small)
+    finds no full checkpoint at or below its cutoff (those records are
+    gone) and must no-op instead of crashing on the missing files."""
+    t = _churn_table(tmp_path / "t")
+    first = t.expire_snapshots(keep_last=5, grace_seconds=0)
+    assert first["expired_versions"] > 0
+    res = t.expire_snapshots(keep_last=39, grace_seconds=0)
+    assert res["expired_versions"] == 0
+    # and the table is still fully functional
+    assert t.manifest() is not None
+
+
+def test_torn_version_record_self_heals(spark, tmp_path):
+    """A half-written version record (pre-fsync power-loss debris that
+    no reader ever saw) must not brick the table: the next writer's
+    recovery deletes it and takes the slot."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    t.merge(
+        spark.createDataFrame([("a", [1], 1, "U")], BATCH_SCHEMA), epoch_id="t-0"
+    )
+    v = t.current_version()
+    with open(t._version_path(v + 1), "x") as f:
+        f.write('{"version": %d, "torn' % (v + 1))  # no closing brace
+
+    t2 = LakeTable(str(tmp_path / "t"))
+    stats = t2.merge(
+        spark.createDataFrame([("b", [2], 2, "U")], BATCH_SCHEMA), epoch_id="t-1"
+    )
+    assert stats.version == v + 1  # debris deleted, slot reused
+    assert {r.doc_id for r in t2.read(spark).collect()} == {"a", "b"}
+
+
+def test_recover_orphan_walks_multiple_orphans(spark, tmp_path):
+    """Recovery rolls forward a CHAIN of complete-but-unpublished
+    records (e.g. several crashed writers in sequence), never leaving
+    LATEST pointing below an existing complete record."""
+    import json as _json
+
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    t.merge(
+        spark.createDataFrame([("a", [1], 1, "U")], BATCH_SCHEMA), epoch_id="w-0"
+    )
+    v = t.current_version()
+    m = t.manifest(v)  # data side unchanged; metadata-only orphans
+    for k in (1, 2):
+        m["version"] = v + k
+        m["operation"], m["epoch_id"], m["lineage"] = "merge", f"w-crash{k}", []
+        m["applied_epochs"][m["epoch_id"]] = v + k
+        with open(t._version_path(v + k), "x") as f:
+            _json.dump(m, f)
+    assert t.current_version() == v
+
+    t2 = LakeTable(str(tmp_path / "t"))
+    t2._recover_orphan()
+    assert t2.current_version() == v + 2
+    assert t2.is_epoch_applied("w-crash1") and t2.is_epoch_applied("w-crash2")

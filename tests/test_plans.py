@@ -199,3 +199,17 @@ def test_connected_components_iteration_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_tfidf_docfreq_join_not_broadcast(spark):
+    """The docfreq side of tfidf_topk is vocabulary-sized (10^8-10^9
+    distinct tokens at web scale) — it must NEVER be planned as a
+    broadcast, whatever the stats estimate says. The shuffle_hash hint
+    pins a shuffled hash join."""
+    from airbyte_destination_spark.functions.text import tfidf_topk
+    from airbyte_destination_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(tfidf_topk(docs, k=3))
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan

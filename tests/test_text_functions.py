@@ -318,3 +318,63 @@ def test_lsh_topk_recall_on_clustered_corpus(spark):
     want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.85, f"LSH recall {recall:.2f} < 0.85"
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("shingle_n", [3, 5])
+def test_near_dup_clusters_shingle_n_plumbed(spark, shingle_n):
+    """Candidate and verify stages must use the SAME shingle size
+    (regression: shingle_n was silently not forwarded to the LSH
+    stage). Expected clusters are recomputed here with a plain-Python
+    all-pairs word-n-gram Jaccard + union-find oracle at the requested
+    n — at n=3 doc 3 joins the cluster (J≈0.54), at n=5 it does not
+    (J≈0.23), so the two parameterizations pin different outputs."""
+    import itertools
+    import re as _re
+
+    from airbyte_destination_spark.functions.textdedup import near_dup_clusters
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+    rows = [
+        (1, base),
+        (2, base + " mike november"),
+        (3, base.replace("echo", "别echo")),
+        (4, "totally different words one two three four five six seven"),
+        (5, base),
+    ]
+
+    def grams(text, n):
+        ws = _re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    thr = 0.5
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    members = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        ga, gb = grams(ta, shingle_n), grams(tb, shingle_n)
+        if len(ga & gb) / len(ga | gb) >= thr:
+            members |= {ia, ib}
+            ra, rb = find(ia), find(ib)
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in members}
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(
+            docs, shingle_n=shingle_n, threshold=thr, n_hashes=16, bands=8
+        ).collect()
+    }
+    assert got == expected, (shingle_n, got, expected)
