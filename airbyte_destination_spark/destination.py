@@ -79,9 +79,76 @@ def check(spark: SparkSession, config: P.Config) -> tuple[bool, str]:
         return False, f"FAILED: {e}"
 
 
+# monotonically_increasing_id()'s documented bit layout: upper 31 bits
+# carry the partition id, lower 33 the row number within the partition.
+_SEQ_MASK = (1 << 33) - 1
+
+
+def _validated_offsets(typed: DataFrame) -> tuple[dict[int, int], int]:
+    """ONE pass over the sync's messages: per-partition malformed and
+    RECORD counts (map-side combined; the control-plane result is
+    #partitions rows). This single job is the parse-validation gate
+    (destination.go:396-400 — malformed line aborts the sync before any
+    DDL/data work) AND the source of the record-index offsets AND the
+    record count — the wire path no longer persists the input or runs a
+    separate malformed pre-scan. Only the failure path pays a second
+    scan (to fetch one offending line for the error message).
+
+    Returns ({pid: exclusive record offset in pid order}, n_records)."""
+    parts = sorted(
+        (r["_pid"], r["bad"], r["n"])
+        for r in typed.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count(F.when(F.col("type").isNull(), True)).alias("bad"),
+            F.count(F.when(F.col("type") == P.TYPE_RECORD, True)).alias("n"),
+        )
+        .collect()
+    )
+    if sum(b for _, b, _ in parts):
+        bad = typed.where(F.col("type").isNull()).limit(1).collect()
+        raise ValueError(f"failed to parse message: {bad[0]['value']!r}")
+    offsets, acc = {}, 0
+    for pid, _, n in parts:
+        offsets[pid] = acc
+        acc += n
+    return offsets, acc
+
+
+def _indexed_records(typed: DataFrame, offsets: dict[int, int]) -> DataFrame:
+    """RECORD rows with their 0-based global input-order index — the
+    reference's recordIndex (destination.go:393,423,453) — derived
+    WITHOUT persisting the input: index = the partition's exclusive
+    offset (from `_validated_offsets`) + the row's sequence within its
+    partition, where the sequence is the low 33 bits of
+    monotonically_increasing_id applied AFTER the RECORD filter (a
+    `where` on a scan removes rows but never changes the partition
+    layout, so partition ids line up with the offsets pass).
+
+    Invariant: the source must reproduce identical partitioning and row
+    order across jobs — file scans and local relations do. For a source
+    that does not (socket/queue), Destination.write(persist_input=True)
+    pins one materialization instead; the validation pass doubles as
+    the cache fill, so no extra job appears either way."""
+    recs = typed.where(F.col("type") == P.TYPE_RECORD)
+    if not offsets:
+        return recs.withColumn("_record_index", F.lit(0).cast("long"))
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    return recs.withColumn(
+        "_record_index",
+        off_map[F.spark_partition_id()]
+        + F.monotonically_increasing_id().bitwiseAND(F.lit(_SEQ_MASK)),
+    )
+
+
 def _global_record_index(records: DataFrame) -> DataFrame:
     """0-based index over RECORD messages in input order — the
-    reference's recordIndex (destination.go:393,423,453).
+    reference's recordIndex (destination.go:393,423,453). Standalone
+    variant for an ARBITRARY DataFrame (caches one projection so the
+    numbering survives non-reproducible upstream partitioning); the
+    wire path uses the fused zero-persist pair `_validated_offsets` +
+    `_indexed_records` instead.
 
     Partition-parallel two-pass zipWithIndex: pass 1 collects per-
     partition (count, min id) — a #partitions-sized control-plane job —
@@ -156,6 +223,7 @@ class Destination:
         lines: DataFrame | str,
         sync_start_ms: int | None = None,
         on_state=None,
+        persist_input: bool | None = None,
     ) -> WriteResult:
         """Apply one sync's NDJSON message stream to the warehouse.
 
@@ -165,7 +233,24 @@ class Destination:
         WriteResult.states — a pathological state-heavy sync keeps the
         driver's memory flat. Echo happens AFTER the data is applied,
         preserving the reference's flush-before-state checkpoint
-        protocol (destination.go:403-420)."""
+        protocol (destination.go:403-420).
+
+        The sync is NOT persisted for plain sources: validation, record
+        count, and record-index offsets come out of ONE aggregate pass
+        (`_validated_offsets`), and per-stream jobs re-scan the source
+        (cheap projection; a file scan or local relation reproduces
+        identical partitioning every job — the record-index
+        invariant). `persist_input=None` (default) auto-detects: an
+        Exchange upstream of the message scan (repartition / join /
+        agg) makes row->partition assignment job-dependent under AQE,
+        so such inputs get ONE pinned materialization — the validation
+        pass doubles as the cache fill, no extra job either way. Pass
+        True/False to force.
+
+        Streams write CONCURRENTLY — each stream targets its own
+        independent LakeTable, so their Spark jobs overlap instead of
+        serializing driver-side (the reference processes one stdin
+        record at a time; a batch engine has no such ordering need)."""
         spark = self.spark
         for s in catalog.streams:
             s.validate()
@@ -179,23 +264,34 @@ class Destination:
             F.get_json_object("value", "$.record.stream").alias("stream"),
             F.get_json_object("value", "$.record.namespace").alias("namespace"),
         )
-        # malformed line -> abort the sync, like the reference
-        # (destination.go:396-400) — DDL/data below runs only if clean
-        bad = typed.where(F.col("type").isNull()).limit(1).collect()
-        if bad:
-            raise ValueError(f"failed to parse message: {bad[0]['value']!r}")
+        if persist_input is None:
+            persist_input = (
+                "Exchange" in typed._jdf.queryExecution().executedPlan().toString()
+            )
+        if persist_input:
+            typed = typed.persist()
 
-        records = _global_record_index(typed.where(F.col("type") == P.TYPE_RECORD))
-        records = records.cache()
+        # ONE pass: malformed gate (destination.go:396-400) + record
+        # count + index offsets; raises before any DDL/data work
+        offsets, n_records = _validated_offsets(typed)
+        records = _indexed_records(typed, offsets)
 
         result = WriteResult()
-        n_records = records.count()
-        for s in catalog.streams:
-            result.tables[s.table_name] = self._write_stream(s, records, sync_start_ms)
-        records.unpersist()
-        base = getattr(records, "_cached_base", None)
-        if base is not None:  # the index's _pid/_mid projection cache
-            base.unpersist()
+        if len(catalog.streams) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(catalog.streams), 4)
+            ) as pool:
+                futs = [
+                    (s.table_name, pool.submit(self._write_stream, s, records, sync_start_ms))
+                    for s in catalog.streams
+                ]
+                for name, fut in futs:
+                    result.tables[name] = fut.result()
+        else:
+            for s in catalog.streams:
+                result.tables[s.table_name] = self._write_stream(s, records, sync_start_ms)
 
         # STATE echo after the data landed (flush-before-state)
         state_src = typed.where(F.col("type") == P.TYPE_STATE).select("value")
@@ -208,6 +304,9 @@ class Destination:
                 _echo_state(r["value"]) for r in state_src.collect()
             ]
             result.n_states = len(result.states)
+
+        if persist_input:
+            typed.unpersist()
 
         # Full-reset detection (destination.go:181-184,262-268): a sync
         # where EVERY stream is overwrite and ZERO records arrive is the

@@ -294,3 +294,116 @@ def test_state_types_echo_opaque_with_stats(spark, dest):
     assert echoed[1]["global"]["shared_state"] == {"lsn": 123}
     assert echoed[1]["destinationStats"] == {"recordCount": 0}
     assert echoed[2]["id"] == 9 and echoed[2]["destinationStats"] == {"recordCount": 0}
+
+
+def test_fused_index_path_no_persist_no_single_partition(spark):
+    """The wire path's record index must come from the zero-persist
+    fused pass: no InMemoryTableScan (nothing cached), no
+    SinglePartition exchange, and exact 0..n-1 input-order indexes even
+    with non-RECORD lines interleaved."""
+    from airbyte_destination_spark.destination import (
+        _indexed_records,
+        _validated_offsets,
+    )
+    from airbyte_destination_spark.plans import executed_plan
+    from pyspark.sql import functions as F
+
+    lines = []
+    for i in range(40):
+        lines.append(_rec("s", 1705379716, id=i, name=f"n{i}"))
+        if i % 4 == 0:
+            lines.append(_state(i))
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    typed = df.select(
+        F.col("value"),
+        F.get_json_object("value", "$.type").alias("type"),
+        F.get_json_object("value", "$.record.stream").alias("stream"),
+        F.get_json_object("value", "$.record.namespace").alias("namespace"),
+    )
+    offsets, n = _validated_offsets(typed)
+    assert n == 40
+    recs = _indexed_records(typed, offsets)
+    plan = executed_plan(recs)
+    assert "InMemoryTableScan" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    got = sorted(r._record_index for r in recs.select("_record_index").collect())
+    assert got == list(range(40))
+    # input order is the index order: record payload i sits at index i
+    by_idx = {
+        r._record_index: json.loads(r.value)["record"]["data"]["id"]
+        for r in recs.collect()
+    }
+    assert by_idx == {i: i for i in range(40)}
+
+
+def test_shuffled_input_auto_pins_one_materialization(spark, tmp_path):
+    """An input with an Exchange upstream (repartition) has
+    job-dependent row->partition assignment under AQE — write() must
+    detect it and pin ONE materialization so record indexes stay a
+    permutation of 0..n-1 (observed failure without the pin: duplicate
+    and missing indexes)."""
+    catalog = P.ConfiguredCatalog.from_dict(
+        {"streams": [CATALOG["streams"][0]]}
+    )
+    lines = [_rec("airlines_ow", 1705379716, id=i, name=f"n{i}") for i in range(60)]
+    df = _lines_df(spark, lines).repartition(7)
+    dest = Destination(spark, P.Config(warehouse=str(tmp_path / "wh"), n_buckets=4))
+    result = dest.write(catalog, df)
+    assert result.tables["airlines_ow"] == 60
+    tbl = dest.read_table("airlines_ow")
+    # unique indexes -> unique raw ids -> 60 distinct rows survive
+    assert tbl.select(P.RAW_ID_COL).distinct().count() == 60
+
+
+def test_multi_stream_concurrent_write_matches_serial(spark, tmp_path):
+    """4 independent streams written concurrently (the per-stream
+    ThreadPool) must produce exactly the per-stream rows a serial apply
+    would — same tables, same rows, same dedup outcome."""
+    streams = []
+    lines = []
+    for k in range(4):
+        streams.append(
+            {
+                "sync_mode": "incremental",
+                "cursor_field": ["updated_at"],
+                "primary_key": [["id"]],
+                "destination_sync_mode": "append_dedup",
+                "stream": {
+                    "name": f"st{k}",
+                    "json_schema": {
+                        "type": "object",
+                        "properties": {
+                            "id": {"type": "integer"},
+                            "name": {"type": ["null", "string"]},
+                            "updated_at": {"type": "string", "format": "date-time"},
+                        },
+                    },
+                },
+            }
+        )
+    for i in range(30):
+        k = i % 4
+        # two versions per key: later updated_at must win in every stream
+        lines.append(
+            _rec(f"st{k}", 1705379700 + i, id=i // 4, name=f"old{i}",
+                 updated_at=f"2024-03-18T18:05:{i % 50 + 10}.000Z")
+        )
+        lines.append(
+            _rec(f"st{k}", 1705379800 + i, id=i // 4, name=f"new{i}",
+                 updated_at=f"2024-03-19T18:05:{i % 50 + 10}.000Z")
+        )
+    catalog = P.ConfiguredCatalog.from_dict({"streams": streams})
+    dest = Destination(spark, P.Config(warehouse=str(tmp_path / "wh"), n_buckets=4))
+    result = dest.write(catalog, _lines_df(spark, lines))
+
+    for k in range(4):
+        expected = {}
+        for i in range(30):
+            if i % 4 != k:
+                continue
+            expected[i // 4] = f"new{i}"  # LWW by updated_at
+        got = {
+            r.id: r.name for r in dest.read_table(f"st{k}").collect()
+        }
+        assert got == expected, (k, got, expected)
+        assert result.tables[f"st{k}"] == len(expected)
