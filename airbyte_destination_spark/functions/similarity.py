@@ -357,13 +357,30 @@ def ivf_topk(
         sample_mod=sample_mod,
     )
     _ranked_cells = _ranked_cells_udf(cent_mat, cell_ids)
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
     assigned = c.withColumn(
         "cell", F.element_at(_ranked_cells(F.col("nv")), 1)
     ).select("neighbor_id", "nv", "cell")
+    return _ivf_probe(assigned, queries, cell_ids, cent_mat, k, nprobe, id_col, vec_col)
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cell_ids: list[int],
+    cent_mat: list[list[float]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe stage shared by inline and index-backed IVF: queries rank
+    cells against the centroid literals, explode their nprobe nearest,
+    join the (neighbor_id, nv, cell) posting list on cell, score with
+    one Arrow batch, rank per query."""
+    _ranked_cells = _ranked_cells_udf(cent_mat, cell_ids)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -387,6 +404,103 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
     )
+
+
+def ivf_index(
+    spark,
+    corpus: DataFrame,
+    fingerprint: str,
+    n_cells: int = 16,
+    kmeans_iters: int = 2,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_name: str = "ivf",
+) -> tuple[list[int], list[list[float]], DataFrame]:
+    """Persisted IVF index: (centroid matrix, doc→cell posting list) as
+    staged LAKE TABLES keyed by the corpus fingerprint — built once per
+    corpus snapshot, reused by every subsequent `ivf_topk_staged` call,
+    invalidated when the corpus or training params change (reference
+    frame: FAISS index-on-disk; same lifecycle as `LakeTable.optimize`
+    table maintenance).
+
+    Two tables share one fingerprint: `<name>-centroids` (cell,
+    centroid) — k rows, read back to the driver to re-embed as UDF
+    literals — and `<name>-assign` (neighbor_id, cell, nv), bucketed by
+    neighbor_id. The posting list stores the normalized vector so probe
+    queries never rejoin the source corpus. A crash between the two
+    builds self-heals: the missing table rebuilds from the same
+    deterministic recurrence, so the pair can never disagree.
+
+    Returns (cell_ids, cent_mat, assigned_df) ready for `_ivf_probe`.
+    """
+    from .staging import staged_table
+
+    params_fp = f"{fingerprint}:{n_cells}:{kmeans_iters}:{sample_mod}"
+    state: dict = {}
+
+    def _build_centroids() -> DataFrame:
+        cell_ids, cent_mat = kmeans_centroids(
+            corpus, n_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
+            sample_mod=sample_mod,
+        )
+        state["trained"] = (cell_ids, cent_mat)
+        return spark.createDataFrame(
+            [(int(c), v) for c, v in zip(cell_ids, cent_mat)],
+            "cell bigint, centroid array<double>",
+        )
+
+    cent_df = staged_table(
+        spark, f"{index_name}-centroids", params_fp, _build_centroids,
+        key_cols=["cell"], n_buckets=1,
+    )
+    if "trained" in state:
+        cell_ids, cent_mat = state["trained"]
+    else:  # cache hit: k rows back to the driver (control-plane sized)
+        rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
+        cell_ids = [int(r["cell"]) for r in rows]
+        cent_mat = [list(r["centroid"]) for r in rows]
+
+    def _build_assign() -> DataFrame:
+        ranked = _ranked_cells_udf(cent_mat, cell_ids)
+        return (
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("nv"),
+            )
+            .withColumn("cell", F.element_at(ranked(F.col("nv")), 1))
+            .select("neighbor_id", "nv", "cell")
+        )
+
+    assigned = staged_table(
+        spark, f"{index_name}-assign", params_fp, _build_assign,
+        key_cols=["neighbor_id"],
+    )
+    return cell_ids, cent_mat, assigned
+
+
+def ivf_topk_staged(
+    spark,
+    corpus: DataFrame,
+    queries: DataFrame,
+    fingerprint: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """`ivf_topk` against the persisted index: identical results (the
+    index stores the same deterministic assignments the inline path
+    computes), but training + assignment amortize across calls — only
+    the nprobe-bounded probe join runs per query."""
+    cell_ids, cent_mat, assigned = ivf_index(
+        spark, corpus, fingerprint, n_cells=n_cells, kmeans_iters=kmeans_iters,
+        sample_mod=sample_mod, id_col=id_col, vec_col=vec_col,
+    )
+    return _ivf_probe(assigned, queries, cell_ids, cent_mat, k, nprobe, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(
