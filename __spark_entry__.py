@@ -915,6 +915,48 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: corpus tokenization against a frequency-ranked
+    vocabulary trained on the corpus itself — emits the (doc_id,
+    tokens array<int>, n_tok) pre-tokenized-sequence shape the CDC
+    engine ingests. Word-keyed shuffle joins only; no broadcast of the
+    vocabulary."""
+    from airbyte_destination_spark.functions.text import tokenize_freq_vocab
+
+    return tokenize_freq_vocab(_docs_wide(spark, sf_dir))
+
+
+def q_token_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: corpus-wide top-20 token bigrams over the
+    freq-vocab tokenization (n-gram LM stats for quality/memorization
+    audits) — per-doc lead() windows build grams in place, one
+    map-side-combined count, k-row result."""
+    from airbyte_destination_spark.functions.text import token_ngram_topk
+
+    return token_ngram_topk(_docs_wide(spark, sf_dir), n=2, k=20)
+
+
+def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph op: connected components by LARGE-STAR/SMALL-STAR
+    contraction (Kiveris et al., SoCC'14) over a deterministic
+    user-chain graph — user u links to u+1 except every 50th, so
+    components are ~50-deep CHAINS: the topology min-label propagation
+    is worst-case on (O(depth) rounds) and star contraction collapses
+    in O(log^2 depth). Returns every node's smallest reachable id."""
+    from airbyte_destination_spark.functions.textdedup import (
+        connected_components_star,
+    )
+
+    uid = _t(spark, sf_dir, "events").select("user_id").distinct()
+    pairs = uid.where(F.col("user_id") % 50 != 49).select(
+        F.col("user_id").alias("doc_a"),
+        (F.col("user_id") + 1).alias("doc_b"),
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("user_id"), F.col("cluster").alias("component")
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -966,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "tokenize_vocab": q_tokenize_vocab,
+        "token_bigram_topk": q_token_bigram_topk,
+        "graph_components_star": q_graph_components_star,
         "pii_scan": q_pii_scan,
         "tfidf_topk": q_tfidf_topk,
         "curate": q_curate,
@@ -1982,5 +2027,81 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY freq DESC, word ASC
             LIMIT 50
+        """,
+        "tokenize_vocab": r"""
+            WITH w AS (
+              SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ws
+                FROM documents
+              ), LATERAL (
+                SELECT unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {'pos': i, 'w': ws[i]})) AS x
+              ) u
+              WHERE u.x.w <> ''
+            ),
+            vocab AS (
+              SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS tid
+              FROM w GROUP BY w
+            ),
+            toks AS (
+              SELECT doc_id, pos, CAST(tid AS INT) AS tid
+              FROM w JOIN vocab USING (w)
+            )
+            SELECT doc_id,
+                   list(tid ORDER BY pos) AS tokens,
+                   CAST(len(list(tid ORDER BY pos)) AS INT) AS n_tok
+            FROM toks GROUP BY doc_id
+        """,
+        "token_bigram_topk": r"""
+            WITH w AS (
+              SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ws
+                FROM documents
+              ), LATERAL (
+                SELECT unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {'pos': i, 'w': ws[i]})) AS x
+              ) u
+              WHERE u.x.w <> ''
+            ),
+            vocab AS (
+              SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS tid
+              FROM w GROUP BY w
+            ),
+            toks AS (
+              SELECT doc_id, pos, CAST(tid AS INT) AS tid
+              FROM w JOIN vocab USING (w)
+            ),
+            grams AS (
+              SELECT tid AS t1,
+                     lead(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+              FROM toks
+            )
+            SELECT t1, t2, CAST(count(*) AS BIGINT) AS freq
+            FROM grams WHERE t2 IS NOT NULL
+            GROUP BY t1, t2
+            ORDER BY freq DESC, t1 ASC, t2 ASC
+            LIMIT 20
+        """,
+        # min-reachability over the same deterministic chain graph the
+        # Spark side contracts with large-star/small-star — algorithm
+        # differs, fixpoint (smallest reachable id) must agree
+        "graph_components_star": """
+            WITH RECURSIVE
+            uid AS (SELECT DISTINCT user_id AS u FROM events),
+            e0 AS (
+              SELECT u AS a, u + 1 AS b FROM uid WHERE u % 50 <> 49
+            ),
+            edges AS (SELECT a AS src, b AS dst FROM e0
+                      UNION SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            )
+            SELECT node AS user_id, MIN(r) AS component
+            FROM reach GROUP BY node
         """,
     }

@@ -309,3 +309,120 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "word", "tfidf", "rank")
     )
+
+
+def tokenize_freq_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenize the corpus against a FREQUENCY-RANKED vocabulary trained
+    on the corpus itself: token id = dense rank of the word by (global
+    count desc, word asc), 1-based — the rank structure of a BPE/uni-
+    gram vocab without the (non-SQL-expressible) merge loop, so every
+    engine reproduces ids exactly. Returns (id_col, tokens array<int>,
+    n_tok) — the `input_hint` training-sequence shape.
+
+    `vocab_size` caps the vocabulary; rarer words map to `oov_id`
+    (the <unk> convention).
+
+    Scale shape: one exploded word scan -> word-keyed count (map-side
+    combined); ranking the vocabulary is a window over the WORD
+    aggregate (vocabulary-sized, not corpus-sized; a global-order
+    window, acceptable because the vocab is orders smaller than the
+    corpus — at true web scale swap for ordered zipWithIndex over a
+    sorted write). Token assignment joins words->vocab with a shuffled
+    hash join on the word (NO broadcast — web vocabularies are 10^8+,
+    the tfidf_topk lesson), then one groupBy(doc) rebuilds order with
+    sort_array over (pos, tid) structs.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "tid",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    if vocab_size is not None:
+        vocab = vocab.withColumn(
+            "tid",
+            F.when(F.col("tid") <= vocab_size, F.col("tid")).otherwise(
+                F.lit(oov_id)
+            ),
+        )
+    toks = words.join(vocab.hint("shuffle_hash"), "w").select(
+        id_col, "pos", F.col("tid").cast("int").alias("tid")
+    )
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("tokens")
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+
+
+def token_ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k token n-grams over the freq-vocab tokenization
+    — the n-gram LM statistic a data pipeline computes for quality /
+    memorization auditing. Returns (t1..tn, freq) ordered by (freq
+    desc, t1..tn asc).
+
+    Works on the exploded word stream directly (never materializes the
+    token arrays): n-1 `lead()` windows per document partition build
+    each n-gram in place, then one map-side-combined count. Document
+    partitions are independent, so the window shuffles by doc — no
+    global order anywhere; the final top-k is the only driver-bound
+    (k-row) result.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "tid",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    toks = words.join(vocab.hint("shuffle_hash"), "w").select(
+        id_col, "pos", F.col("tid").cast("int").alias("tid")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    grams = toks.select(
+        F.col("tid").alias("t1"),
+        *[F.lead("tid", i).over(wdoc).alias(f"t{i + 1}") for i in range(1, n)],
+    ).dropna()
+    gcols = [f"t{i + 1}" for i in range(n)]
+    return (
+        grams.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), *[F.col(c).asc() for c in gcols])
+        .limit(k)
+    )

@@ -336,11 +336,15 @@ def connected_components(
             edges.join(labels, edges["dst"] == labels["node"])
             .select(edges["src"].alias("node"), F.col("cluster"))
         )
+        # localCheckpoint (not cache): labels is referenced twice per
+        # round (join + convergence check), so lineage doubles per
+        # iteration — without truncation the logical plan grows 2^iters
+        # and OOMs the driver on deep graphs long before data does.
         new_labels = (
             labels.unionByName(via_neighbors)
             .groupBy("node")
             .agg(F.min("cluster").alias("cluster"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
@@ -348,12 +352,138 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 30,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by the alternating LARGE-STAR / SMALL-STAR
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public paper, re-derived here in DataFrame ops).
+    Same output contract as `connected_components`: (node, cluster)
+    with cluster = smallest reachable id.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds — fine for near-dup graphs (tiny cliques) but pathological
+    on deep chains (a 10^4-long similarity chain = 10^4 shuffles).
+    Star contraction HALVES long paths every alternation (large-star
+    hangs every node off its neighborhood min, small-star flattens),
+    converging in O(log^2 n) rounds on ANY topology, so a 100 TB
+    corpus with an adversarial dup chain still finishes in ~dozens of
+    rounds, not millions.
+
+    Per round: two groupBy-min + join passes over the edge list — O(E)
+    shuffled per round, ~2x the per-round cost of min-label, which is
+    why `near_dup_clusters` defaults to min-label and exposes this as
+    `cc_algorithm="star"`. Convergence detected by edge-set checksum
+    (count + xxhash sum — one 1-row aggregate, control-plane only).
+    Deterministic min-lattice fixpoint, partitioning-independent.
+    """
+    fwd = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    # canonical undirected edge set, deduped
+    edges = (
+        fwd.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .cache()
+    )
+    all_nodes.count()
+
+    def _checksum(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: overflow-proof under ANSI mode for any
+            # realistic edge count (long sum trips ARITHMETIC_OVERFLOW)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # both directions; for each center u: m = min(neighbors ∪ {u});
+        # re-hang every STRICTLY LARGER neighbor off m
+        adj = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        out = (
+            adj.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        return out.distinct()
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # neighbors ≤ center only (e is canonical u>v, so group by u);
+        # m = min(smaller-neighbors ∪ {u}); hang them all (and u) off m
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = e.join(m, "u").select(
+            F.col("v").alias("n"), F.col("m"), F.col("u")
+        )
+        re_hung = nbrs.select(F.col("n").alias("u"), F.col("m").alias("v"))
+        center = nbrs.select(F.col("u"), F.col("m").alias("v")).distinct()
+        return (
+            re_hung.unionByName(center)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _checksum(edges)
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        ls = _large_star(edges)
+        # re-canonicalize (large-star emits v=component-min < u already,
+        # but duplicates across directions need the u>v form)
+        canon = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        # localCheckpoint (not cache): each round references `edges`
+        # 6-8x, so without lineage TRUNCATION the logical plan grows
+        # exponentially (measured: 2 GB plan string by round ~10).
+        # Eager local checkpoint = materialize round output + cut the
+        # plan; on a real cluster with lossy executors swap for
+        # reliable checkpoint(dir).
+        nxt = _small_star(canon).localCheckpoint(eager=True)
+        cur = _checksum(nxt)
+        if edges.is_cached:
+            edges.unpersist()
+        edges = nxt
+        if cur == prev:
+            break
+        prev = cur
+    if _stats is not None:
+        _stats["iters"] = iters
+    # fixpoint: every edge is (node, root). Roots + isolated inputs map
+    # to themselves; matches connected_components' output contract.
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    roots = all_nodes.join(
+        edges.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.col("node").alias("cluster"))
+    out = labels.unionByName(roots)
+    return out
 
 
 def near_dup_clusters(
@@ -365,6 +495,7 @@ def near_dup_clusters(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 10_000,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash-LSH candidates ->
     exact n-gram Jaccard verification -> connected components. Returns
@@ -373,6 +504,11 @@ def near_dup_clusters(
     (the canonical survivor of keep-one dedup). Fully deterministic,
     so the DuckDB oracle replays it with a recursive min-reachability
     CTE over the same verified pairs.
+
+    `cc_algorithm`: "label" (min-label propagation, O(diameter) rounds
+    — the default; near-dup graphs are shallow cliques) or "star"
+    (large-star/small-star, O(log^2 n) rounds — for corpora where dup
+    chains run deep). Both produce identical labels (pytest-pinned).
     """
     cands = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes, bands=bands,
@@ -382,6 +518,7 @@ def near_dup_clusters(
         df, cands, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
         threshold=threshold,
     )
-    return connected_components(verified).select(
+    cc = connected_components_star if cc_algorithm == "star" else connected_components
+    return cc(verified).select(
         F.col("node").alias(id_col), F.col("cluster").alias("cluster_id")
     )

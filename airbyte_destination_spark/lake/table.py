@@ -623,7 +623,9 @@ class LakeTable:
                     folded, m["key_cols"], ([ver] if ver else []) + ["_cv"]
                 )
             folded = self._with_bucket(folded.drop("_cv"), m)
-            new_files = self._write_bucketed(folded, m, base + 1, n_out=len(todo))
+            new_files = self._write_bucketed(
+                folded, m, base + 1, n_out=len(todo), sort_keys=True
+            )
             buckets = dict(m["buckets"])
             for b in todo:
                 buckets[str(b)] = new_files.get(str(b), [])
@@ -650,7 +652,7 @@ class LakeTable:
             # _resolve folds MOR deltas and drops tombstone rows
             live = self._resolve(spark, m, [int(b) for b in m["buckets"]], schema)
             live = self._with_bucket(live, m)
-            new_files = self._write_bucketed(live, m, base + 1)
+            new_files = self._write_bucketed(live, m, base + 1, sort_keys=True)
             m["buckets"] = new_files
             m["operation"] = "purge_tombstones"
             m["epoch_id"] = None
@@ -823,6 +825,7 @@ class LakeTable:
         version_hint: int,
         n_out: int | None = None,
         already_bucket_aligned: bool = False,
+        sort_keys: bool = False,
     ) -> dict[str, list[dict]]:
         """Write df (which must carry _BUCKET_COL) partitioned by bucket;
         return {bucket: [file entries]} with paths relative to root.
@@ -831,7 +834,17 @@ class LakeTable:
         on the bucket id) so a snapshot produces ~1 file per touched
         bucket instead of (tasks x buckets) small files — file count is
         what kills both the commit listing and later scans at scale.
-        """
+
+        `sort_keys=True` additionally sorts each task's rows by the key
+        columns, so every parquet file comes out key-ordered and its
+        row-group min/max statistics become selective: a `read_keys`
+        point lookup then skips whole row groups inside the (already
+        bucket-pruned) file, and clustered keys compress better. Used
+        by the MAINTENANCE writes (compact / purge_tombstones) only —
+        the ingest hot path stays sort-free because a per-batch sort
+        would tax merge throughput for files that compaction will
+        rewrite anyway (the Iceberg/ClickHouse shape: append fast,
+        sort on merge)."""
         nonce = uuid.uuid4().hex[:12]
         rel_snap = os.path.join("data", f"snap-{version_hint:08d}-{nonce}")
         out_dir = os.path.join(self.root, rel_snap)
@@ -842,6 +855,8 @@ class LakeTable:
             # already hash(key)-partitioned with n_buckets partitions
             # (the merge path) skip this exchange entirely
             df = df.repartition(max(1, n_out), F.col(_BUCKET_COL))
+        if sort_keys:
+            df = df.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
         (
             df.write.mode("overwrite")
             .partitionBy(_BUCKET_COL)

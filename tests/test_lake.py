@@ -163,3 +163,40 @@ def test_table_changes_net_semantics(spark, tmp_table_root):
     vs = [h["version"] for h in t.history() if h["operation"] == "merge"]
     mid = t.table_changes(spark, v_from=v0, v_to=vs[1])
     assert {r.doc_id for r in mid.collect()} == {"upd", "gone", "new", "flash"}
+
+
+def test_compact_writes_key_sorted_files(spark, tmp_table_root):
+    """Maintenance rewrites (compact) emit key-ordered parquet files so
+    row-group min/max stats are selective; data is unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = LakeTable(tmp_table_root)
+    t.create(
+        SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=2,
+        merge_strategy="mor",  # deltas accumulate -> compact has work
+    )
+    # two merges in reverse-key order -> >=2 files/bucket, unsorted rows
+    rows1 = [(f"k{i:03d}", [i], i, "I") for i in range(99, 49, -1)]
+    rows2 = [(f"k{i:03d}", [i], 100 + i, "U") for i in range(49, -1, -1)]
+    t.merge(spark.createDataFrame(rows1, BATCH_SCHEMA), epoch_id="e0")
+    t.merge(spark.createDataFrame(rows2, BATCH_SCHEMA), epoch_id="e1")
+    before = sorted((r.doc_id, r.tokens) for r in t.read(spark).collect())
+    assert t.compact(spark, min_files=2) is not None
+    after = sorted((r.doc_id, r.tokens) for r in t.read(spark).collect())
+    assert after == before
+    m = t.manifest()
+    live = {f["path"] for fs in m["buckets"].values() for f in fs}
+    checked = 0
+    for p in glob.glob(f"{tmp_table_root}/data/snap-*/*/*.parquet"):
+        rel = p.split(f"{tmp_table_root}/", 1)[1]
+        if rel not in live:
+            continue
+        col = pq.read_table(p, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert col == sorted(col), f"{rel} not key-sorted"
+        checked += 1
+    assert checked >= 2  # both buckets rewritten
+    # point lookup over the sorted files still exact
+    got = {r.doc_id for r in t.read_keys(spark, ["k007", "k077"]).collect()}
+    assert got == {"k007", "k077"}

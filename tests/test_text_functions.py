@@ -378,3 +378,34 @@ def test_near_dup_clusters_shingle_n_plumbed(spark, shingle_n):
         ).collect()
     }
     assert got == expected, (shingle_n, got, expected)
+
+
+def test_tokenize_freq_vocab_ranks_and_order(spark):
+    from airbyte_destination_spark.functions.text import tokenize_freq_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: (r.tokens, r.n_tok) for r in tokenize_freq_vocab(docs).collect()}
+    # freq rank: a(3)=1, b(2)=2, c(1)=3; token order follows word order
+    assert out == {1: ([2, 1, 1], 3), 2: ([1, 2, 3], 3)}
+    capped = {
+        r.doc_id: r.tokens
+        for r in tokenize_freq_vocab(docs, vocab_size=2).collect()
+    }
+    assert capped == {1: [2, 1, 1], 2: [1, 2, 0]}  # c -> oov 0
+
+
+def test_token_ngram_topk_bigrams_and_trigrams(spark):
+    from airbyte_destination_spark.functions.text import token_ngram_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    bi = [(r.t1, r.t2, r.freq) for r in token_ngram_topk(docs, n=2, k=10).collect()]
+    assert bi == [(1, 1, 1), (1, 2, 1), (2, 1, 1), (2, 3, 1)]
+    tri = [
+        (r.t1, r.t2, r.t3, r.freq)
+        for r in token_ngram_topk(docs, n=3, k=10).collect()
+    ]
+    assert tri == [(1, 2, 3, 1), (2, 1, 1, 1)]
