@@ -176,7 +176,10 @@ def _pin_cpus(spec: str) -> None:
     os.sched_setaffinity(0, set(range(int(lo), int(hi) + 1)))
 
 
-def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: int) -> None:
+def _worker(
+    cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: int,
+    n_reps: int = 3,
+) -> None:
     """Persistent scaling worker: one JVM at `cores`; each round applies
     IDENTICAL work when `go-<cores>-<i>` appears and reports to
     `done-<cores>-<i>`. A round = fresh table, apply batch-0 (untimed —
@@ -249,7 +252,7 @@ def _worker(cores: int, log_dir: str, sync_dir: str, n_buckets: int, n_rounds: i
         # the engine doesn't have.
         reps = []
         ev = 0
-        for k in range(3):
+        for k in range(n_reps):
             t0 = time.time()
             s = apply_change_batch(table, timed, f"timed-{i}-{k}", cfg)
             el = time.time() - t0
@@ -276,6 +279,7 @@ def _run_scaling(
     n_measured: int,
     max_rounds: int = 8,
     deadline: float | None = None,
+    n_reps: int = 3,
 ) -> dict:
     """One paired scaling phase: identical work at local[n_small] vs
     local[4*n_small], both CPU-pinned to exactly their core count, in
@@ -321,7 +325,8 @@ def _run_scaling(
         subprocess.Popen(
             [sys.executable, __file__, "--worker", "--cores", str(c),
              "--log-dir", f"{sc_dir}/log", "--sync-dir", sync_dir,
-             "--n-buckets", "64", "--n-rounds", str(n_epochs)]
+             "--n-buckets", "64", "--n-rounds", str(n_epochs),
+             "--n-reps", str(n_reps)]
             + (["--pin", f"0-{min(c, total) - 1}"] if pin else []),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             cwd=str(Path(__file__).parent),
@@ -375,6 +380,10 @@ def _run_scaling(
                 # direct external-interference signal for this round
                 "steal_small_pct": pair[n_small].get("steal_pct", -1),
                 "steal_large_pct": pair[n_large].get("steal_pct", -1),
+                # raw timed reps (post rep0-discard) for both sides:
+                # a collapsed round shows WHICH window went slow
+                "reps_small": pair[n_small].get("reps"),
+                "reps_large": pair[n_large].get("reps"),
             }
         )
         _phase(f"scaling {n_small}->{n_large} round {i} eff={rounds[-1]['efficiency']}")
@@ -438,6 +447,8 @@ def main() -> None:
     ap.add_argument("--sync-dir")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-rounds", type=int, default=6)
+    ap.add_argument("--n-reps", type=int, default=3,
+                    help="timed reps per round (rep0 discarded, min of rest)")
     ap.add_argument("--pin", help="CPU range 'lo-hi' to pin this process to")
     ap.add_argument("--out")
     ap.add_argument("--skip-scaling", action="store_true")
@@ -448,7 +459,8 @@ def main() -> None:
     if args.worker:
         if args.pin:
             _pin_cpus(args.pin)
-        _worker(args.cores, args.log_dir, args.sync_dir, args.n_buckets, args.n_rounds)
+        _worker(args.cores, args.log_dir, args.sync_dir, args.n_buckets,
+                args.n_rounds, args.n_reps)
         return
     if args.apply_only:
         _apply_job(args.cores, args.log_dir, args.n_buckets, args.out)
@@ -565,9 +577,21 @@ def main() -> None:
                 # above the ~2s per-job latency floor; at 1M it dropped
                 # under the floor and suppressed the measured ratio
                 int(os.environ.get("SPARK_GRAFT_SCALE_LOW_EVENTS", "2000000")),
-                warm_rounds=1,  # startup warm (6 applies at <=4 cores) +
-                n_measured=3,   # rep0 discard carry the JIT load
-                deadline=time.time() + BENCH_BUDGET_SEC * 0.4,
+                # the 2-core JVM warms very slowly (C2 threads share the
+                # 2 pinned cores) — a half-warm round reads 0.2-0.5 and
+                # one such round in a short median sinks the phase, so:
+                # 2 full warmup rounds, 4 timed reps (min of 3 survives
+                # one transient collapse INSIDE a round), and a 3-round
+                # median (one bad round gets outvoted).
+                warm_rounds=2,
+                n_measured=3,
+                n_reps=4,
+                # window sized for 2 warm + 3 measured rounds at ~130s
+                # each — this phase IS the north-rule evidence, so it
+                # gets the budget priority; the 8->32 ceiling phase
+                # self-shrinks (event halving + hard-overrun break) on
+                # whatever remains
+                deadline=time.time() + BENCH_BUDGET_SEC * 0.75,
             )
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "8"))
         elapsed = time.time() - _T_START
@@ -598,10 +622,14 @@ def main() -> None:
         "scaling": scaling,
         "scaling_low": scaling_low,
     }
+    # debug/smoke runs (env override) must not clobber the committed
+    # full-run artifact
+    detail_out = os.environ.get(
+        "SPARK_GRAFT_DETAIL_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_DETAIL.json"),
+    )
     try:
-        Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
-            json.dumps(detail, indent=1)
-        )
+        Path(detail_out).write_text(json.dumps(detail, indent=1))
     except OSError as ex:
         _phase(f"BENCH_DETAIL.json write failed: {ex}")
 

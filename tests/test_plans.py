@@ -213,3 +213,29 @@ def test_tfidf_docfreq_join_not_broadcast(spark):
     plan = executed_plan(tfidf_topk(docs, k=3))
     assert "BroadcastExchange" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_tokenize_vocab_join_not_broadcast(spark):
+    """The vocabulary side of tokenize_freq_vocab is 10^8+ rows at web
+    scale — the words->vocab token-assignment join must be a shuffled
+    hash join on the word, never a broadcast."""
+    from airbyte_destination_spark.functions.text import tokenize_freq_vocab
+    from airbyte_destination_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(tokenize_freq_vocab(docs))
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_token_ngram_no_global_sort_before_topk(spark):
+    """token_ngram_topk's per-doc lead() windows partition by doc_id —
+    the only global ordering is the final k-row TakeOrdered, never a
+    full-sort Exchange of the gram stream."""
+    from airbyte_destination_spark.functions.text import token_ngram_topk
+    from airbyte_destination_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(token_ngram_topk(docs, n=2, k=5))
+    assert "BroadcastExchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
