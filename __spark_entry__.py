@@ -957,6 +957,34 @@ def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational op: backward AS-OF join — each non-purchase event is
+    attributed to the same user's most recent at-or-before purchase
+    (classic funnel attribution). Implemented as union + key-windowed
+    running last() — ONE shuffle on user_id, no Join operator, linear
+    in |L|+|R| (a range join would cross-product per key)."""
+    from airbyte_destination_spark.operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_join_backward(
+        ev.where(F.col("event_type") != "purchase"),
+        ev.where(F.col("event_type") == "purchase"),
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload={
+            "purchase_id": F.col("event_id"),
+            "purchase_value": F.col("value"),
+            "purchase_ts": F.col("ts"),
+        },
+        tiebreak=F.col("event_id"),
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "ts",
+        "purchase_id", "purchase_value", "purchase_ts",
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -1008,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "asof_attribution": q_asof_attribution,
         "tokenize_vocab": q_tokenize_vocab,
         "token_bigram_topk": q_token_bigram_topk,
         "graph_components_star": q_graph_components_star,
@@ -2027,6 +2056,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY freq DESC, word ASC
             LIMIT 50
+        """,
+        "asof_attribution": """
+            -- DuckDB has a native ASOF JOIN; the Spark side reproduces
+            -- it with union + key-windowed running last() (no join).
+            -- (user_id, ts) is unique within purchases at every sf, so
+            -- the tiebreak never fires here (it is pytest-pinned).
+            SELECT e.event_id, e.user_id, e.event_type, e.ts,
+                   p.event_id AS purchase_id,
+                   p.value    AS purchase_value,
+                   p.ts       AS purchase_ts
+            FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "tokenize_vocab": r"""
             WITH w AS (
