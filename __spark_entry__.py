@@ -985,6 +985,33 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: exact substring-level dedup at 16-word-block
+    granularity (Lee et al. ACL'22 exact-substring stage, shardable
+    form) — per-doc fraction of blocks appearing verbatim in another
+    doc. Hash histogram + ids-only join back; block text never
+    reshuffles."""
+    from airbyte_destination_spark.functions.text import block_dedup
+
+    return block_dedup(_docs_wide(spark, sf_dir), block_words=16)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats op: EXACT per-source word-length quantiles (p50/p90/p99)
+    via histogram + rank arithmetic — per-group state is the distinct
+    value count, not the row count, unlike Spark's builtin exact
+    percentile (which buffers whole groups and OOMs at 10^9 rows per
+    group)."""
+    from airbyte_destination_spark.functions.stats import quantiles_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_words"),
+    )
+    return quantiles_exact(lens, value_col="n_words", group_col="source")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -1037,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "asof_attribution": q_asof_attribution,
+        "block_dedup": q_block_dedup,
+        "length_quantiles": q_length_quantiles,
         "tokenize_vocab": q_tokenize_vocab,
         "token_bigram_topk": q_token_bigram_topk,
         "graph_components_star": q_graph_components_star,
@@ -2070,6 +2099,49 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "block_dedup": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ),
+            blk AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       w[(i.i * 16 + 1):(i.i * 16 + 16)], ' ')) AS bh
+              FROM ws, LATERAL (
+                SELECT unnest(range(0,
+                  CAST(ceil(len(w) / 16.0) AS INT))) AS i
+              ) i
+            ),
+            cnt AS (
+              SELECT bh, count(DISTINCT doc_id) AS ndocs
+              FROM blk GROUP BY bh
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_blocks,
+                   round(CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS dup_block_ratio
+            FROM blk b JOIN cnt c USING (bh)
+            GROUP BY b.doc_id
+        """,
+        "length_quantiles": r"""
+            WITH lens AS (
+              SELECT source,
+                     len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS n_words
+              FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(avg(n_words), 6) AS mean,
+                   round(quantile_cont(n_words, 0.5), 6)  AS p50,
+                   round(quantile_cont(n_words, 0.9), 6)  AS p90,
+                   round(quantile_cont(n_words, 0.99), 6) AS p99
+            FROM lens GROUP BY source
         """,
         "tokenize_vocab": r"""
             WITH w AS (

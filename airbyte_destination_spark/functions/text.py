@@ -426,3 +426,58 @@ def token_ngram_topk(
         .orderBy(F.col("freq").desc(), *[F.col(c).asc() for c in gcols])
         .limit(k)
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 16,
+) -> DataFrame:
+    """Exact substring-level dedup at block granularity — the
+    exact-substring stage of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22), coarsened from suffix-array
+    byte ranges to consecutive `block_words`-word blocks so it stays a
+    pure DataFrame plan (their suffix array is a single-machine build;
+    fixed blocks give the same "this span appears elsewhere verbatim"
+    signal shardably).
+
+    Emits per doc: n_blocks, dup_blocks (blocks whose md5 appears in at
+    least one OTHER doc), dup_block_ratio.
+
+    Scale: blocks explode ~n_words/block_words rows; one map-side
+    combined groupBy on the block hash, one shuffle-hash join back
+    carrying (id, hash) only — block text never reshuffles — then one
+    groupBy doc. No all-pairs anything; hot (boilerplate) blocks cost
+    one histogram row each.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nblk = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
+    blocks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(words, i * block_words + 1, block_words)
+                    )
+                ),
+            )
+        ).alias("bh"),
+    )
+    counts = blocks.groupBy("bh").agg(
+        F.count_distinct(F.col(id_col)).alias("ndocs")
+    )
+    return (
+        blocks.join(counts.hint("shuffle_hash"), "bh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("ndocs") > 1).cast("bigint")).alias("dup_blocks"),
+        )
+        .withColumn(
+            "dup_block_ratio",
+            F.round(F.col("dup_blocks") / F.col("n_blocks"), 6),
+        )
+    )
