@@ -308,6 +308,30 @@ def q_cdc_engine_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC OUT -> materialized-view maintenance: a per-event_type
+    aggregate computed at the FIRST epoch's snapshot is advanced to the
+    final version using only the pre-image change feed (signed -pre
+    +post contributions) — the table is never rescanned. Must equal the
+    direct aggregate over the final LWW state (the oracle)."""
+    from airbyte_destination_spark.operators.incremental import (
+        maintain_rollup,
+        rollup_snapshot,
+    )
+
+    table, versions, _ = _engine_replay(spark, sf_dir, "cow")
+    base = rollup_snapshot(
+        table.read(spark, version=versions[0]),
+        dims=["event_type"],
+        measures={"sum_value": "value"},
+    )
+    cdf = table.table_changes(spark, v_from=versions[0], pre_images=True)
+    out = maintain_rollup(base, cdf, ["event_type"], {"sum_value": "value"})
+    return out.select(
+        "event_type", "n_rows", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2: Airbyte wire-envelope parse. NDJSON lines are constructed
     by string concatenation (identically in the oracle — to_json key
@@ -1064,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "asof_attribution": q_asof_attribution,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "block_dedup": q_block_dedup,
         "length_quantiles": q_length_quantiles,
         "tokenize_vocab": q_tokenize_vocab,
@@ -2099,6 +2124,26 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "cdc_incremental_rollup": """
+            -- the maintained aggregate must equal a direct aggregate
+            -- over the final LWW state
+            WITH log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key
+                                           ORDER BY change_lsn DESC) AS rn
+              FROM log
+            ), final AS (
+              SELECT event_type, value FROM ranked WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(value), 6) AS sum_value
+            FROM final GROUP BY event_type
         """,
         "block_dedup": r"""
             WITH ws AS (

@@ -534,7 +534,11 @@ class LakeTable:
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
 
     def table_changes(
-        self, spark: SparkSession, v_from: int, v_to: int | None = None
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        pre_images: bool = False,
     ) -> DataFrame:
         """Change data feed (Iceberg/Delta CDF analogue): the net row
         changes between snapshot `v_from` and snapshot `v_to` (default:
@@ -579,22 +583,41 @@ class LakeTable:
             differs = F.xxhash64(*[F.col(f"a_{c}") for c in payload]) != F.xxhash64(
                 *[F.col(f"b_{c}") for c in payload]
             )
-        out_cols = [
+        # With pre_images=True an update emits TWO rows — Delta CDF's
+        # update_preimage/update_postimage shape — which is what signed
+        # incremental aggregate maintenance needs (the -pre +post
+        # contributions). Built by exploding a per-row entry array so
+        # the full-outer join runs ONCE either way.
+        payload_cols = [c for c in cols if c not in key_cols]
+
+        def _img(side: str, ct: str):
+            return F.struct(
+                F.lit(ct).alias("change_type"),
+                *[F.col(f"{side}_{c}").alias(c) for c in payload_cols],
+            )
+
+        upd = (
+            F.array(_img("b", "update_preimage"), _img("a", "update_postimage"))
+            if pre_images
+            else F.array(_img("a", "update"))
+        )
+        entries = (
+            F.when(is_ins, F.array(_img("a", "insert")))
+            .when(is_del, F.array(_img("b", "delete")))
+            .otherwise(upd)
+        )
+        keys_out = [
             F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k) for k in key_cols
         ]
-        out_cols.append(
-            F.when(is_ins, F.lit("insert"))
-            .when(is_del, F.lit("delete"))
-            .otherwise(F.lit("update"))
-            .alias("change_type")
-        )
-        for c in cols:
-            if c in key_cols:
-                continue
-            out_cols.append(
-                F.when(is_del, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(c)
+        return (
+            j.where(is_ins | is_del | differs)
+            .select(*keys_out, F.explode(entries).alias("__c"))
+            .select(
+                *key_cols,
+                F.col("__c.change_type").alias("change_type"),
+                *[F.col(f"__c.{c}").alias(c) for c in payload_cols],
             )
-        return j.where(is_ins | is_del | differs).select(*out_cols)
+        )
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
         """Fold MOR delta files (and small-file buildup generally):

@@ -1,0 +1,114 @@
+"""Pre-image CDF + incremental rollup maintenance: the maintained
+aggregate must equal a full recompute, for inserts, deletes,
+measure-changing updates, dimension-moving updates, and groups dying to
+zero."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+from airbyte_destination_spark.operators.incremental import (
+    maintain_rollup,
+    rollup_snapshot,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ver", T.LongType(), False),
+        T.StructField("dim", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, ver long, dim string, v double, op string")
+
+
+@pytest.fixture()
+def table(spark, tmp_table_root):
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, ["doc_id"], "ver", n_buckets=2)
+    return t
+
+
+def test_pre_image_cdf_emits_pairs(spark, table):
+    v0 = table.merge(
+        _batch(spark, [(1, 1, "a", 1.0, "U"), (2, 1, "b", 2.0, "U")]), epoch_id="e0"
+    ).version
+    table.merge(
+        _batch(spark, [(1, 2, "a", 5.0, "U"), (2, 2, "b", 2.0, "D"), (3, 2, "c", 7.0, "U")]),
+        epoch_id="e1",
+    )
+    rows = sorted(
+        (r.doc_id, r.change_type, r.v)
+        for r in table.table_changes(spark, v_from=v0, pre_images=True).collect()
+    )
+    assert rows == [
+        (1, "update_postimage", 5.0),
+        (1, "update_preimage", 1.0),
+        (2, "delete", 2.0),
+        (3, "insert", 7.0),
+    ]
+
+
+def test_maintained_equals_recompute(spark, table):
+    v0 = table.merge(
+        _batch(
+            spark,
+            [
+                (1, 1, "a", 1.0, "U"),
+                (2, 1, "a", 2.0, "U"),
+                (3, 1, "b", 3.0, "U"),
+                (4, 1, "b", 4.0, "U"),
+            ],
+        ),
+        epoch_id="e0",
+    ).version
+    # update measure, move dimension, delete b entirely, insert new dim
+    table.merge(
+        _batch(
+            spark,
+            [
+                (1, 2, "a", 10.0, "U"),   # measure change
+                (2, 2, "c", 2.0, "U"),    # dim move a -> c
+                (3, 2, "b", 3.0, "D"),
+                (4, 2, "b", 4.0, "D"),    # group b dies
+                (5, 2, "d", 9.0, "U"),    # new dim
+            ],
+        ),
+        epoch_id="e1",
+    )
+    dims, meas = ["dim"], {"sv": "v"}
+    base = rollup_snapshot(table.read(spark, version=v0), dims, meas)
+    cdf = table.table_changes(spark, v_from=v0, pre_images=True)
+    maintained = {
+        r.dim: (r.n_rows, r.sv)
+        for r in maintain_rollup(base, cdf, dims, meas).collect()
+    }
+    direct = {
+        r.dim: (r.n_rows, r.sv)
+        for r in rollup_snapshot(table.read(spark), dims, meas).collect()
+    }
+    assert maintained == direct
+    assert "b" not in maintained  # zero-count group dropped
+
+
+def test_plain_cdf_rejected(spark, table):
+    v0 = table.merge(_batch(spark, [(1, 1, "a", 1.0, "U")]), epoch_id="e0").version
+    table.merge(_batch(spark, [(1, 2, "a", 2.0, "U")]), epoch_id="e1")
+    base = rollup_snapshot(table.read(spark, version=v0), ["dim"], {"sv": "v"})
+    cdf = table.table_changes(spark, v_from=v0)  # no pre-images
+    with pytest.raises(Exception, match="pre-image"):
+        maintain_rollup(base, cdf, ["dim"], {"sv": "v"}).collect()
+
+
+def test_default_cdf_shape_unchanged(spark, table):
+    v0 = table.merge(_batch(spark, [(1, 1, "a", 1.0, "U")]), epoch_id="e0").version
+    table.merge(_batch(spark, [(1, 2, "a", 2.0, "U")]), epoch_id="e1")
+    out = table.table_changes(spark, v_from=v0)
+    assert out.columns == ["doc_id", "change_type", "ver", "dim", "v"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].change_type == "update" and rows[0].v == 2.0
