@@ -1036,6 +1036,45 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_exact(lens, value_col="n_words", group_col="source")
 
 
+def q_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token op: invert the freq-vocab tokenization (tid-keyed shuffle
+    join back to words, order restored via sort_array) and check the
+    rebuilt text equals the whitespace-normalized original for EVERY
+    doc — the lossless-tokenization invariant a training pipeline
+    asserts before shipping sequences."""
+    from airbyte_destination_spark.functions.text import (
+        detokenize,
+        freq_vocab,
+        tokenize_freq_vocab,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    toks = tokenize_freq_vocab(docs)
+    rebuilt = detokenize(toks, freq_vocab(docs))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return rebuilt.join(docs.select("doc_id", norm.alias("__norm")), "doc_id").select(
+        "doc_id",
+        F.length("text_rebuilt").alias("n_chars_rebuilt"),
+        (F.col("text_rebuilt") == F.col("__norm")).alias("roundtrip_ok"),
+    )
+
+
+def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token op: contamination scan in TOKEN space — corpus docs holding
+    a verbatim token 8-gram of any probe doc (doc_id % 97 == 0), via a
+    shuffled semi-join on gram keys (the large-probe-set scale path;
+    the text-shingle `contamination` shows the broadcast path)."""
+    from airbyte_destination_spark.functions.text import (
+        token_contamination,
+        tokenize_freq_vocab,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    toks = tokenize_freq_vocab(docs)
+    probes = docs.where(F.col("doc_id") % 97 == 0).select("doc_id")
+    return token_contamination(toks, probes, n=8)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -1091,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "block_dedup": q_block_dedup,
         "length_quantiles": q_length_quantiles,
+        "detokenize_roundtrip": q_detokenize_roundtrip,
+        "token_contamination": q_token_contamination,
         "tokenize_vocab": q_tokenize_vocab,
         "token_bigram_topk": q_token_bigram_topk,
         "graph_components_star": q_graph_components_star,
@@ -1515,6 +1556,31 @@ WITH log AS (
 SELECT doc_key, change_lsn AS last_lsn, event_type, value
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """
+
+
+# shared tokenization CTE (same word split / freq-ranked vocab as
+# functions/text.py freq_vocab + tokenize_freq_vocab)
+_TOK_CTE = r"""
+            WITH w AS (
+              SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ws
+                FROM documents
+              ), LATERAL (
+                SELECT unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {'pos': i, 'w': ws[i]})) AS x
+              ) u
+              WHERE u.x.w <> ''
+            ),
+            vocab AS (
+              SELECT w, CAST(row_number() OVER (
+                       ORDER BY count(*) DESC, w ASC) AS INT) AS tid
+              FROM w GROUP BY w
+            ),
+            toks AS (
+              SELECT doc_id, pos, CAST(tid AS INT) AS tid
+              FROM w JOIN vocab USING (w)
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2187,6 +2253,39 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_words, 0.9), 6)  AS p90,
                    round(quantile_cont(n_words, 0.99), 6) AS p99
             FROM lens GROUP BY source
+        """,
+        "detokenize_roundtrip": _TOK_CTE + r""",
+            detok AS (
+              SELECT t.doc_id,
+                     array_to_string(list(v.w ORDER BY t.pos), ' ') AS rebuilt
+              FROM toks t JOIN vocab v USING (tid) GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(length(k.rebuilt) AS BIGINT) AS n_chars_rebuilt,
+                   k.rebuilt = regexp_replace(lower(trim(d.text)),
+                                              '\s+', ' ', 'g')
+                     AS roundtrip_ok
+            FROM detok k JOIN documents d USING (doc_id)
+        """,
+        "token_contamination": _TOK_CTE + r""",
+            seq AS (
+              SELECT doc_id, list(tid ORDER BY pos) AS tokens
+              FROM toks GROUP BY doc_id
+            ),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(tokens[(i.i + 1):(i.i + 8)], ',') AS g
+              FROM seq, LATERAL (
+                SELECT unnest(range(0, len(tokens) - 8 + 1)) AS i
+              ) i
+              WHERE len(tokens) >= 8
+            ),
+            pg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+            SELECT h.doc_id,
+                   CAST(count(DISTINCT h.g) AS BIGINT) AS n_hit_grams
+            FROM (SELECT * FROM grams WHERE doc_id % 97 <> 0) h
+            JOIN pg USING (g)
+            GROUP BY h.doc_id
         """,
         "tokenize_vocab": r"""
             WITH w AS (

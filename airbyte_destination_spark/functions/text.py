@@ -311,6 +311,116 @@ def tfidf_topk(
     )
 
 
+def _pos_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w): the exploded, position-tagged word stream."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+
+
+def freq_vocab(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Frequency-ranked vocabulary (w, freq, tid) trained on the corpus:
+    tid = row_number by (count desc, word asc), 1-based. The ranking
+    window runs over the WORD AGGREGATE (vocabulary-sized); the corpus
+    scan only feeds a map-side-combined count."""
+    words = _pos_words(df, id_col, text_col)
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "tid",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+            ),
+        )
+    )
+
+
+def detokenize(
+    tok_df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    out_col: str = "text_rebuilt",
+) -> DataFrame:
+    """Invert tokenization: explode token ids, shuffle-hash join the
+    vocabulary on tid (NEVER broadcast — web vocabularies are 10^8+),
+    restore order with sort_array over (pos, w) structs. Requires an
+    injective vocabulary (uncapped — a vocab_size/oov mapping is lossy
+    by construction and would also fan out the tid join)."""
+    pos = tok_df.select(
+        F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "tid")
+    )
+    joined = pos.join(
+        vocab.select(F.col("tid").cast("int").alias("tid"), "w").hint(
+            "shuffle_hash"
+        ),
+        "tid",
+    )
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias(out_col)
+    )
+
+
+def token_contamination(
+    tok_df: DataFrame,
+    probe_ids: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Token-space contamination scan: which corpus documents contain a
+    token n-gram of any probe (eval-set) document? Works on the
+    PRE-TOKENIZED sequences (the input_hint shape), so it catches
+    verbatim training/eval overlap after tokenization — the form that
+    actually leaks into a trained model.
+
+    Unlike the text-shingle `contamination` (which broadcasts a small
+    probe set), this joins corpus grams to probe grams with a SHUFFLED
+    semi-join on the gram key — the scale path when the probe set is
+    itself large (a full eval suite). Gram keys are ids-only strings;
+    token arrays never reshuffle. Returns (id_col, n_hit_grams) for
+    non-probe docs with at least one verbatim probe n-gram.
+    """
+    probe = tok_df.join(probe_ids, id_col, "leftsemi")
+    corpus = tok_df.join(probe_ids, id_col, "leftanti")
+
+    def _grams(df: DataFrame) -> DataFrame:
+        ok = df.where(F.size(F.col(tokens_col)) >= n)
+        return ok.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(tokens_col)) - n),
+                    lambda i: F.array_join(
+                        F.transform(
+                            F.slice(F.col(tokens_col), i + 1, n),
+                            lambda t: t.cast("string"),
+                        ),
+                        ",",
+                    ),
+                )
+            ).alias("g"),
+        )
+
+    probe_grams = _grams(probe).select("g").distinct()
+    hits = _grams(corpus).join(probe_grams.hint("shuffle_hash"), "g", "leftsemi")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct(F.col("g")).alias("n_hit_grams")
+    )
+
+
 def tokenize_freq_vocab(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -338,22 +448,8 @@ def tokenize_freq_vocab(
     the tfidf_topk lesson), then one groupBy(doc) rebuilds order with
     sort_array over (pos, tid) structs.
     """
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "w"
-        ),
-    ).where(F.col("w") != "")
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "tid",
-            F.row_number().over(
-                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
-            ),
-        )
-    )
+    words = _pos_words(df, id_col, text_col)
+    vocab = freq_vocab(df, id_col=id_col, text_col=text_col)
     if vocab_size is not None:
         vocab = vocab.withColumn(
             "tid",
