@@ -567,6 +567,18 @@ class LakeTable:
         after = self.read(spark, version=v_to)
         before = self.read(spark, version=v_from)
         cols = after.columns
+        # the window may span schema evolution: align the BEFORE
+        # snapshot to the after-schema (typed nulls for columns added
+        # inside the window, casts for widened ones) so the diff join
+        # resolves; pre-images of such rows carry null in new columns,
+        # which is exactly what the old snapshot said.
+        before_types = {f.name: f.dataType for f in before.schema.fields}
+        for f in after.schema.fields:
+            if f.name not in before_types:
+                before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+            elif before_types[f.name] != f.dataType:
+                before = before.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        before = before.select(cols)
         af = after.select([F.col(c).alias(f"a_{c}") for c in cols])
         bf = before.select([F.col(c).alias(f"b_{c}") for c in cols])
         cond = None

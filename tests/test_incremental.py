@@ -112,3 +112,35 @@ def test_default_cdf_shape_unchanged(spark, table):
     assert out.columns == ["doc_id", "change_type", "ver", "dim", "v"]
     rows = out.collect()
     assert len(rows) == 1 and rows[0].change_type == "update" and rows[0].v == 2.0
+
+
+def test_cdf_across_schema_evolution(spark, table):
+    v0 = table.merge(
+        _batch(spark, [(1, 1, "a", 1.0, "U"), (2, 1, "b", 2.0, "U")]), epoch_id="e0"
+    ).version
+    evolved = spark.createDataFrame(
+        [(1, 2, "a", 5.0, "x", "U"), (3, 2, "c", 7.0, "y", "U")],
+        "doc_id long, ver long, dim string, v double, extra string, op string",
+    )
+    table.merge(evolved, epoch_id="e1")
+    got = {
+        (r.doc_id, r.change_type): r
+        for r in table.table_changes(spark, v_from=v0, pre_images=True).collect()
+    }
+    # pre-images of rows written before the evolution carry null extra
+    assert got[(1, "update_preimage")].extra is None
+    assert got[(1, "update_postimage")].extra == "x"
+    assert got[(3, "insert")].extra == "y"
+    assert (2, "delete") not in got and len(got) == 3
+    # maintained rollup still matches a recompute across the evolution
+    base = rollup_snapshot(table.read(spark, version=v0), ["dim"], {"sv": "v"})
+    cdf = table.table_changes(spark, v_from=v0, pre_images=True)
+    maintained = {
+        r.dim: (r.n_rows, r.sv)
+        for r in maintain_rollup(base, cdf, ["dim"], {"sv": "v"}).collect()
+    }
+    direct = {
+        r.dim: (r.n_rows, r.sv)
+        for r in rollup_snapshot(table.read(spark), ["dim"], {"sv": "v"}).collect()
+    }
+    assert maintained == direct
