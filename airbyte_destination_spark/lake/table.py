@@ -279,6 +279,20 @@ class LakeTable:
             m.get("applied_epochs", {})
         )
 
+    def epoch_commit_version(self, epoch_id: str) -> int | None:
+        """The version committed by `epoch_id`, or None if unknown (never
+        applied, or its commit record was GC'd by expire_snapshots).
+        Walks raw commit records newest-first — the cold crash-recovery
+        path for derived-table maintenance (see operators/incremental),
+        not something the hot loop calls."""
+        for v in range(self.current_version(), 0, -1):
+            try:
+                if self._read_raw(v).get("epoch_id") == epoch_id:
+                    return v
+            except FileNotFoundError:
+                break  # older records are expired; nothing earlier survives
+        return None
+
     def history(self) -> list[dict]:
         out = []
         for v in range(1, self.current_version() + 1):

@@ -85,3 +85,115 @@ def maintain_rollup(
         )
         .where(F.col("n_rows") > 0)
     )
+
+
+class RollupSpec:
+    """Declaration of a derived aggregate table maintained from a base
+    table's change feed: GROUP BY ``dims``, one SUM column per
+    ``measures`` entry (out_name -> base column) plus n_rows."""
+
+    def __init__(self, dims, measures, version_col: str = "_src_version"):
+        self.dims = list(dims)
+        self.measures = dict(measures)
+        self.version_col = version_col
+
+
+def apply_with_rollup(
+    main,
+    rollup,
+    batch: DataFrame,
+    epoch_id: str,
+    cfg=None,
+    spec: RollupSpec | None = None,
+):
+    """Apply one change batch to ``main`` AND advance the derived
+    ``rollup`` table, each exactly once.
+
+    The rollup merge is driven by the (v-1, v) pre-image change feed of
+    the epoch's own commit, touching only the dimension groups the
+    batch changed — refresh cost scales with the batch. Idempotency is
+    two independent epoch markers: if the process dies between the two
+    commits, the replay skips the main merge (its marker exists),
+    recovers this epoch's version window from the commit record
+    (``epoch_commit_version``), and completes the rollup merge; a full
+    replay skips both. Zero-count groups become tombstone deletes so
+    the derived table tracks a recompute exactly.
+
+    Reference frame: the reference's warehouse recomputes rollups by
+    rescanning landed data; here derived state rides the same
+    exactly-once commit protocol as the base table.
+    """
+    from airbyte_destination_spark.streaming.pipeline import (
+        IngestConfig,
+        apply_change_batch,
+    )
+
+    spec = spec or RollupSpec(["stream"], {})
+    cfg = cfg or IngestConfig()
+    spark = batch.sparkSession
+
+    stats = apply_change_batch(main, batch, epoch_id, cfg)
+    if rollup.exists() and rollup.is_epoch_applied(epoch_id):
+        return stats
+
+    v_after = (
+        main.epoch_commit_version(epoch_id) if stats.skipped else stats.version
+    )
+    if v_after is None:
+        raise RuntimeError(
+            f"cannot recover rollup for epoch {epoch_id}: its commit "
+            "record was expired — recompute the rollup from a snapshot"
+        )
+    cdf = main.table_changes(
+        spark, v_from=v_after - 1, v_to=v_after, pre_images=True
+    )
+    affected = cdf.select(*spec.dims).distinct()
+
+    if rollup.exists():
+        base = (
+            rollup.read(spark)
+            .join(affected, spec.dims, "leftsemi")
+            .select(*spec.dims, "n_rows", *spec.measures)
+        )
+    else:
+        base = cdf.select(
+            *spec.dims,
+            F.lit(0).cast("long").alias("n_rows"),
+            *[F.col(src).alias(out) for out, src in spec.measures.items()],
+        ).limit(0)
+
+    updated = maintain_rollup(base, cdf, spec.dims, spec.measures)
+    ups = updated.select(
+        *spec.dims,
+        "n_rows",
+        *spec.measures,
+        F.lit(v_after).alias(spec.version_col),
+        F.lit("U").alias("op"),
+    )
+    dels = (
+        affected.join(updated.select(*spec.dims), spec.dims, "leftanti")
+        .select(
+            *spec.dims,
+            F.lit(None).cast("long").alias("n_rows"),
+            *[
+                F.lit(None).cast(dict(zip(updated.schema.names, updated.schema))[m].dataType).alias(m)
+                for m in spec.measures
+            ],
+            F.lit(v_after).alias(spec.version_col),
+            F.lit("D").alias("op"),
+        )
+    )
+    out = ups.unionByName(dels)
+
+    if not rollup.exists():
+        from pyspark.sql import types as T
+
+        fields = [f for f in out.schema.fields if f.name != "op"]
+        rollup.create(
+            T.StructType(fields),
+            spec.dims,
+            spec.version_col,
+            n_buckets=min(8, cfg.n_buckets),
+        )
+    rollup.merge(out, epoch_id=epoch_id)
+    return stats

@@ -254,6 +254,8 @@ def run_ingest_batches(
     table: LakeTable,
     cfg: IngestConfig | None = None,
     job_name: str = "ingest",
+    rollup: LakeTable | None = None,
+    rollup_spec=None,
 ) -> list[MergeStats]:
     """Replay an at-rest change log (list of parquet dirs in lsn order).
 
@@ -261,6 +263,10 @@ def run_ingest_batches(
     rerun after a crash skips every batch the table already absorbed and
     continues from the first unapplied one — checkpoint-free resume, the
     checkpoint IS the table snapshot.
+
+    With `rollup`/`rollup_spec` set, a derived aggregate table is
+    maintained from each epoch's change feed under the same
+    exactly-once markers (operators/incremental.apply_with_rollup).
     """
     cfg = cfg or IngestConfig()
     stats = []
@@ -269,8 +275,16 @@ def run_ingest_batches(
         reader = spark.read if schema is None else spark.read.schema(schema)
         batch = reader.parquet(path)
         schema = batch.schema
-        stats.append(apply_change_batch(table, batch, f"{job_name}-{i:06d}", cfg))
+        stats.append(_apply(table, batch, f"{job_name}-{i:06d}", cfg, rollup, rollup_spec))
     return stats
+
+
+def _apply(table, batch, epoch_id, cfg, rollup, rollup_spec) -> MergeStats:
+    if rollup is None:
+        return apply_change_batch(table, batch, epoch_id, cfg)
+    from airbyte_destination_spark.operators.incremental import apply_with_rollup
+
+    return apply_with_rollup(table, rollup, batch, epoch_id, cfg, rollup_spec)
 
 
 def run_ingest_stream(
@@ -282,6 +296,8 @@ def run_ingest_stream(
     data_schema: T.StructType | None = None,
     job_name: str = "stream",
     available_now: bool = True,
+    rollup: LakeTable | None = None,
+    rollup_spec=None,
 ):
     """Structured Streaming front-end: tail a growing parquet change-log
     directory, applying each micro-batch through the same exactly-once
@@ -302,7 +318,7 @@ def run_ingest_stream(
     stream = reader.parquet(log_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_change_batch(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg)
+        _apply(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg, rollup, rollup_spec)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

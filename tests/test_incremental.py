@@ -144,3 +144,118 @@ def test_cdf_across_schema_evolution(spark, table):
         for r in rollup_snapshot(table.read(spark), ["dim"], {"sv": "v"}).collect()
     }
     assert maintained == direct
+
+
+def _ing_batch(spark, rows):
+    # apply_change_batch shape: payload + op + emitted_at (epoch ms)
+    return spark.createDataFrame(
+        [(d, ver, dim, v, op, 1_700_000_000_000 + ver) for d, ver, dim, v, op in rows],
+        "doc_id long, ver long, dim string, v double, op string, emitted_at long",
+    )
+
+
+def _cfg():
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig
+
+    return IngestConfig(key_cols=["doc_id"], version_col="ver", n_buckets=2)
+
+
+def test_apply_with_rollup_tracks_recompute(spark, tmp_path):
+    from airbyte_destination_spark.operators.incremental import (
+        RollupSpec,
+        apply_with_rollup,
+    )
+
+    main = LakeTable(str(tmp_path / "main"))
+    roll = LakeTable(str(tmp_path / "roll"))
+    spec = RollupSpec(["dim"], {"sv": "v"})
+    cfg = _cfg()
+    apply_with_rollup(
+        main, roll,
+        _ing_batch(spark, [(1, 1, "a", 1.0, "U"), (2, 1, "b", 2.0, "U")]),
+        "job-0", cfg, spec,
+    )
+    apply_with_rollup(
+        main, roll,
+        _ing_batch(
+            spark,
+            [(1, 2, "c", 5.0, "U"), (2, 2, "b", 2.0, "D"), (3, 2, "a", 4.0, "U")],
+        ),
+        "job-1", cfg, spec,
+    )
+    maintained = {
+        r.dim: (r.n_rows, r.sv) for r in roll.read(spark).select("dim", "n_rows", "sv").collect()
+    }
+    direct = {
+        r.dim: (r.n_rows, r.sv)
+        for r in rollup_snapshot(main.read(spark), ["dim"], {"sv": "v"}).collect()
+    }
+    assert maintained == direct == {"a": (1, 4.0), "c": (1, 5.0)}  # b deleted
+
+
+def test_apply_with_rollup_recovers_after_partial_crash(spark, tmp_path):
+    from airbyte_destination_spark.operators.incremental import (
+        RollupSpec,
+        apply_with_rollup,
+    )
+    from airbyte_destination_spark.streaming.pipeline import apply_change_batch
+
+    main = LakeTable(str(tmp_path / "main"))
+    roll = LakeTable(str(tmp_path / "roll"))
+    spec = RollupSpec(["dim"], {"sv": "v"})
+    cfg = _cfg()
+    b0 = _ing_batch(spark, [(1, 1, "a", 1.0, "U"), (2, 1, "b", 2.0, "U")])
+    apply_with_rollup(main, roll, b0, "job-0", cfg, spec)
+    # crash window: epoch job-1 lands on MAIN only (rollup merge died)
+    b1 = _ing_batch(spark, [(1, 2, "b", 9.0, "U"), (3, 2, "a", 4.0, "U")])
+    apply_change_batch(main, b1, "job-1", cfg)
+    v_roll = roll.current_version()
+    # replay of the epoch: main skips, rollup recovers (v-1, v) and lands
+    stats = apply_with_rollup(main, roll, b1, "job-1", cfg, spec)
+    assert stats.skipped
+    maintained = {
+        r.dim: (r.n_rows, r.sv) for r in roll.read(spark).select("dim", "n_rows", "sv").collect()
+    }
+    direct = {
+        r.dim: (r.n_rows, r.sv)
+        for r in rollup_snapshot(main.read(spark), ["dim"], {"sv": "v"}).collect()
+    }
+    assert maintained == direct
+    assert roll.current_version() > v_roll
+    # full replay: both markers exist -> both no-ops
+    v_main, v_roll = main.current_version(), roll.current_version()
+    apply_with_rollup(main, roll, b1, "job-1", cfg, spec)
+    assert (main.current_version(), roll.current_version()) == (v_main, v_roll)
+
+
+def test_stream_ingest_maintains_rollup(spark, tmp_path):
+    """End-to-end: Structured Streaming ingest with a derived rollup —
+    after the stream drains, the rollup equals a recompute."""
+    from airbyte_destination_spark.operators.incremental import RollupSpec
+    from airbyte_destination_spark.sources.changegen import write_change_log
+    from airbyte_destination_spark.streaming.pipeline import (
+        IngestConfig,
+        run_ingest_stream,
+    )
+
+    log_dir = str(tmp_path / "log")
+    write_change_log(spark, log_dir, 600, 60, n_batches=3, seed=7)
+    main = LakeTable(str(tmp_path / "main"))
+    roll = LakeTable(str(tmp_path / "roll"))
+    q = run_ingest_stream(
+        spark, log_dir + "/batch-*", main, str(tmp_path / "ckpt"),
+        cfg=IngestConfig(n_buckets=4),
+        rollup=roll, rollup_spec=RollupSpec(["source"], {"total_tok": "n_tok"}),
+    )
+    q.awaitTermination(timeout=300)
+    maintained = {
+        r.source: (r.n_rows, r.total_tok)
+        for r in roll.read(spark).select("source", "n_rows", "total_tok").collect()
+    }
+    direct = {
+        r.source: (r.n_rows, r.total_tok)
+        for r in rollup_snapshot(
+            main.read(spark), ["source"], {"total_tok": "n_tok"}
+        ).collect()
+    }
+    assert maintained == direct and maintained
