@@ -1049,8 +1049,12 @@ def q_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_wide(spark, sf_dir)
-    toks = tokenize_freq_vocab(docs)
-    rebuilt = detokenize(toks, freq_vocab(docs))
+    # one vocabulary training + one tokenization, shared by both DAG
+    # branches (tokenize + detokenize) — localCheckpoint truncates the
+    # lineage so neither branch re-trains the vocab
+    vocab = freq_vocab(docs).localCheckpoint(eager=True)
+    toks = tokenize_freq_vocab(docs, vocab=vocab)
+    rebuilt = detokenize(toks, vocab)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return rebuilt.join(docs.select("doc_id", norm.alias("__norm")), "doc_id").select(
         "doc_id",
@@ -1070,7 +1074,9 @@ def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_wide(spark, sf_dir)
-    toks = tokenize_freq_vocab(docs)
+    # both the probe and corpus branches consume the token frame;
+    # checkpoint it so tokenization (and its vocab training) runs once
+    toks = tokenize_freq_vocab(docs).localCheckpoint(eager=True)
     probes = docs.where(F.col("doc_id") % 97 == 0).select("doc_id")
     return token_contamination(toks, probes, n=8)
 

