@@ -1089,6 +1089,31 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: edit-distance near-dup pairs via multi-pass sorted
+    neighborhood (prefix + reversed-prefix blocking, windowed lead
+    candidates, Levenshtein verify on capped keys) — the
+    entity-resolution complement to MinHash-LSH. One hash shuffle per
+    pass, no SinglePartition window, O(n * neighbors) edit-distance
+    calls."""
+    from airbyte_destination_spark.functions.textdedup import fuzzy_dedup_pairs
+
+    return fuzzy_dedup_pairs(
+        _docs_wide(spark, sf_dir), neighbors=4, max_dist=10,
+        block_len=12, key_cap=128,
+    )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: CCNet-style corpus-trained bigram-LM cross entropy
+    per document (add-alpha smoothing). Gram counts are word-keyed
+    shuffle aggregations; the model joins back by SHUFFLE join, never
+    broadcast (web-corpus bigram tables are billions of rows)."""
+    from airbyte_destination_spark.functions.text import lm_perplexity
+
+    return lm_perplexity(_docs_wide(spark, sf_dir), alpha=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -1135,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "block_dedup": q_block_dedup,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "length_quantiles": q_length_quantiles,
         "detokenize_roundtrip": q_detokenize_roundtrip,
         "token_contamination": q_token_contamination,
@@ -2216,6 +2243,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    round(sum(value), 6) AS sum_value
             FROM final GROUP BY event_type
+        """,
+        "fuzzy_dedup": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                            1, 128) AS k
+              FROM documents
+            ),
+            p1 AS (SELECT id, k, substr(k, 1, 12) AS blk FROM base),
+            p2 AS (SELECT id, k, substr(reverse(k), 1, 12) AS blk FROM base),
+            cand AS (
+              SELECT a, b, dist FROM (
+                SELECT id AS a,
+                       lead(id, 1) OVER w AS b,
+                       levenshtein(k, lead(k, 1) OVER w) AS dist
+                FROM p1 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 2) OVER w AS b,
+                       levenshtein(k, lead(k, 2) OVER w) AS dist
+                FROM p1 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 3) OVER w AS b,
+                       levenshtein(k, lead(k, 3) OVER w) AS dist
+                FROM p1 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 4) OVER w AS b,
+                       levenshtein(k, lead(k, 4) OVER w) AS dist
+                FROM p1 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 1) OVER w AS b,
+                       levenshtein(k, lead(k, 1) OVER w) AS dist
+                FROM p2 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 2) OVER w AS b,
+                       levenshtein(k, lead(k, 2) OVER w) AS dist
+                FROM p2 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 3) OVER w AS b,
+                       levenshtein(k, lead(k, 3) OVER w) AS dist
+                FROM p2 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              ) UNION ALL
+              SELECT a, b, dist FROM (
+                SELECT id AS a, lead(id, 4) OVER w AS b,
+                       levenshtein(k, lead(k, 4) OVER w) AS dist
+                FROM p2 WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+              )
+            )
+            SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b,
+                   CAST(min(dist) AS INT) AS dist
+            FROM cand
+            WHERE b IS NOT NULL AND dist <= 10
+            GROUP BY least(a, b), greatest(a, b)
+        """,
+        "lm_perplexity": r"""
+            WITH w AS (
+              SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ws
+                FROM documents
+              ), LATERAL (
+                SELECT unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {'pos': i, 'w': ws[i]})) AS x
+              ) u
+              WHERE u.x.w <> ''
+            ),
+            bi AS (
+              SELECT doc_id, w, w2 FROM (
+                SELECT doc_id, w,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM w
+              ) WHERE w2 IS NOT NULL
+            ),
+            uni AS (SELECT w, count(*) AS c1 FROM w GROUP BY w),
+            big AS (SELECT w, w2, count(*) AS c12 FROM bi GROUP BY w, w2),
+            v AS (SELECT count(*) AS _v FROM uni),
+            scored AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * _v))), 6)
+                       AS cross_entropy
+              FROM bi JOIN big USING (w, w2) JOIN uni USING (w) CROSS JOIN v
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   cross_entropy,
+                   round(exp(cross_entropy), 4) AS perplexity
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored USING (doc_id)
         """,
         "block_dedup": r"""
             WITH ws AS (

@@ -586,3 +586,75 @@ def block_dedup(
             F.round(F.col("dup_blocks") / F.col("n_blocks"), 6),
         )
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM document scoring (the CCNet/KenLM-style quality
+    signal): train an add-alpha-smoothed bigram language model ON the
+    corpus itself, then score every document by its per-bigram cross
+    entropy under that model. Documents whose word transitions are
+    atypical for the corpus (boilerplate, gibberish, lorem-ipsum
+    spam) score high; fluent in-domain text scores low — the standard
+    perplexity-bucket filter for web-scale pretraining data.
+
+    nll(w1,w2) = -ln( (c(w1,w2) + alpha) / (c(w1) + alpha * V) )
+
+    Plan shape: unigram and bigram counts are word-keyed groupBys
+    (map-side partial agg carries one row per distinct gram per task —
+    Zipf shrink); the doc bigram stream joins those counts with plain
+    SHUFFLE joins on the gram key. The model is NEVER broadcast — a
+    web-corpus bigram table is billions of rows (the same 10^8-token
+    lesson as tfidf_topk / tokenize_freq_vocab). V rides in as a
+    1-row cross join. The per-doc bigram stream itself is a lead()
+    window partitioned by doc — no global window, no SinglePartition.
+
+    Returns (doc_id, n_bigrams, cross_entropy, perplexity); docs with
+    fewer than 2 words carry NULL scores (no bigram evidence). Sums
+    are rounded to 6dp like char_entropy (absorbs cross-partition FP
+    association jitter; the DuckDB oracle replays the identical
+    arithmetic).
+    """
+    words = _pos_words(df, id_col, text_col)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    bi = (
+        words.withColumn("w2", F.lead("w").over(win))
+        .where(F.col("w2").isNotNull())
+        .select(id_col, "w", "w2")
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    big = bi.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    v = uni.agg(F.count(F.lit(1)).alias("_v"))
+    nll = -F.log(
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.col("_v"))
+    )
+    scored = (
+        bi.join(big, ["w", "w2"])
+        .join(uni, "w")
+        .crossJoin(v)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("cross_entropy"),
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(F.col("cross_entropy")), 4)
+        )
+    )
+    # docs too short for any bigram still appear, with NULL scores —
+    # a corpus filter must SEE them to route them, not silently drop
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+            "perplexity",
+        )
+    )

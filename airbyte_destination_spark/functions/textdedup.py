@@ -522,3 +522,98 @@ def near_dup_clusters(
     return cc(verified).select(
         F.col("node").alias(id_col), F.col("cluster").alias("cluster_id")
     )
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    neighbors: int = 4,
+    max_dist: int = 10,
+    block_len: int = 12,
+    key_cap: int = 128,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs via multi-pass sorted
+    neighborhood (Hernandez & Stolfo, SIGMOD'95) — the entity-resolution
+    complement to MinHash: catches small in-place edits (typo-level
+    divergence) that shingle-set Jaccard scores as highly similar but
+    whose *candidate generation* here costs one sort instead of k hash
+    tables.
+
+    Plan shape (the part that must survive 100 TB):
+    - sort key = first `key_cap` chars of the normalized text; capping
+      bounds every Levenshtein evaluation at O(key_cap^2) regardless of
+      document length (full-text edit distance on web documents is the
+      quadratic trap).
+    - TWO blocking passes — prefix and reversed-prefix of the key — so
+      an edit near the front of a document (which scatters prefix sort
+      order) is still caught by the suffix pass. Each pass windows
+      PARTITIONED BY the block, never a global window: the plan is one
+      hash shuffle per pass, no SinglePartition exchange, and each doc
+      compares against <= `neighbors` sort-adjacent docs per pass
+      (O(n * neighbors) Levenshtein calls corpus-wide).
+    - verification (levenshtein <= max_dist) runs inside the window
+      projection — candidates that fail never reach the shuffle that
+      dedups pairs across passes.
+
+    Returns (doc_a, doc_b, dist), doc_a < doc_b, distinct across
+    passes. Deterministic (sort ties broken by id), so the DuckDB
+    oracle replays it with the same windows + levenshtein().
+    """
+    from pyspark.sql import Window
+
+    key = F.substring(normalized(text_col), 1, key_cap)
+    base = df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+    passes = [
+        F.substring(F.col("_k"), 1, block_len),
+        F.substring(F.reverse(F.col("_k")), 1, block_len),
+    ]
+    out = None
+    for blk in passes:
+        w = Window.partitionBy("_blk").orderBy("_k", "_id")
+        cur = base.withColumn("_blk", blk)
+        # ALL lead offsets in one window projection: a per-offset union
+        # would re-shuffle + re-sort the pass input `neighbors` times;
+        # this shape is one Window operator (one exchange, one sort)
+        # whose frame walks forward once. The leads are computed in
+        # their own select — Spark rejects window expressions inside a
+        # generator — and the next projection explodes them.
+        leads = cur.select(
+            F.col("_id").alias("a"),
+            F.col("_k").alias("ak"),
+            *[
+                c
+                for k in range(1, neighbors + 1)
+                for c in (
+                    F.lead("_id", k).over(w).alias(f"_b{k}"),
+                    F.lead("_k", k).over(w).alias(f"_bk{k}"),
+                )
+            ],
+        )
+        nbrs = F.array(*[
+            F.struct(
+                F.col(f"_b{k}").alias("b"), F.col(f"_bk{k}").alias("bk")
+            )
+            for k in range(1, neighbors + 1)
+        ])
+        cand = (
+            leads.select("a", "ak", F.explode(nbrs).alias("nb"))
+            .select(
+                "a",
+                F.col("nb.b").alias("b"),
+                F.levenshtein(F.col("ak"), F.col("nb.bk")).alias("dist"),
+            )
+            .where(F.col("b").isNotNull() & (F.col("dist") <= max_dist))
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            F.col("dist"),
+        )
+        # the same pair can surface in both passes (and at several lead
+        # offsets with equal dist); keep the minimum distance
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("dist").alias("dist"))
+    )

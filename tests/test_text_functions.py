@@ -409,3 +409,52 @@ def test_token_ngram_topk_bigrams_and_trigrams(spark):
         for r in token_ngram_topk(docs, n=3, k=10).collect()
     ]
     assert tri == [(1, 2, 3, 1), (2, 1, 1, 1)]
+
+
+def test_fuzzy_dedup_sorted_neighborhood(spark):
+    from airbyte_destination_spark.functions.textdedup import fuzzy_dedup_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonite"),  # 2 edits
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+        (4, "completely unrelated text about spark query planning"),
+        # edit at the FRONT: prefix blocking misses it, the
+        # reversed-prefix pass must catch it
+        (5, "a quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = fuzzy_dedup_pairs(
+        df, neighbors=3, max_dist=6, block_len=8, key_cap=128
+    )
+    rows = {(r.doc_a, r.doc_b): r.dist for r in out.collect()}
+    assert rows[(1, 3)] == 0  # exact dup
+    assert 0 < rows[(1, 2)] <= 3  # typo-level edit
+    assert (1, 5) in rows or (3, 5) in rows  # caught by the suffix pass
+    assert not any(4 in p for p in rows)  # unrelated never pairs
+    # no SinglePartition window: both passes partition by the block key
+    from airbyte_destination_spark.plans import executed_plan
+
+    assert "SinglePartition" not in executed_plan(out)
+
+
+def test_lm_perplexity_scores_fluent_below_gibberish(spark):
+    from airbyte_destination_spark.functions.text import lm_perplexity
+
+    # corpus dominated by one phrase: its transitions are high
+    # probability; the shuffled doc uses the same words with unseen
+    # transitions and must score strictly higher
+    fluent = "the cat sat on the mat"
+    docs = [(i, fluent) for i in range(10)] + [
+        (10, "mat the on cat the sat"),
+        (11, "solo"),  # one word -> no bigram evidence
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_perplexity(df, alpha=0.5).collect()}
+    assert len(out) == 12  # short docs still reported
+    assert out[11].n_bigrams == 0 and out[11].cross_entropy is None
+    assert out[0].cross_entropy < out[10].cross_entropy
+    # perplexity = exp(cross_entropy) after the 6dp round
+    import math
+
+    assert out[10].perplexity == round(math.exp(out[10].cross_entropy), 4)
