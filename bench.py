@@ -109,6 +109,39 @@ def _cpu_ticks() -> tuple[int, int]:
         return (0, 0)
 
 
+def _busy_frac(window: float = 1.0) -> float:
+    """Box-wide busy fraction over a short window (non-idle /proc/stat
+    tick share). Unlike loadavg — a 1-minute EMA that takes minutes to
+    decay after a 32-core burst — this answers 'is the box quiet RIGHT
+    NOW', which is what a timed phase needs to know before starting."""
+    try:
+        def snap():
+            v = [int(x) for x in
+                 Path("/proc/stat").read_text().splitlines()[0].split()[1:]]
+            idle = v[3] + (v[4] if len(v) > 4 else 0)  # idle + iowait
+            return idle, sum(v)
+        i0, t0 = snap()
+        time.sleep(window)
+        i1, t1 = snap()
+        dt = max(t1 - t0, 1)
+        return 1.0 - (i1 - i0) / dt
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
+def _quiesce(max_wait: float = 45.0, target: float = 0.10) -> float:
+    """Wait (bounded) for the box to go quiet before a timed phase.
+    Each phase otherwise inherits the previous phase's tail — executor
+    teardown, GC, lazy temp cleanup — inside its first timed windows
+    (measured: cdc epochs at 61k eps with loadavg 9.5 right after the
+    query phase vs 214k once quiet). Returns the last busy fraction."""
+    t0 = time.time()
+    b = _busy_frac(1.0)
+    while b > target and time.time() - t0 < max_wait:
+        b = _busy_frac(1.0)
+    return round(b, 3)
+
+
 def _apply_job(master_cores: int, log_dir: str, n_buckets: int, out_file: str | None) -> dict:
     """Apply the change log at the given parallelism (the cdc phase).
 
@@ -139,23 +172,40 @@ def _apply_job(master_cores: int, log_dir: str, n_buckets: int, out_file: str | 
 
     epochs = []
     schema = spark.read.parquet(dirs[0]).schema if dirs else None
+    busy_at_start = _quiesce()  # don't time the previous phase's tail
     t_all = time.time()
     for i, d in enumerate(dirs):
         load = _loadavg()
+        st0, tt0 = _cpu_ticks()
         t0 = time.time()
         s = apply_change_batch(table, spark.read.schema(schema).parquet(d), f"b{master_cores}-{i}", cfg)
         el = time.time() - t0
+        st1, tt1 = _cpu_ticks()
         ev = sum(l["rows_applied"] for l in s.lineage)
         epochs.append({"sec": round(el, 3), "events": ev,
-                       "eps": round(ev / el, 1), "loadavg_before": load})
+                       "eps": round(ev / el, 1), "loadavg_before": load,
+                       # per-epoch host steal: a slow epoch with ~0%
+                       # steal is our plan/JVM, not the host
+                       "steal_pct": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2)})
     elapsed = time.time() - t_all
     n_events = sum(e["events"] for e in epochs)
+    # steal-filtered view: sustained eps over epochs whose host steal
+    # stayed <=3% — the same pre-declared filter the scaling phases
+    # use. When a steal storm hits mid-phase (observed: 12% steal in
+    # epochs 1-2, 2% in 3-4) the raw number mixes robbed and clean
+    # windows; both are reported, flagged.
+    clean = [e for e in epochs if e["steal_pct"] <= 3.0]
     res = {
         "cores": master_cores,
         "sec": elapsed,
         "events": n_events,
         "events_per_sec": n_events / elapsed if elapsed > 0 else 0.0,
+        "events_per_sec_clean": round(
+            sum(e["events"] for e in clean) / sum(e["sec"] for e in clean), 1
+        ) if clean else None,
+        "epochs_clean": len(clean),
         "best_eps": max((e["eps"] for e in epochs), default=0.0),
+        "busy_at_start": busy_at_start,
         "epochs": epochs,
         "final_rows": table.read(spark).count(),
     }
@@ -241,6 +291,11 @@ def _worker(
         tdir = os.path.join(work, f"t{i}")
         table = LakeTable(tdir)
         apply_change_batch(table, seed, "seed", cfg)
+        # drain garbage accumulated across rounds OUTSIDE the timed
+        # window: a major collection landing inside a rep halves that
+        # rep with 0% host steal (observed as clean-but-collapsed
+        # rounds); min-of-reps can't filter it when it spans reps
+        spark._jvm.System.gc()
         load = _loadavg()
         st0, tt0 = _cpu_ticks()
         # re-applying the timed batch under fresh epoch ids is identical
@@ -278,7 +333,6 @@ def _run_scaling(
     warm_rounds: int,
     n_measured: int,
     max_rounds: int = 8,
-    deadline: float | None = None,
     n_reps: int = 3,
 ) -> dict:
     """One paired scaling phase: identical work at local[n_small] vs
@@ -287,12 +341,13 @@ def _run_scaling(
     efficiency (see _worker for the per-round protocol).
 
     The round loop runs until the estimator's precondition holds — at
-    least 2 post-warmup rounds whose directly-measured host CPU-steal
-    stayed <=3% in both timed windows — rather than a fixed count: a
-    single stolen round polluting a 2-round fallback median is exactly
-    what a fixed count produced. Extra rounds stop at `max_rounds` or
-    at `deadline` (whichever first); the minimum of 2 measured rounds
-    is honored regardless so the median always exists."""
+    least `n_measured` post-warmup rounds of which >=2 have
+    directly-measured host CPU-steal <=3% in both timed windows —
+    rather than a fixed count: a single stolen round polluting a
+    2-round fallback median is exactly what a fixed count produced.
+    Extra rounds stop at `max_rounds` or at the hard budget overrun
+    (1.35x), whichever first; the minimum of 2 measured rounds is
+    honored regardless so the median always exists."""
     from airbyte_destination_spark.session import get_spark
     from airbyte_destination_spark.sources.changegen import write_change_log
 
@@ -321,13 +376,25 @@ def _run_scaling(
     # machine sizes, not two slot counts on one big machine
     pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
     total = os.cpu_count() or n_large
+    # DISJOINT core sets when the box has room (small on [0, n_small),
+    # large on [n_small, n_small+n_large)): with overlapping ranges the
+    # WAITING JVM's background threads (GC, timers, heartbeats) sit on
+    # the other worker's timed cores — the observed failure mode was
+    # the large side losing ~2x with ~0% host steal. When the ranges
+    # can't be disjoint (8+32 > 32 cores) both pin from core 0 as
+    # before and the overlap is documented in the phase note.
+    if n_small + n_large <= total:
+        pin_range = {n_small: f"0-{n_small - 1}",
+                     n_large: f"{n_small}-{n_small + n_large - 1}"}
+    else:
+        pin_range = {c: f"0-{min(c, total) - 1}" for c in (n_small, n_large)}
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "--worker", "--cores", str(c),
              "--log-dir", f"{sc_dir}/log", "--sync-dir", sync_dir,
              "--n-buckets", "64", "--n-rounds", str(n_epochs),
              "--n-reps", str(n_reps)]
-            + (["--pin", f"0-{min(c, total) - 1}"] if pin else []),
+            + (["--pin", pin_range[c]] if pin else []),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             cwd=str(Path(__file__).parent),
         )
@@ -336,6 +403,7 @@ def _run_scaling(
     for c in (n_small, n_large):  # wait for both JVMs warm
         while not Path(sync_dir, f"ready-{c}").exists():
             time.sleep(0.2)
+    _quiesce()  # generation + warmup tails must not bleed into round 0
     def _is_clean(r: dict) -> bool:
         return max(r.get("steal_small_pct", 0), r.get("steal_large_pct", 0)) <= 3.0
 
@@ -343,16 +411,11 @@ def _run_scaling(
     for i in range(n_epochs):
         meas = [r for r in rounds if not r["warmup"]]
         n_clean = len([r for r in meas if _is_clean(r)])
-        past_deadline = time.time() > (
-            deadline if deadline is not None else _T_START + BENCH_BUDGET_SEC
-        )
         hard_overrun = time.time() - _T_START > BENCH_BUDGET_SEC * float(
             os.environ.get("SPARK_GRAFT_SCALE_CLEAN_OVERRUN", "1.35")
         )
         if len(meas) >= n_measured and n_clean >= 2:
             break  # estimator precondition met
-        if len(meas) >= 2 and past_deadline and n_clean >= 2:
-            break  # over deadline: stop as soon as a clean median exists
         if len(meas) >= 2 and hard_overrun:
             break  # absolute cap, clean or not (steal_filtered flags it)
         # adjacent-in-time pair on the SAME epoch; the order
@@ -421,6 +484,8 @@ def _run_scaling(
         "rounds_used": len(used),
         "rounds": rounds,
         "pinned": pin,
+        "pin_disjoint": pin and n_small + n_large <= total,
+        "pin_ranges": pin_range if pin else None,
         "note": "each round = IDENTICAL work per config (fresh table, "
         "untimed seed batch, then 3 reps of the same timed merge "
         "batch: rep0 discarded as plan warmup, round value = min of "
@@ -471,14 +536,15 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-
     # ---- headline queries at SF_DIR
     _phase("queries start")
     query_secs: dict[str, float] = {}
+    query_phase_steal = None
     cdc = {"events": 0, "sec": 0.0, "events_per_sec": 0.0, "final_rows": 0}
-    workdir = None
     if not args.scaling_only:
+        spark = get_spark(
+            app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        )
         # untimed warmup at sf0.001: first execution of each plan shape
         # pays ~10s of JIT/codegen for the heavy engine/streaming
         # queries; timing steady-state cost requires compiling it out.
@@ -491,81 +557,28 @@ def main() -> None:
                 except Exception as ex:  # noqa: BLE001
                     _phase(f"warmup {name} failed: {ex}")
             _phase("warmup done")
+        qst0, qtt0 = _cpu_ticks()
         for name, fn in entry_mod.queries().items():
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             query_secs[name] = round(time.time() - t0, 3)
             _phase(f"query {name} {query_secs[name]}s")
+        qst1, qtt1 = _cpu_ticks()
+        # one steal number across the whole timed query loop: inflated
+        # per-query times with high phase steal are the host's fault,
+        # with ~0% steal they're ours
+        query_phase_steal = round(100.0 * (qst1 - qst0) / max(qtt1 - qtt0, 1), 2)
+        # the query session goes DOWN before any pinned scaling worker
+        # starts: its 32-core thread pools would otherwise idle on (and
+        # occasionally wake over) the workers' pinned cores
+        spark.stop()
 
-        # ---- CDC apply throughput at full parallelism
-        _phase("cdc gen start")
-        workdir = _scratch("bench-cdc-")
-        n_docs = max(BENCH_EVENTS // 10, 1000)
-        write_change_log(
-            spark, f"{workdir}/log", BENCH_EVENTS, n_docs, n_batches=4, seed=42,
-            num_partitions=CPUS, files_per_batch=4 * CPUS,
-        )
-        write_change_log(  # JVM warm batches for the fresh apply process
-            spark, f"{workdir}/warm", WARM_EVENTS, WARM_EVENTS // 10,
-            n_batches=2, seed=45, num_partitions=CPUS,
-        )
-        _phase("cdc apply start")
-        # fresh subprocess JVM: get_spark inside this process would
-        # getOrCreate the query session (its conf and heap state), and
-        # the measurement would inherit 39 queries of allocation history
-        cdc_out = os.path.join(workdir, "cdc.json")
-        subprocess.run(
-            [sys.executable, __file__, "--apply-only", "--cores", str(CPUS),
-             "--log-dir", f"{workdir}/log", "--n-buckets", "64", "--out", cdc_out],
-            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            cwd=str(Path(__file__).parent),
-        )
-        cdc = json.loads(Path(cdc_out).read_text())
-    # ---- merge-on-read variant (O(batch) ingest + explicit compaction),
-    # BEFORE scaling: it reuses the cdc phase's change log and the warm
-    # query session; running it last kept getting budget-starved
-    _phase("mor start")
-    from airbyte_destination_spark.lake import LakeTable
-    from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
-
-    mor = None
-    if workdir is not None and not _over_budget():
-        mor_work = _scratch("bench-mor-")
-        mor_table = LakeTable(os.path.join(mor_work, "t"))
-        mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
-        mor_dirs = sorted(str(p) for p in Path(f"{workdir}/log").glob("batch-*"))
-        t0 = time.time()
-        for i, d in enumerate(mor_dirs):
-            apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
-        mor_apply = time.time() - t0
-        t0 = time.time()
-        mor_table.compact(spark)
-        mor_compact = time.time() - t0
-        mor = {
-            "events": BENCH_EVENTS,
-            "apply_sec": round(mor_apply, 3),
-            "compact_sec": round(mor_compact, 3),
-            "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
-            "events_per_sec_with_compact": round(
-                BENCH_EVENTS / (mor_apply + mor_compact), 1
-            ),
-        }
-        shutil.rmtree(mor_work, ignore_errors=True)
-    if workdir is not None:
-        shutil.rmtree(workdir, ignore_errors=True)
-    spark.stop()
-
-
-    # ---- scaling: identical paired jobs at N vs 4N pinned cores.
-    # BOTH phases always run (bounded: each breaks after >=2 measured
-    # rounds once past its deadline) — scaling_low FIRST: the 2->8
-    # range sits below this box's memory-bandwidth wall (BASELINE.md
-    # probes), so it isolates PLAN scalability and is the >=0.8
-    # north-rule evidence; the 8->32 absolute-throughput phase (bounded
-    # by the measured ~0.67 allocation ceiling) runs second on whatever
-    # budget remains. An earlier layout gated both phases on the budget
-    # and one heavy-steal day produced scaling=null in the headline.
+    # ---- scaling_low: the >=0.8 north-rule evidence runs FIRST among
+    # the heavy phases — an earlier layout ran it after cdc+mor and the
+    # budget squeeze forced deadline-breaks at 2 measured rounds. The
+    # 2->8 range sits below this box's memory-bandwidth wall
+    # (BASELINE.md probes), so it isolates PLAN scalability.
     _phase("scaling start")
     scaling = None
     scaling_low = None
@@ -586,13 +599,81 @@ def main() -> None:
                 warm_rounds=2,
                 n_measured=3,
                 n_reps=4,
-                # window sized for 2 warm + 3 measured rounds at ~130s
-                # each — this phase IS the north-rule evidence, so it
-                # gets the budget priority; the 8->32 ceiling phase
-                # self-shrinks (event halving + hard-overrun break) on
-                # whatever remains
-                deadline=time.time() + BENCH_BUDGET_SEC * 0.75,
             )
+
+    # ---- CDC apply throughput at full parallelism (fresh session for
+    # the generate, fresh subprocess JVM for the measured apply)
+    workdir = None
+    if not args.scaling_only:
+        _phase("cdc gen start")
+        spark = get_spark(
+            app_name="bench-cdc", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        )
+        workdir = _scratch("bench-cdc-")
+        n_docs = max(BENCH_EVENTS // 10, 1000)
+        write_change_log(
+            spark, f"{workdir}/log", BENCH_EVENTS, n_docs, n_batches=4, seed=42,
+            num_partitions=CPUS, files_per_batch=4 * CPUS,
+        )
+        write_change_log(  # JVM warm batches for the fresh apply process
+            spark, f"{workdir}/warm", WARM_EVENTS, WARM_EVENTS // 10,
+            n_batches=2, seed=45, num_partitions=CPUS,
+        )
+        _phase("cdc apply start")
+        # fresh subprocess JVM: get_spark inside this process would
+        # getOrCreate the gen session (its conf and heap state) and the
+        # measurement would inherit its allocation history
+        cdc_out = os.path.join(workdir, "cdc.json")
+        subprocess.run(
+            [sys.executable, __file__, "--apply-only", "--cores", str(CPUS),
+             "--log-dir", f"{workdir}/log", "--n-buckets", "64", "--out", cdc_out],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=str(Path(__file__).parent),
+        )
+        cdc = json.loads(Path(cdc_out).read_text())
+
+    # ---- merge-on-read variant (O(batch) ingest + explicit compaction)
+    # reusing the cdc phase's change log and gen session
+    _phase("mor start")
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
+
+    mor = None
+    if workdir is not None and not _over_budget():
+        _quiesce()  # cdc subprocess teardown must not bleed in
+        mor_work = _scratch("bench-mor-")
+        mor_table = LakeTable(os.path.join(mor_work, "t"))
+        mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
+        mor_dirs = sorted(str(p) for p in Path(f"{workdir}/log").glob("batch-*"))
+        st0, tt0 = _cpu_ticks()
+        t0 = time.time()
+        for i, d in enumerate(mor_dirs):
+            apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
+        mor_apply = time.time() - t0
+        t0 = time.time()
+        mor_table.compact(spark)
+        mor_compact = time.time() - t0
+        st1, tt1 = _cpu_ticks()
+        mor = {
+            "events": BENCH_EVENTS,
+            "apply_sec": round(mor_apply, 3),
+            "compact_sec": round(mor_compact, 3),
+            "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
+            "events_per_sec_with_compact": round(
+                BENCH_EVENTS / (mor_apply + mor_compact), 1
+            ),
+            "steal_pct": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2),
+        }
+        shutil.rmtree(mor_work, ignore_errors=True)
+    if workdir is not None:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+    # ---- scaling 8->32: absolute throughput at full width (bounded by
+    # the measured ~0.67 allocation ceiling; pin ranges necessarily
+    # overlap at 8+32 > 32 cores) on whatever budget remains — it
+    # self-shrinks via event halving and the hard-overrun break.
+    if not args.skip_scaling:
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "8"))
         elapsed = time.time() - _T_START
         scale_events = SCALE_EVENTS
@@ -600,12 +681,12 @@ def main() -> None:
         if elapsed > BENCH_BUDGET_SEC * 0.6:
             # floor keeps the 32-core timed rep above the ~2s per-job
             # latency floor (BASELINE.md) — below it the ratio is noise
-            scale_events = max(SCALE_EVENTS // 2, 4_000_000)
+            # floor never raises a deliberately-small (smoke) setting
+            scale_events = max(SCALE_EVENTS // 2, min(SCALE_EVENTS, 4_000_000))
         if elapsed > BENCH_BUDGET_SEC * 0.8:
             warm_rounds = 1  # rep0-discard still absorbs plan warmup
         scaling = _run_scaling(
             n_small, scale_events, warm_rounds=warm_rounds, n_measured=3,
-            deadline=_T_START + BENCH_BUDGET_SEC,
         )
 
     # ---- durable artifact layout: the driver keeps only a ~2 KB TAIL
@@ -616,6 +697,7 @@ def main() -> None:
     # judge can read it even when the stdout capture truncates.
     detail = {
         "queries": query_secs,
+        "query_phase_steal_pct": query_phase_steal,
         "sf": _sf_from_dir(SF_DIR),
         "cdc": cdc,
         "cdc_mor": mor,
@@ -636,12 +718,13 @@ def main() -> None:
     def _compact(s: dict | None) -> dict | None:
         if not s:
             return None
-        keys = ("n_small", "n_large", "strategy", "eps_small", "eps_large",
-                "efficiency", "steal_filtered", "rounds_used", "pinned")
+        keys = ("n_small", "n_large", "eps_small", "eps_large",
+                "efficiency", "steal_filtered", "rounds_used", "pinned",
+                "pin_disjoint")
         return {k: s[k] for k in keys if k in s}
 
     out = {
-        "metric": "cdc_apply_events_per_sec",
+        "metric": "queries_plus_cdc_apply_sec",
         "value": round(sum(query_secs.values()) + cdc["sec"], 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in query_secs.items()},
@@ -650,14 +733,42 @@ def main() -> None:
             "events": cdc["events"],
             "sec": round(cdc["sec"], 3),
             "events_per_sec": round(cdc["events_per_sec"], 1),
-            "final_rows": cdc["final_rows"],
+            # sustained eps over host-steal<=3% epochs only (same
+            # pre-declared filter as the scaling phases); raw vs clean
+            # divergence = the host, not the plan
+            "events_per_sec_clean": cdc.get("events_per_sec_clean"),
+            "epochs_clean": cdc.get("epochs_clean"),
         },
-        "cdc_mor": mor,
+        "cdc_mor": None if mor is None else {
+            "events_per_sec_apply": mor["events_per_sec_apply"],
+            "events_per_sec_with_compact": mor["events_per_sec_with_compact"],
+        },
         "scaling": _compact(scaling),
         "scaling_low": _compact(scaling_low),
         "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out, separators=(",", ":")))
+    # the driver records only the last 2000 CHARS of stdout: a headline
+    # longer than that loses its FRONT — the metric, value, and every
+    # query until the cut — and the round's perf story with it
+    # (BENCH_r02/r03 both arrived truncated this way). Shrink
+    # deterministically until the line fits with margin: first collapse
+    # query precision to 1dp, then fold the fastest queries into one
+    # aggregate (full precision for everything always lives in
+    # BENCH_DETAIL.json).
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["queries"] = {k: round(v, 1) for k, v in query_secs.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    folded_n, folded_sec = 0, 0.0
+    while len(line) > 1900 and len(out["queries"]) > 5:
+        qs = sorted(out["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+        keep, drop = qs[:-5], qs[-5:]  # fold the 5 FASTEST per pass
+        folded_n += len(drop)
+        folded_sec += sum(v for _, v in drop)
+        out["queries"] = dict(keep)
+        out["queries_folded"] = {"n": folded_n, "sec": round(folded_sec, 1)}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
