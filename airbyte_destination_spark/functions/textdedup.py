@@ -427,13 +427,14 @@ def connected_components_star(
         m = adj.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        out = (
+        # no distinct here: the caller re-canonicalizes and dedups the
+        # round output once — deduping twice is a wasted shuffle/round
+        return (
             adj.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
-        return out.distinct()
 
     def _small_star(e: DataFrame) -> DataFrame:
         # neighbors ≤ center only (e is canonical u>v, so group by u);
@@ -443,7 +444,8 @@ def connected_components_star(
             F.col("v").alias("n"), F.col("m"), F.col("u")
         )
         re_hung = nbrs.select(F.col("n").alias("u"), F.col("m").alias("v"))
-        center = nbrs.select(F.col("u"), F.col("m").alias("v")).distinct()
+        center = nbrs.select(F.col("u"), F.col("m").alias("v"))
+        # single dedup for the whole round output (center dups included)
         return (
             re_hung.unionByName(center)
             .where(F.col("u") != F.col("v"))

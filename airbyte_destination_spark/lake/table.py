@@ -713,6 +713,62 @@ class LakeTable:
                     raise
         raise CommitConflict("unreachable")
 
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> int:
+        """Bucket-count evolution — the Iceberg partition-spec-evolution
+        analog for this table's hash bucketing. At 10^10 rows a bucket
+        count chosen at create time is wrong twice: too few buckets cap
+        merge parallelism and grow per-bucket files past executor
+        memory; too many drown small tables in file/commit overhead.
+        `rebucket` rewrites the table once under a new key->bucket
+        mapping and commits it like any other version:
+
+        - the new manifest's `n_buckets` drives every LATER write's
+          repartition width and `read_keys` pruning, while time travel
+          to older versions keeps using THEIR manifests (each version
+          record carries its own n_buckets + file map, so no reader
+          ever mixes mappings);
+        - MOR delta files are folded in the same pass (a delta written
+          under the old mapping must not survive under the new one);
+        - tombstones are RETAINED (they still guard against late older
+          updates), unlike purge_tombstones;
+        - concurrent ingest is safe: commit is optimistic, and a loser
+          retries against the winner's manifest.
+
+        Returns the new version (current version if n_buckets already
+        matches). The rewrite is one shuffle of the live table — the
+        same cost class as purge_tombstones — so it's a maintenance
+        operation, not an ingest-path one."""
+        for attempt in range(5):
+            self._recover_orphan()
+            base = self.current_version()
+            m = self.manifest(base)
+            if n_buckets == m["n_buckets"]:
+                return base
+            schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            folded = self._read_buckets(
+                spark, m, [int(b) for b in m["buckets"]], schema
+            )
+            if m.get("merge_strategy", "cow") == "mor":
+                from airbyte_destination_spark.operators.dedup import lww_reduce_agg
+
+                ver = m["version_col"]
+                folded = lww_reduce_agg(
+                    folded, m["key_cols"], ([ver] if ver else []) + ["_cv"]
+                )
+            m["n_buckets"] = n_buckets
+            folded = self._with_bucket(folded.drop("_cv"), m)
+            new_files = self._write_bucketed(folded, m, base + 1, sort_keys=True)
+            m["buckets"] = new_files
+            m["operation"] = "rebucket"
+            m["epoch_id"] = None
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        raise CommitConflict("unreachable")
+
     def optimize(
         self,
         spark: SparkSession,

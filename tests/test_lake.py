@@ -200,3 +200,64 @@ def test_compact_writes_key_sorted_files(spark, tmp_table_root):
     # point lookup over the sorted files still exact
     got = {r.doc_id for r in t.read_keys(spark, ["k007", "k077"]).collect()}
     assert got == {"k007", "k077"}
+
+
+# ---------------------------------------------------------------- rebucket
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_rebucket_preserves_state_and_semantics(spark, tmp_table_root, strategy):
+    """Bucket-count evolution: grow 4 -> 16 mid-stream. The rewrite must
+    keep live rows AND tombstones (late older updates still lose), the
+    next merge must route keys by the NEW mapping, and read_keys must
+    prune with the new bucket count."""
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn",
+             n_buckets=4, merge_strategy=strategy)
+    t.merge(spark.createDataFrame(
+        [("a", [1], 1, "I"), ("b", [2], 2, "I"), ("dead", None, 50, "D")],
+        BATCH_SCHEMA), epoch_id="e0")
+    v_pre = t.merge(spark.createDataFrame(
+        [("a", [3], 3, "U"), ("c", [4], 4, "I")], BATCH_SCHEMA),
+        epoch_id="e1").version
+
+    v_rb = t.rebucket(spark, 16)
+    assert v_rb == v_pre + 1
+    assert t.manifest()["n_buckets"] == 16
+    # no-op when already at the target
+    assert t.rebucket(spark, 16) == v_rb
+
+    # state unchanged by the rewrite
+    state = {r.doc_id: r.tokens for r in t.read(spark).collect()}
+    assert state == {"a": [3], "b": [2], "c": [4]}
+    # tombstone survived: a LATE OLDER update must still lose
+    t.merge(spark.createDataFrame([("dead", [9], 10, "U")], BATCH_SCHEMA),
+            epoch_id="e2")
+    assert "dead" not in {r.doc_id for r in t.read(spark).collect()}
+    # post-rebucket merges route by the new mapping and stay readable
+    t.merge(spark.createDataFrame(
+        [("a", [7], 7, "U"), ("d", [8], 8, "I")], BATCH_SCHEMA), epoch_id="e3")
+    state = {r.doc_id: r.tokens for r in t.read(spark).collect()}
+    assert state == {"a": [7], "b": [2], "c": [4], "d": [8]}
+    # point lookups prune under the NEW count and still find every key
+    got = {r.doc_id for r in t.read_keys(spark, ["a", "b", "c", "d"]).collect()}
+    assert got == {"a", "b", "c", "d"}
+    # time travel to the pre-rebucket version uses ITS mapping/file map
+    old = {r.doc_id: r.tokens for r in t.read(spark, version=v_pre).collect()}
+    assert old == {"a": [3], "b": [2], "c": [4]}
+
+
+def test_table_changes_across_rebucket_boundary(spark, tmp_table_root):
+    """A CDF window spanning the rebucket rewrite reports only LOGICAL
+    changes — the physical reshuffle of every file is invisible."""
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=4)
+    v0 = t.merge(spark.createDataFrame(
+        [("a", [1], 1, "I"), ("b", [2], 2, "I")], BATCH_SCHEMA),
+        epoch_id="e0").version
+    t.rebucket(spark, 8)
+    t.merge(spark.createDataFrame(
+        [("a", [5], 5, "U"), ("c", [6], 6, "I")], BATCH_SCHEMA), epoch_id="e1")
+    ch = {(r.doc_id, r.change_type) for r in
+          t.table_changes(spark, v_from=v0).collect()}
+    assert ch == {("a", "update"), ("c", "insert")}
