@@ -298,6 +298,83 @@ def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _cdc_partial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a PARTIAL-image change log (the Debezium/Paimon
+    partial-update shape): an update carries NULL for every column it
+    did not write. Deterministic column masks on event_id: event_type
+    is written when event_id % 3 != 0, value when event_id % 2 == 0."""
+    ev = _t(spark, sf_dir, "events")
+    is_u = F.col("event_type") != "purchase"
+    return ev.select(
+        F.col("user_id").alias("doc_key"),
+        F.col("event_id").alias("change_lsn"),
+        F.when(is_u, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        F.when(is_u & (F.col("event_id") % 3 != 0), F.col("event_type")).alias("event_type"),
+        F.when(is_u & (F.col("event_id") % 2 == 0), F.col("value")).alias("value"),
+    )
+
+
+def q_cdc_partial_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image update fold (operators/dedup.partial_update_reduce):
+    per key each column resolves INDEPENDENTLY to its last non-null
+    write by lsn, and a delete cuts older column writes — the third
+    merge engine next to LWW and append. ONE hash exchange + aggregate
+    (per-column max_by with map-side combine); no window, no self-join."""
+    from airbyte_destination_spark.operators.dedup import partial_update_reduce
+
+    log = _cdc_partial_events(spark, sf_dir)
+    out = partial_update_reduce(log, ["doc_key"], "change_lsn")
+    return out.where(F.col("op") == "U").select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_cdc_engine_partial_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fold through the REAL lake engine: 3 ordered lsn-range
+    epochs merged with reduce='partial' (COW) — stored rows re-enter the
+    per-column fold at the row version, tombstones as delete cuts, so
+    ordered epochs compose to the exact global fold (pytest-pinned in
+    tests/test_partial_update.py; here pinned against the DuckDB
+    oracle)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "partial")
+    if key not in _REPLAY_CACHE:
+        log = _cdc_partial_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-partial-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("doc_key", T.LongType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("event_type", T.StringType(), True),
+                    T.StructField("value", T.DoubleType(), True),
+                ]
+            ),
+            ["doc_key"],
+            "change_lsn",
+            n_buckets=8,
+            merge_strategy="cow",
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            table.merge(batch, epoch_id=f"partial-{i}", reduce="partial")
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation: reading the version committed by the FIRST
     epoch must show exactly the LWW state of the first lsn-range batch,
@@ -1157,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
+        "cdc_partial_final_state": q_cdc_partial_final_state,
+        "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
@@ -1653,9 +1732,39 @@ _TOK_CTE = r"""
             )"""
 
 
+_PARTIAL_SQL = """
+-- partial-image update fold: per column, last non-null write by lsn;
+-- a delete cuts all older column writes (operators/dedup.py semantics)
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type <> 'purchase' THEN 'U' ELSE 'D' END AS op,
+         CASE WHEN event_type <> 'purchase' AND event_id % 3 <> 0
+              THEN event_type END AS event_type_w,
+         CASE WHEN event_type <> 'purchase' AND event_id % 2 = 0
+              THEN value END AS value_w
+  FROM events
+), cuts AS (
+  SELECT doc_key, max(CASE WHEN op = 'D' THEN change_lsn END) AS d
+  FROM log GROUP BY doc_key
+), live AS (
+  SELECT l.* FROM log l JOIN cuts c USING (doc_key)
+  WHERE l.op = 'U' AND (c.d IS NULL OR l.change_lsn > c.d)
+)
+SELECT doc_key,
+       max(change_lsn) AS last_lsn,
+       arg_max(event_type_w, change_lsn)
+         FILTER (WHERE event_type_w IS NOT NULL) AS event_type,
+       arg_max(value_w, change_lsn)
+         FILTER (WHERE value_w IS NOT NULL) AS value
+FROM live GROUP BY doc_key
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_SQL,
+        "cdc_partial_final_state": _PARTIAL_SQL,
+        "cdc_engine_partial_final_state": _PARTIAL_SQL,
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,
         "cdc_engine_mor_final_state": _LWW_SQL,

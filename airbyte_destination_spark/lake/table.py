@@ -1010,6 +1010,7 @@ class LakeTable:
         lineage_df: DataFrame | None = None,
         post_reduce=None,
         carry_cols: tuple[str, ...] = (),
+        reduce: str = "lww",
     ) -> MergeStats:
         """Last-writer-wins MERGE of a change batch.
 
@@ -1038,10 +1039,21 @@ class LakeTable:
         excluded from schema evolution, null on the existing-table side
         (post_reduce must leave existing rows' stored values intact —
         coalesce on the stored column), and dropped before the write.
+
+        `reduce` selects the merge engine: "lww" (default, whole-row
+        last-writer-wins) or "partial" (partial-image updates — NULL
+        batch columns mean "not written" and inherit the stored value
+        per column; see operators/dedup.partial_update_reduce for exact
+        semantics and the in-order-batch invariant). "partial" requires
+        a COW table with a version column; the stored row is re-entered
+        into the per-column reduce as one event at the row's version, so
+        ordered epochs (the ingest pipeline's lsn ranges) make the fold
+        exact across batches.
         """
         return self._apply(
             batch, mode="merge", epoch_id=epoch_id, tiebreak_cols=tiebreak_cols,
             lineage_df=lineage_df, post_reduce=post_reduce, carry_cols=carry_cols,
+            reduce=reduce,
         )
 
     def overwrite_where(
@@ -1087,8 +1099,13 @@ class LakeTable:
         lineage_df: DataFrame | None = None,
         post_reduce=None,
         carry_cols: tuple[str, ...] = (),
+        reduce: str = "lww",
     ) -> MergeStats:
         spark = batch.sparkSession
+        if reduce not in ("lww", "partial"):
+            raise ValueError(f"unknown reduce mode {reduce!r}")
+        if reduce == "partial" and (post_reduce is not None or carry_cols):
+            raise ValueError("reduce='partial' does not compose with post_reduce/carry_cols")
         for attempt in range(5):
             self._recover_orphan()
             base = self.current_version()
@@ -1108,6 +1125,14 @@ class LakeTable:
                 )
             if mode == "merge" and m["version_col"] is not None and m["version_col"] not in batch.columns:
                 raise ValueError(f"merge batch is missing version column {m['version_col']!r}")
+            if reduce == "partial":
+                if m.get("merge_strategy", "cow") != "cow":
+                    raise ValueError(
+                        "reduce='partial' requires a COW table — MOR delta files fold "
+                        "with LWW at read time, which would drop inherited columns"
+                    )
+                if m["version_col"] is None:
+                    raise ValueError("reduce='partial' requires a version column")
             has_op = "op" in batch.columns
             skip = {"op", *carry_cols}
             data_fields = [f for f in batch.schema.fields if f.name not in skip]
@@ -1286,19 +1311,39 @@ class LakeTable:
                 # pre-reduces every upstream partition, so hot keys never
                 # concentrate on one reducer (built-in skew handling) and
                 # the batch needs no separate pre-dedup pass.
-                other = [c for c in combined.columns if c not in key_cols]
-                ord_fields = ([F.col(ver_col)] if ver_col is not None else []) + (
-                    [F.col(c) for c in tiebreak_cols or []]
-                ) + [F.col("_src")]
-                winners = (
-                    combined.groupBy(*key_cols)
-                    .agg(
-                        F.max_by(
-                            F.struct(*[F.col(c) for c in other]), F.struct(*ord_fields)
-                        ).alias("_w")
+                if reduce == "partial":
+                    # per-column last-non-null fold; the existing live
+                    # row re-enters as one non-delete event at the row's
+                    # stored version (op=null there, so ~is_del holds),
+                    # the tombstone as the delete cut. Same single
+                    # exchange + aggregate shape as the LWW branch.
+                    from airbyte_destination_spark.operators.dedup import (
+                        partial_update_reduce,
                     )
-                    .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
-                )
+
+                    winners = partial_update_reduce(
+                        combined.drop(_BUCKET_COL), key_cols, ver_col,
+                        tiebreak_cols=list(tiebreak_cols or []) + ["_src"],
+                    )
+                    # _bucket is key-functional — recompute it rather
+                    # than letting the per-column fold null it on
+                    # tombstones (adds a column; the agg's hash(key)
+                    # partitioning from the repartition above survives)
+                    winners = self._with_bucket(winners, m)
+                else:
+                    other = [c for c in combined.columns if c not in key_cols]
+                    ord_fields = ([F.col(ver_col)] if ver_col is not None else []) + (
+                        [F.col(c) for c in tiebreak_cols or []]
+                    ) + [F.col("_src")]
+                    winners = (
+                        combined.groupBy(*key_cols)
+                        .agg(
+                            F.max_by(
+                                F.struct(*[F.col(c) for c in other]), F.struct(*ord_fields)
+                            ).alias("_w")
+                        )
+                        .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
+                    )
                 if post_reduce is not None:
                     winners = post_reduce(winners)
                 # keep delete winners as tombstone rows (versioned via

@@ -99,3 +99,89 @@ def lww_reduce_salted(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_salt")
     )
+
+
+def partial_update_reduce(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Partial-image update reduce — the third CDC merge engine next to
+    LWW and append (the Paimon `partial-update` / Debezium
+    partial-column-image shape): an update event carries NULL for every
+    column it did not touch, and the final row coalesces each column
+    independently to its LAST NON-NULL write by version order. Deletes
+    cut history: a column write older than the key's newest delete never
+    survives into a post-delete revival.
+
+    Semantics per key, with D = max order among delete events (if any):
+      - the key is LIVE iff some non-delete event orders above D;
+      - `version_col` = the greatest non-delete order when live, else D
+        (the tombstone's version — same convention as the LWW merge);
+      - every other column = value of the greatest-order non-delete
+        event where it is non-null, and only if that order is above D;
+      - the returned `op` column is 'U' for live keys, 'D' for dead ones
+        (callers keeping tombstones read it; final-state callers filter).
+
+    Physical shape: ONE hash exchange + one aggregate. Per column the
+    candidate is `max_by(struct(value, order), order-if-non-null)` —
+    max_by skips rows whose ordering key is NULL, so "last non-null" is
+    a plain aggregate with map-side partial combine (hot keys pre-reduce
+    per upstream partition exactly like `lww_reduce_agg`; no window, no
+    self-join, no per-column shuffle). The delete cut is applied AFTER
+    the aggregate by comparing each column candidate's order struct to
+    the delete's — driver-free, still one shuffle.
+
+    Limitations (shared with the engines this models): an update cannot
+    SET a column to NULL (null means "not written"), and cross-batch use
+    (lake/table.py merge(reduce="partial")) requires batches applied in
+    version order per key — the stored row collapses per-column
+    provenance to the row's version, so an OLDER out-of-order batch
+    would compare against the row version, not the column's true write
+    version. The ingest pipeline's ordered lsn-range epochs satisfy
+    this.
+    """
+    if version_col is None:
+        raise ValueError("partial_update_reduce requires a version column")
+    has_op = op_col in df.columns
+    ord_struct = F.struct(
+        F.col(version_col), *[F.col(c) for c in (tiebreak_cols or [])]
+    )
+    is_del = (
+        F.coalesce(F.col(op_col) == F.lit("D"), F.lit(False)) if has_op else F.lit(False)
+    )
+    skip = {*key_cols, version_col, op_col, *(tiebreak_cols or [])}
+    data_cols = [c for c in df.columns if c not in skip]
+    aggs = [
+        F.max(F.when(~is_del, ord_struct)).alias("_live"),
+        F.max(F.when(is_del, ord_struct)).alias("_dead"),
+    ]
+    for c in data_cols:
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(c).alias("v"), ord_struct.alias("o")),
+                F.when(~is_del & F.col(c).isNotNull(), ord_struct),
+            ).alias(f"_p_{c}")
+        )
+    g = df.groupBy(*key_cols).agg(*aggs)
+    alive = F.col("_live").isNotNull() & (
+        F.col("_dead").isNull() | (F.col("_live") > F.col("_dead"))
+    )
+    sel: list = [F.col(k) for k in key_cols]
+    sel.append(
+        F.when(alive, F.col(f"_live.{version_col}"))
+        .otherwise(F.col(f"_dead.{version_col}"))
+        .alias(version_col)
+    )
+    for c in data_cols:
+        sel.append(
+            F.when(
+                alive
+                & (F.col("_dead").isNull() | (F.col(f"_p_{c}.o") > F.col("_dead"))),
+                F.col(f"_p_{c}.v"),
+            ).alias(c)
+        )
+    sel.append(F.when(alive, F.lit("U")).otherwise(F.lit("D")).alias(op_col))
+    return g.select(*sel)
