@@ -375,6 +375,89 @@ def q_cdc_engine_partial_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _cdc_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a change log for the AGGREGATION merge engine:
+    value_cents (floor(value*100), exact long arithmetic so sums compare
+    bit-for-bit with the oracle) folds with `sum`; event_type (written
+    when event_id % 3 != 0) folds with last_non_null."""
+    ev = _t(spark, sf_dir, "events")
+    is_u = F.col("event_type") != "purchase"
+    return ev.select(
+        F.col("user_id").alias("doc_key"),
+        F.col("event_id").alias("change_lsn"),
+        F.when(is_u, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        F.when(is_u & (F.col("event_id") % 3 != 0), F.col("event_type")).alias("event_type"),
+        F.when(is_u, F.floor(F.col("value") * 100)).alias("value_cents"),
+    )
+
+
+def q_cdc_aggregate_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge engine (operators/dedup.aggregate_reduce — the
+    ClickHouse SummingMergeTree / Paimon aggregation shape): per key,
+    value_cents SUMS across events and event_type resolves
+    last-non-null, with deletes cutting older contributions. One
+    full-data exchange + a deletes-only sliver exchange for the cut;
+    the fold keeps map-side partial combine (plan-asserted)."""
+    from airbyte_destination_spark.operators.dedup import aggregate_reduce
+
+    log = _cdc_agg_events(spark, sf_dir)
+    out = aggregate_reduce(
+        log, ["doc_key"], "change_lsn", {"value_cents": "sum"}
+    )
+    return out.where(F.col("op") == "U").select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type",
+        F.col("value_cents").alias("value_sum"),
+    )
+
+
+def q_cdc_engine_aggregate_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fold through the REAL lake engine: agg_spec bound at
+    create() (the DDL surface), 3 ordered lsn-range epochs merged with
+    reduce='aggregate' — the stored row re-enters the fold at the row
+    version (running sums accumulate, deletes reset), so ordered epochs
+    compose to the exact global fold; pinned here against the DuckDB
+    oracle."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "aggregate")
+    if key not in _REPLAY_CACHE:
+        log = _cdc_agg_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-agg-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("doc_key", T.LongType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("event_type", T.StringType(), True),
+                    T.StructField("value_cents", T.LongType(), True),
+                ]
+            ),
+            ["doc_key"],
+            "change_lsn",
+            n_buckets=8,
+            merge_strategy="cow",
+            agg_spec={"value_cents": "sum"},
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            table.merge(batch, epoch_id=f"agg-{i}", reduce="aggregate")
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type",
+        F.col("value_cents").alias("value_sum"),
+    )
+
+
 def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation: reading the version committed by the FIRST
     epoch must show exactly the LWW state of the first lsn-range batch,
@@ -1236,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
+        "cdc_aggregate_final_state": q_cdc_aggregate_final_state,
+        "cdc_engine_aggregate_final_state": q_cdc_engine_aggregate_final_state,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
@@ -1759,12 +1844,40 @@ SELECT doc_key,
 FROM live GROUP BY doc_key
 """
 
+_AGGREGATE_SQL = """
+-- aggregation merge engine: value_cents sums (exact long arithmetic),
+-- event_type resolves last-non-null; deletes cut older contributions
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type <> 'purchase' THEN 'U' ELSE 'D' END AS op,
+         CASE WHEN event_type <> 'purchase' AND event_id % 3 <> 0
+              THEN event_type END AS event_type_w,
+         CASE WHEN event_type <> 'purchase'
+              THEN CAST(floor(value * 100) AS BIGINT) END AS value_cents
+  FROM events
+), cuts AS (
+  SELECT doc_key, max(CASE WHEN op = 'D' THEN change_lsn END) AS d
+  FROM log GROUP BY doc_key
+), live AS (
+  SELECT l.* FROM log l JOIN cuts c USING (doc_key)
+  WHERE l.op = 'U' AND (c.d IS NULL OR l.change_lsn > c.d)
+)
+SELECT doc_key,
+       max(change_lsn) AS last_lsn,
+       arg_max(event_type_w, change_lsn)
+         FILTER (WHERE event_type_w IS NOT NULL) AS event_type,
+       CAST(sum(value_cents) AS BIGINT) AS value_sum
+FROM live GROUP BY doc_key
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_SQL,
         "cdc_partial_final_state": _PARTIAL_SQL,
         "cdc_engine_partial_final_state": _PARTIAL_SQL,
+        "cdc_aggregate_final_state": _AGGREGATE_SQL,
+        "cdc_engine_aggregate_final_state": _AGGREGATE_SQL,
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,
         "cdc_engine_mor_final_state": _LWW_SQL,

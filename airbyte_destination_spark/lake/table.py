@@ -448,6 +448,7 @@ class LakeTable:
         n_buckets: int = 32,
         properties: dict | None = None,
         merge_strategy: str = "cow",
+        agg_spec: dict | None = None,
     ) -> None:
         """merge_strategy:
         - "cow" (copy-on-write): each merge eagerly reduces batch +
@@ -471,6 +472,26 @@ class LakeTable:
             raise ValueError(f"version column {version_col!r} not in schema")
         if merge_strategy not in ("cow", "mor"):
             raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
+        if agg_spec is not None:
+            # aggregation merge engine DDL (ClickHouse SummingMergeTree /
+            # Paimon aggregation analog) — bound at CREATE so every merge
+            # folds with the same functions; see operators/dedup.AGG_FNS
+            from airbyte_destination_spark.operators.dedup import AGG_FNS
+
+            for c, fn in agg_spec.items():
+                if fn not in AGG_FNS:
+                    raise ValueError(f"unknown aggregate fn {fn!r} for column {c!r}")
+                if c not in schema.fieldNames():
+                    raise ValueError(f"agg_spec column {c!r} not in schema")
+                if c in key_cols or c == version_col:
+                    raise ValueError(f"agg_spec column {c!r} is a key/version column")
+            if version_col is None:
+                raise ValueError("agg_spec requires a version column")
+            if merge_strategy != "cow":
+                raise ValueError(
+                    "agg_spec requires a COW table — MOR delta files fold with "
+                    "LWW at read time, which would drop partial aggregates"
+                )
         manifest = {
             "merge_strategy": merge_strategy,
             "schema_id": 0,
@@ -483,6 +504,7 @@ class LakeTable:
             "applied_epochs": {},
             "epoch_watermarks": {},
             "properties": properties or {},
+            "agg_spec": agg_spec,
             "operation": "create",
             "lineage": [],
         }
@@ -1041,12 +1063,15 @@ class LakeTable:
         coalesce on the stored column), and dropped before the write.
 
         `reduce` selects the merge engine: "lww" (default, whole-row
-        last-writer-wins) or "partial" (partial-image updates — NULL
+        last-writer-wins), "partial" (partial-image updates — NULL
         batch columns mean "not written" and inherit the stored value
         per column; see operators/dedup.partial_update_reduce for exact
-        semantics and the in-order-batch invariant). "partial" requires
-        a COW table with a version column; the stored row is re-entered
-        into the per-column reduce as one event at the row's version, so
+        semantics and the in-order-batch invariant), or "aggregate"
+        (per-column declared aggregate functions from the `agg_spec`
+        bound at create() — the SummingMergeTree / Paimon aggregation
+        shape; operators/dedup.aggregate_reduce). Both non-LWW engines
+        require a COW table with a version column; the stored row
+        re-enters the fold as one event at the row's version, so
         ordered epochs (the ingest pipeline's lsn ranges) make the fold
         exact across batches.
         """
@@ -1102,10 +1127,12 @@ class LakeTable:
         reduce: str = "lww",
     ) -> MergeStats:
         spark = batch.sparkSession
-        if reduce not in ("lww", "partial"):
+        if reduce not in ("lww", "partial", "aggregate"):
             raise ValueError(f"unknown reduce mode {reduce!r}")
-        if reduce == "partial" and (post_reduce is not None or carry_cols):
-            raise ValueError("reduce='partial' does not compose with post_reduce/carry_cols")
+        if reduce != "lww" and (post_reduce is not None or carry_cols):
+            raise ValueError(
+                f"reduce={reduce!r} does not compose with post_reduce/carry_cols"
+            )
         for attempt in range(5):
             self._recover_orphan()
             base = self.current_version()
@@ -1125,14 +1152,18 @@ class LakeTable:
                 )
             if mode == "merge" and m["version_col"] is not None and m["version_col"] not in batch.columns:
                 raise ValueError(f"merge batch is missing version column {m['version_col']!r}")
-            if reduce == "partial":
+            if reduce in ("partial", "aggregate"):
                 if m.get("merge_strategy", "cow") != "cow":
                     raise ValueError(
-                        "reduce='partial' requires a COW table — MOR delta files fold "
+                        f"reduce={reduce!r} requires a COW table — MOR delta files fold "
                         "with LWW at read time, which would drop inherited columns"
                     )
                 if m["version_col"] is None:
-                    raise ValueError("reduce='partial' requires a version column")
+                    raise ValueError(f"reduce={reduce!r} requires a version column")
+            if reduce == "aggregate" and m.get("agg_spec") is None:
+                raise ValueError(
+                    "reduce='aggregate' requires agg_spec bound at create()"
+                )
             has_op = "op" in batch.columns
             skip = {"op", *carry_cols}
             data_fields = [f for f in batch.schema.fields if f.name not in skip]
@@ -1329,6 +1360,20 @@ class LakeTable:
                     # than letting the per-column fold null it on
                     # tombstones (adds a column; the agg's hash(key)
                     # partitioning from the repartition above survives)
+                    winners = self._with_bucket(winners, m)
+                elif reduce == "aggregate":
+                    # per-column declared-aggregate fold (SummingMergeTree
+                    # shape); the repartition above is the ONE exchange —
+                    # cuts, join and fold are all key-clustered off it
+                    from airbyte_destination_spark.operators.dedup import (
+                        aggregate_reduce,
+                    )
+
+                    winners = aggregate_reduce(
+                        combined.drop(_BUCKET_COL), key_cols, ver_col,
+                        agg_spec=m["agg_spec"],
+                        tiebreak_cols=list(tiebreak_cols or []) + ["_src"],
+                    )
                     winners = self._with_bucket(winners, m)
                 else:
                     other = [c for c in combined.columns if c not in key_cols]

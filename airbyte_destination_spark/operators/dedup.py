@@ -185,3 +185,119 @@ def partial_update_reduce(
         )
     sel.append(F.when(alive, F.lit("U")).otherwise(F.lit("D")).alias(op_col))
     return g.select(*sel)
+
+
+AGG_FNS = ("sum", "min", "max", "last_non_null", "bool_or", "bool_and")
+
+
+def aggregate_reduce(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    agg_spec: dict[str, str],
+    tiebreak_cols: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Aggregation merge engine — the fourth reduce next to LWW, append
+    and partial (the ClickHouse SummingMergeTree / Paimon `aggregation`
+    merge-engine shape): each data column folds with a declared
+    aggregate function instead of last-writer-wins. Functions: `sum`,
+    `min`, `max`, `bool_or`, `bool_and`, `last_non_null`; columns not in
+    `agg_spec` default to `last_non_null` (the partial-update fold), so
+    this engine strictly generalizes `partial_update_reduce`. `count`
+    is deliberately ABSENT: a stored count re-entering the fold would
+    contribute 1, not itself — model counts as `sum` over a 1 column.
+
+    Delete semantics match the partial engine: a delete cuts all
+    contributions ordering at or below it; the key is live iff some
+    non-delete event orders above the newest delete; `version_col` is
+    the greatest live order (else the tombstone's); dead keys return
+    null data columns and op='D'.
+
+    Physical shape: the delete CUT cannot be applied after a sum/min
+    (the aggregate loses which contributions preceded the delete), so
+    it is joined in BEFORE the fold — but from the same exchange:
+      1. cuts = per-key max delete order, aggregated over DELETE ROWS
+         ONLY (deletes are a sliver of a change batch);
+      2. shuffle-hash left join of the log onto cuts, dropping cut
+         contributions;
+      3. one groupBy with the declared per-column aggregates (plain
+         commutative aggs -> map-side partial combine absorbs skew).
+    Total: one full-data exchange + one deletes-only sliver exchange —
+    Catalyst pushes the delete filter below the cuts exchange and
+    prunes its columns to (key, order), and neither the join (both
+    children key-clustered) nor the final fold adds a shuffle
+    (plan-asserted in tests/test_aggregate_engine.py). Cross-batch
+    composition: sum/min/max/bool_*
+    are associative over the stored row re-entering at the row version,
+    so ordered epochs fold exactly (same invariant as the partial
+    engine; pytest-pinned).
+    """
+    if version_col is None:
+        raise ValueError("aggregate_reduce requires a version column")
+    for c, fn in agg_spec.items():
+        if fn not in AGG_FNS:
+            raise ValueError(f"unknown aggregate fn {fn!r} for column {c!r}")
+        if c not in df.columns:
+            raise ValueError(f"agg_spec column {c!r} not in batch")
+        if c in key_cols or c == version_col:
+            raise ValueError(f"agg_spec column {c!r} is a key/version column")
+    has_op = op_col in df.columns
+    ord_struct = F.struct(
+        F.col(version_col), *[F.col(c) for c in (tiebreak_cols or [])]
+    )
+    is_del = (
+        F.coalesce(F.col(op_col) == F.lit("D"), F.lit(False)) if has_op else F.lit(False)
+    )
+    skip = {*key_cols, version_col, op_col, *(tiebreak_cols or [])}
+    data_cols = [c for c in df.columns if c not in skip]
+    df = df.withColumn("_is_del", is_del).withColumn("_ord", ord_struct)
+    cuts = (
+        df.where(F.col("_is_del"))
+        .groupBy(*key_cols)
+        .agg(F.max("_ord").alias("_cut"))
+    )
+    # keep: every delete (feeds _dead) + live contributions above the cut
+    kept = (
+        df.join(cuts.hint("shuffle_hash"), key_cols, "left")
+        .where(
+            F.col("_is_del")
+            | F.col("_cut").isNull()
+            | (F.col("_ord") > F.col("_cut"))
+        )
+    )
+    live = ~F.col("_is_del")
+    aggs = [
+        F.max(F.when(live, F.col("_ord"))).alias("_live"),
+        F.max(F.when(F.col("_is_del"), F.col("_ord"))).alias("_dead"),
+    ]
+    for c in data_cols:
+        fn = agg_spec.get(c, "last_non_null")
+        v = F.when(live, F.col(c))
+        if fn == "sum":
+            a = F.sum(v)
+        elif fn == "min":
+            a = F.min(v)
+        elif fn == "max":
+            a = F.max(v)
+        elif fn == "bool_or":
+            a = F.max(v.cast("boolean"))
+        elif fn == "bool_and":
+            a = F.min(v.cast("boolean"))
+        else:  # last_non_null — kept rows are already above the cut
+            a = F.max_by(
+                F.col(c), F.when(live & F.col(c).isNotNull(), F.col("_ord"))
+            )
+        aggs.append(a.alias(f"_a_{c}"))
+    g = kept.groupBy(*key_cols).agg(*aggs)
+    alive = F.col("_live").isNotNull()  # kept live rows are above any cut
+    sel: list = [F.col(k) for k in key_cols]
+    sel.append(
+        F.when(alive, F.col(f"_live.{version_col}"))
+        .otherwise(F.col(f"_dead.{version_col}"))
+        .alias(version_col)
+    )
+    for c in data_cols:
+        sel.append(F.when(alive, F.col(f"_a_{c}")).alias(c))
+    sel.append(F.when(alive, F.lit("U")).otherwise(F.lit("D")).alias(op_col))
+    return g.select(*sel)

@@ -239,3 +239,24 @@ def test_token_ngram_no_global_sort_before_topk(spark):
     plan = executed_plan(token_ngram_topk(docs, n=2, k=5))
     assert "BroadcastExchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partial_update_reduce_single_exchange_with_partial_agg(spark):
+    """The partial-image fold must keep the LWW reduce's physical shape:
+    ONE hash exchange and a map-side partial aggregate before it (the
+    per-column max_by folds are all null-skipping aggregates over the
+    same grouping, so they share the one exchange and pre-reduce hot
+    keys upstream exactly like lww_reduce_agg)."""
+    from airbyte_destination_spark.operators.dedup import partial_update_reduce
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0, F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 2 == 0, F.col("value")).alias("value"),
+        F.when(F.col("event_type") == "purchase", F.lit("D")).alias("op"),
+    )
+    out = partial_update_reduce(ev, ["user_id"], "event_id")
+    assert count_exchanges(out) == 1, out._jdf.queryExecution().executedPlan().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan or "partial_max" in plan, plan
