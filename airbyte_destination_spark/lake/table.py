@@ -56,6 +56,53 @@ class CommitConflict(Exception):
     """Another writer committed the version we tried to write."""
 
 
+def _file_key_stats(path: str, key_col: str):
+    """(min, max) of `key_col` from the parquet FOOTER of one data file
+    — a metadata-only read (no row decoding), the Iceberg pattern of
+    binding per-file column bounds into the manifest at commit time.
+    On a real cluster these bounds come back with the write-task
+    metrics; a driver-side footer read per new file (≈ one per touched
+    bucket per commit) is the local[] equivalent and costs ~1 ms/file.
+
+    Returns None (no pruning possible for this file) when the column
+    is missing, any row group lacks min/max stats, or the values are
+    not JSON-round-trippable scalars (str/int/float). Parquet string
+    stats are byte-wise UTF-8 bounds == codepoint order, so Python
+    comparison against probe keys is exact; writers that truncate long
+    binary stats keep them valid *bounds*, which is all pruning needs.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        if md.num_row_groups == 0:
+            return None
+        rg0 = md.row_group(0)
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if rg0.column(i).path_in_schema == key_col
+            ),
+            None,
+        )
+        if idx is None:
+            return None
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        ok = (str, int, float)
+        if not (isinstance(mn, ok) and isinstance(mx, ok)) or isinstance(mn, bool):
+            return None
+        return mn, mx
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        return None
+
+
 # ------------------------------------------------------- manifest scaling
 #
 # A long-running sync commits one snapshot per epoch: 10^10 events at
@@ -178,6 +225,25 @@ class MergeStats:
     # when validation quarantines rows, this records how many of those
     # received rows were diverted and never merged.
     rows_quarantined: int = 0
+
+
+def _zone_map_pred(keys_by_bucket: dict[int, list]):
+    """file_pred keeping a file iff it lacks zone-map bounds or some
+    probe key of its bucket falls inside them. Type-mismatched bounds
+    (manifest written by an older schema) fail open — keep the file."""
+
+    def pred(b: int, entry: dict) -> bool:
+        if "kmin" not in entry:
+            return True
+        try:
+            return any(
+                k is not None and entry["kmin"] <= k <= entry["kmax"]
+                for k in keys_by_bucket.get(b, ())
+            )
+        except TypeError:
+            return True
+
+    return pred
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -532,12 +598,22 @@ class LakeTable:
         return self._resolve(spark, m, all_buckets, schema)
 
     def _resolve(
-        self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType
+        self,
+        spark: SparkSession,
+        m: dict,
+        buckets: list[int],
+        schema: T.StructType,
+        file_pred=None,
     ) -> DataFrame:
         """Final visible state of the given buckets: MOR tables fold
         base+deltas per key (greatest (version, commit) wins), then
-        tombstones are filtered for both strategies."""
-        out = self._read_buckets(spark, m, buckets, schema)
+        tombstones are filtered for both strategies.
+
+        `file_pred(bucket, entry) -> bool` optionally skips data files
+        before the scan. Safe under the MOR fold only for predicates
+        that are *per-key complete* — every file that can contain a
+        probed key must be kept (zone-map pruning is; see read_keys)."""
+        out = self._read_buckets(spark, m, buckets, schema, file_pred=file_pred)
         if m.get("merge_strategy", "cow") == "mor":
             from airbyte_destination_spark.operators.dedup import lww_reduce_agg
 
@@ -551,8 +627,16 @@ class LakeTable:
         )
 
     def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
-        """Point lookups with bucket pruning: only the buckets the keys
-        hash to are scanned (1/n_buckets of the table per key).
+        """Point lookups with two pruning layers: (1) bucket pruning —
+        only the buckets the keys hash to are scanned (1/n_buckets of
+        the table per key); (2) zone-map FILE pruning inside each
+        candidate bucket — a file is opened only if some probe key
+        falls inside its manifest (kmin, kmax) bounds. Layer 2 is what
+        keeps point lookups O(files containing the key) on an
+        un-compacted MOR table: delta files from epochs whose key
+        range never covered the probe are skipped without reading a
+        footer. Safe under the MOR LWW fold because pruning is per-key
+        complete (any file that CAN contain a probed key is kept).
 
         Single-column keys only; `keys` is a list of key values.
         """
@@ -561,13 +645,44 @@ class LakeTable:
         key_cols = m["key_cols"]
         if len(key_cols) != 1:
             raise ValueError("read_keys supports single-column keys")
-        kdf = spark.createDataFrame([(k,) for k in keys], T.StructType([schema[key_cols[0]]]))
-        buckets = sorted(
-            r[0]
-            for r in kdf.select(bucket_expr(key_cols, m["n_buckets"])).distinct().collect()
-        )
-        pruned = self._resolve(spark, m, buckets, schema)
+        kdf, keys_by_bucket = self._keys_by_bucket(spark, m, schema, keys)
+        buckets = sorted(keys_by_bucket)
+        pred = _zone_map_pred(keys_by_bucket)
+        pruned = self._resolve(spark, m, buckets, schema, file_pred=pred)
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
+
+    def _keys_by_bucket(self, spark, m, schema, keys):
+        key_cols = m["key_cols"]
+        if len(key_cols) != 1:
+            raise ValueError("point lookups support single-column keys only")
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([schema[key_cols[0]]])
+        )
+        keys_by_bucket: dict[int, list] = {}
+        for r in (
+            kdf.select(
+                bucket_expr(key_cols, m["n_buckets"]).alias("_kb"),
+                F.col(key_cols[0]),
+            )
+            .distinct()
+            .collect()
+        ):
+            keys_by_bucket.setdefault(int(r[0]), []).append(r[1])
+        return kdf, keys_by_bucket
+
+    def files_for_keys(self, spark: SparkSession, keys: list) -> list[dict]:
+        """The manifest entries read_keys would scan for `keys` (after
+        bucket + zone-map pruning) — introspection for tests/EXPLAIN."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        _, keys_by_bucket = self._keys_by_bucket(spark, m, schema, keys)
+        pred = _zone_map_pred(keys_by_bucket)
+        return [
+            e
+            for b in sorted(keys_by_bucket)
+            for e in m["buckets"].get(str(b), [])
+            if pred(b, e)
+        ]
 
     def table_changes(
         self,
@@ -910,7 +1025,12 @@ class LakeTable:
         }
 
     def _read_buckets(
-        self, spark: SparkSession, m: dict, buckets: list[int], schema: T.StructType
+        self,
+        spark: SparkSession,
+        m: dict,
+        buckets: list[int],
+        schema: T.StructType,
+        file_pred=None,
     ) -> DataFrame:
         """Read only the given buckets, aligned to `schema` plus the
         `_deleted` tombstone column (null/false for live rows and for
@@ -924,6 +1044,8 @@ class LakeTable:
         by_group: dict[tuple[str, int], list[str]] = {}
         for b in buckets:
             for entry in m["buckets"].get(str(b), []):
+                if file_pred is not None and not file_pred(b, entry):
+                    continue
                 key = (str(entry["schema_id"]), int(entry.get("cv", 0)))
                 by_group.setdefault(key, []).append(os.path.join(self.root, entry["path"]))
         if not by_group:
@@ -991,19 +1113,29 @@ class LakeTable:
         )
         new_files: dict[str, list[dict]] = {}
         sid = m["schema_id"]
+        k0 = m["key_cols"][0]
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             b = bdir.split("=", 1)[1]
             for fname in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fname.endswith(".parquet"):
-                    new_files.setdefault(b, []).append(
-                        {
-                            "path": os.path.join(rel_snap, bdir, fname),
-                            "schema_id": sid,
-                            "cv": version_hint,  # commit version (MOR precedence)
-                        }
+                    entry = {
+                        "path": os.path.join(rel_snap, bdir, fname),
+                        "schema_id": sid,
+                        "cv": version_hint,  # commit version (MOR precedence)
+                    }
+                    # zone map: first-key-column bounds from the footer;
+                    # read_keys prunes FILES with these (on top of bucket
+                    # pruning) — selective for MOR deltas whose batches
+                    # cover narrow key ranges (CDC doc_ids correlate with
+                    # time) and for sorted maintenance rewrites
+                    ks = _file_key_stats(
+                        os.path.join(self.root, entry["path"]), k0
                     )
+                    if ks is not None:
+                        entry["kmin"], entry["kmax"] = ks
+                    new_files.setdefault(b, []).append(entry)
         return new_files
 
     def _with_bucket(self, df: DataFrame, m: dict) -> DataFrame:

@@ -53,6 +53,17 @@ class IngestConfig:
     # for pipelines that want the reduced batch as an artifact).
     pre_reduce: str | None = None
     n_salts: int = 16  # used when pre_reduce == "salted"
+    # merge engine: "lww" (whole-row last-writer-wins, the
+    # ReplacingMergeTree default), "partial" (partial-image updates —
+    # NULL batch columns inherit the stored value), or "aggregate"
+    # (per-column declared folds from agg_spec — SummingMergeTree).
+    # Non-LWW engines imply eager enrichment (every surviving event
+    # contributes, so there is no discarded-row hash to defer) and
+    # reject pre_reduce (an LWW pre-reduce would silently drop summed /
+    # inherited contributions); null-token upserts bypass token
+    # validation (NULL means "column not written" for these engines).
+    reduce: str = "lww"
+    agg_spec: dict | None = None  # required when reduce == "aggregate"
     validate: bool = True
     tokens_col: str = "tokens"
     n_tok_col: str = "n_tok"
@@ -87,10 +98,21 @@ def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | 
     if "data" in batch.columns:
         batch = records_only(batch)
 
+    if cfg.pre_reduce and cfg.reduce != "lww":
+        raise ValueError(
+            f"pre_reduce={cfg.pre_reduce!r} with reduce={cfg.reduce!r}: an LWW "
+            "pre-reduce would drop contributions the merge engine must fold"
+        )
     if cfg.validate and cfg.tokens_col in batch.columns:
         # deletes legitimately carry a null payload — only validate upserts
         deletes = batch.where(F.col("op") == "D")
         upserts = batch.where((F.col("op").isNull()) | (F.col("op") != "D"))
+        if cfg.reduce != "lww":
+            # partial/aggregate: NULL tokens on an upsert means "column
+            # not written this event", not a malformed record
+            passthrough = upserts.where(F.col(cfg.tokens_col).isNull())
+            upserts = upserts.where(F.col(cfg.tokens_col).isNotNull())
+            deletes = deletes.unionByName(passthrough)
         valid, quarantined = validate_tokens(upserts, cfg.tokens_col, cfg.n_tok_col)
         batch = valid.unionByName(deletes)
     else:
@@ -99,15 +121,17 @@ def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | 
     for c in ("namespace", "stream"):
         if c not in batch.columns:
             batch = batch.withColumn(c, F.lit(""))
-    defer = cfg.defer_enrich and "emitted_at" in batch.columns
+    defer = cfg.defer_enrich and "emitted_at" in batch.columns and cfg.reduce == "lww"
     if defer:
         # only the cheap cast now; the raw-id sha256 runs post-reduce on
         # winners (see IngestConfig.defer_enrich)
         batch = batch.withColumn(
             P.EXTRACTED_AT_COL, F.timestamp_millis(F.col("emitted_at"))
         )
-    else:
+    elif "emitted_at" in batch.columns:
         batch = enrich_records(batch, index_col=cfg.version_col)
+    # else: bare change log without the Airbyte envelope timestamp — the
+    # raw-id recipe needs emitted_at, so system columns are skipped
 
     if cfg.repartition:
         batch = batch.repartition(cfg.repartition, *cfg.key_cols)
@@ -152,6 +176,7 @@ def _ensure_table(
             cfg.version_col,
             n_buckets=cfg.n_buckets,
             merge_strategy=cfg.merge_strategy,
+            agg_spec=cfg.agg_spec if cfg.reduce == "aggregate" else None,
         )
 
 
@@ -240,7 +265,7 @@ def _apply_change_batch_inner(
 
     stats = table.merge(
         reduced, epoch_id=epoch_id, lineage_df=lineage_df,
-        post_reduce=post_reduce, carry_cols=carries,
+        post_reduce=post_reduce, carry_cols=carries, reduce=cfg.reduce,
     )
     stats.rows_quarantined = n_quarantined
     if cfg.merge_strategy == "mor" and cfg.auto_compact_files:

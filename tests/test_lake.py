@@ -261,3 +261,80 @@ def test_table_changes_across_rebucket_boundary(spark, tmp_table_root):
     ch = {(r.doc_id, r.change_type) for r in
           t.table_changes(spark, v_from=v0).collect()}
     assert ch == {("a", "update"), ("c", "insert")}
+
+
+def test_zone_map_file_pruning_point_lookup(spark, tmp_path):
+    """Manifest entries carry (kmin, kmax) footer bounds; read_keys
+    prunes FILES inside the candidate buckets with them — on an
+    un-compacted MOR table with time-correlated keys a point lookup
+    opens O(files containing the key), not O(epochs). The MOR LWW fold
+    stays correct because pruning is per-key complete (updates and
+    tombstones of a probed key always land in kept files)."""
+    t = LakeTable(str(tmp_path / "zm"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+                T.StructField("payload", T.StringType(), True),
+            ]
+        ),
+        ["doc_id"],
+        "v",
+        n_buckets=4,
+        merge_strategy="mor",
+    )
+    s = "doc_id long, v long, payload string, op string"
+    for i in range(4):  # disjoint key ranges per epoch (CDC-shaped)
+        t.merge(
+            spark.createDataFrame(
+                [(i * 1000 + j, i * 10, f"p{i}-{j}", "I") for j in range(50)], s
+            ),
+            epoch_id=f"e-{i}",
+        )
+    m = t.manifest()
+    entries = [e for fs in m["buckets"].values() for e in fs]
+    assert all("kmin" in e and "kmax" in e for e in entries), entries[:2]
+    probe = [2042, 2007]
+    cand = t.files_for_keys(spark, probe)
+    assert len(cand) < len(entries) // 2, (len(cand), len(entries))
+    got = sorted((r.doc_id, r.payload) for r in t.read_keys(spark, probe).collect())
+    assert got == [(2007, "p2-7"), (2042, "p2-42")], got
+    # later update + tombstone of the probed keys must win through the fold
+    t.merge(
+        spark.createDataFrame([(2042, 99, "NEW", "U"), (2007, 99, None, "D")], s),
+        epoch_id="e-9",
+    )
+    got = sorted((r.doc_id, r.payload) for r in t.read_keys(spark, probe).collect())
+    assert got == [(2042, "NEW")], got
+
+
+def test_zone_map_entries_without_stats_fail_open(spark, tmp_path):
+    """Pre-zone-map manifests (entries lacking kmin/kmax) and
+    type-mismatched bounds keep the file — pruning is an optimization,
+    never a correctness gate."""
+    t = LakeTable(str(tmp_path / "legacy"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+    )
+    t.merge(
+        spark.createDataFrame([("a", 1, "I"), ("b", 1, "I")], "k string, v long, op string"),
+        epoch_id="x-0",
+    )
+    # simulate a legacy manifest: strip the stats in-place
+    m = t.manifest()
+    for fs in m["buckets"].values():
+        for e in fs:
+            e.pop("kmin", None)
+            e.pop("kmax", None)
+    assert len(t.files_for_keys(spark, ["a"])) >= 1
+    got = [r.k for r in t.read_keys(spark, ["a"]).collect()]
+    assert got == ["a"], got

@@ -136,3 +136,124 @@ def test_deferred_enrich_ids_match_eager(spark, tmp_path, changelog):
     a = sorted(map(tuple, eager.read(spark).select(*cols).collect()))
     b = sorted(map(tuple, deferred.read(spark).select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def _write_numeric_log(spark, root, n_batches=3):
+    """Hand-built change log for the non-LWW engines: (doc_id, amount,
+    note, tokens) where amount accumulates, note is sparsely written,
+    tokens is null on most updates (partial-image shape)."""
+    from pyspark.sql import functions as F
+
+    dirs = []
+    rows = []
+    lsn = 0
+    for b in range(n_batches):
+        batch_rows = []
+        for k in range(40):
+            lsn += 1
+            if b == 1 and k % 10 == 0:
+                batch_rows.append((f"d{k:03d}", None, None, None, lsn, "D"))
+            else:
+                batch_rows.append(
+                    (
+                        f"d{k:03d}",
+                        (k + b) * 10,
+                        f"n{b}" if (k + b) % 3 == 0 else None,
+                        [k, b] if b == 0 else None,
+                        lsn,
+                        "I" if b == 0 else "U",
+                    )
+                )
+        rows.extend(batch_rows)
+        d = f"{root}/b{b}"
+        spark.createDataFrame(
+            batch_rows,
+            "doc_id string, amount long, note string, tokens array<int>, "
+            "change_lsn long, op string",
+        ).withColumn("n_tok", F.size("tokens")).repartition(2).write.parquet(d)
+        dirs.append(d)
+    full = spark.createDataFrame(
+        rows,
+        "doc_id string, amount long, note string, tokens array<int>, "
+        "change_lsn long, op string",
+    ).withColumn("n_tok", F.size("tokens"))
+    return dirs, full
+
+
+def test_ingest_reduce_aggregate_matches_one_shot(spark, tmp_path):
+    """run_ingest_batches(reduce='aggregate') across epochs equals the
+    one-shot declared-aggregate fold of the whole log — the engine's
+    stored-row-re-enters-the-fold invariant riding the real pipeline
+    (validate split, enrichment, epoch markers)."""
+    from pyspark.sql import functions as F
+
+    from airbyte_destination_spark.operators.dedup import aggregate_reduce
+
+    dirs, full = _write_numeric_log(spark, str(tmp_path / "log"))
+    table = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(
+        n_buckets=4,
+        reduce="aggregate",
+        agg_spec={"amount": "sum"},
+        validate=True,  # null-token upserts must pass through, not quarantine
+    )
+    run_ingest_batches(spark, dirs, table, cfg)
+    got = {
+        r.doc_id: (r.amount, r.note, list(r.tokens) if r.tokens else None)
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r.doc_id: (r.amount, r.note, list(r.tokens) if r.tokens else None)
+        for r in aggregate_reduce(
+            full.drop("n_tok", "_airbyte_raw_id"),
+            ["doc_id"],
+            "change_lsn",
+            {"amount": "sum"},
+        )
+        .where(F.col("op") == "U")
+        .collect()
+    }
+    assert got == want
+    # replay is a no-op (exactly-once markers hold for this engine too)
+    v = table.current_version()
+    run_ingest_batches(spark, dirs, table, cfg)
+    assert table.current_version() == v
+
+
+def test_ingest_reduce_partial_inherits_and_validates(spark, tmp_path):
+    """reduce='partial' through the pipeline: null tokens on an upsert
+    inherit the stored array instead of being quarantined; a delete
+    then a re-insert resets inheritance."""
+    from pyspark.sql import functions as F
+
+    from airbyte_destination_spark.operators.dedup import partial_update_reduce
+
+    dirs, full = _write_numeric_log(spark, str(tmp_path / "log"))
+    table = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(n_buckets=4, reduce="partial")
+    run_ingest_batches(spark, dirs, table, cfg)
+    got = {
+        r.doc_id: (r.amount, list(r.tokens) if r.tokens else None)
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r.doc_id: (r.amount, list(r.tokens) if r.tokens else None)
+        for r in partial_update_reduce(
+            full.drop("n_tok"), ["doc_id"], "change_lsn"
+        )
+        .where(F.col("op") == "U")
+        .collect()
+    }
+    assert got == want
+    # undeleted keys inherited their batch-0 tokens through null updates
+    assert want["d001"][1] == [1, 0]
+
+
+def test_ingest_pre_reduce_rejected_for_non_lww(spark, tmp_path):
+    from airbyte_destination_spark.streaming.pipeline import apply_change_batch
+
+    dirs, full = _write_numeric_log(spark, str(tmp_path / "log"), n_batches=1)
+    table = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(reduce="partial", pre_reduce="salted")
+    with pytest.raises(ValueError, match="pre_reduce"):
+        apply_change_batch(table, spark.read.parquet(dirs[0]), "e0", cfg)
