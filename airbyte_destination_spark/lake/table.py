@@ -649,6 +649,16 @@ class LakeTable:
         buckets = sorted(keys_by_bucket)
         pred = _zone_map_pred(keys_by_bucket)
         pruned = self._resolve(spark, m, buckets, schema, file_pred=pred)
+        if len(keys) <= 256:
+            # third pruning layer: a literal IN predicate reaches the
+            # parquet scan as a pushed filter, so ROW GROUPS inside the
+            # kept files are skipped by their min/max stats (selective
+            # after sorted compaction keys every file). The semi join
+            # stays authoritative; the filter is a redundant narrowing,
+            # applied pre-fold which is safe for the same per-key-
+            # completeness reason as file pruning. Capped so a huge key
+            # list can't bloat the plan with a kilobyte literal.
+            pruned = pruned.where(F.col(key_cols[0]).isin(list(keys)))
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
 
     def _keys_by_bucket(self, spark, m, schema, keys):

@@ -298,7 +298,12 @@ def test_zone_map_file_pruning_point_lookup(spark, tmp_path):
     probe = [2042, 2007]
     cand = t.files_for_keys(spark, probe)
     assert len(cand) < len(entries) // 2, (len(cand), len(entries))
-    got = sorted((r.doc_id, r.payload) for r in t.read_keys(spark, probe).collect())
+    lookup = t.read_keys(spark, probe)
+    # third layer: the literal IN predicate must reach the parquet scan
+    # so row-group min/max stats prune inside the kept files
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan, plan
+    got = sorted((r.doc_id, r.payload) for r in lookup.collect())
     assert got == [(2007, "p2-7"), (2042, "p2-42")], got
     # later update + tombstone of the probed keys must win through the fold
     t.merge(
