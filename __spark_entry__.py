@@ -458,6 +458,68 @@ def q_cdc_engine_aggregate_final_state(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def q_cdc_engine_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping window scan (lake/table.scan with stats_cols
+    bounds): an append-shaped COW event table whose files correlate
+    with ingest order is scanned for a middle time window — files
+    whose manifest (min, max) ms bounds miss the window are never
+    opened, the Iceberg/Delta zone-map shape. Bounds are integer
+    arithmetic over corpus min/max so Spark and the DuckDB oracle
+    compute the identical window at any sf."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "winscan")
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+            "user_id",
+            "event_type",
+        )
+        lo_id, hi_id = ev.select(F.min("event_id"), F.max("event_id")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-win-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType(), False),
+                    T.StructField("ms", T.LongType(), True),
+                    T.StructField("user_id", T.LongType(), True),
+                    T.StructField("event_type", T.StringType(), True),
+                ]
+            ),
+            ["event_id"],
+            None,
+            n_buckets=8,
+            stats_cols=["ms"],
+        )
+        step = max((hi_id - lo_id) // 3 + 1, 1)
+        for i in range(3):
+            batch = ev.where(
+                (F.col("event_id") >= lo_id + i * step)
+                & (F.col("event_id") < lo_id + (i + 1) * step)
+            )
+            table.append(batch, epoch_id=f"win-{i}")
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    mn, mx = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.min(F.unix_millis(F.col("ts").cast("timestamp"))),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))),
+        )
+        .first()
+    )
+    span = mx - mn
+    lo, hi = mn + span * 2 // 5, mn + span * 3 // 5
+    return table.scan(spark, {"ms": (lo, hi)}).select(
+        "event_id", "ms", "user_id", "event_type"
+    )
+
+
 def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation: reading the version committed by the FIRST
     epoch must show exactly the LWW state of the first lsn-range batch,
@@ -1321,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
         "cdc_aggregate_final_state": q_cdc_aggregate_final_state,
         "cdc_engine_aggregate_final_state": q_cdc_engine_aggregate_final_state,
+        "cdc_engine_window_scan": q_cdc_engine_window_scan,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
@@ -1878,6 +1941,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_engine_partial_final_state": _PARTIAL_SQL,
         "cdc_aggregate_final_state": _AGGREGATE_SQL,
         "cdc_engine_aggregate_final_state": _AGGREGATE_SQL,
+        "cdc_engine_window_scan": """
+-- data-skipping window scan: middle-fifth ms window by integer
+-- arithmetic over corpus min/max (identical to the Spark side)
+WITH ev AS (
+  SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, user_id, event_type
+  FROM events
+), b AS (
+  SELECT min(ms) AS mn, max(ms) AS mx FROM ev
+)
+SELECT event_id, ms, user_id, event_type
+FROM ev, b
+WHERE ms >= mn + (mx - mn) * 2 // 5
+  AND ms <= mn + (mx - mn) * 3 // 5
+""",
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,
         "cdc_engine_mor_final_state": _LWW_SQL,

@@ -56,51 +56,56 @@ class CommitConflict(Exception):
     """Another writer committed the version we tried to write."""
 
 
-def _file_key_stats(path: str, key_col: str):
-    """(min, max) of `key_col` from the parquet FOOTER of one data file
-    — a metadata-only read (no row decoding), the Iceberg pattern of
-    binding per-file column bounds into the manifest at commit time.
+def _file_col_stats(path: str, cols: list[str]) -> dict[str, tuple]:
+    """{col: (min, max)} for `cols` from the parquet FOOTER of one data
+    file — a metadata-only read (no row decoding), the Iceberg pattern
+    of binding per-file column bounds into the manifest at commit time.
     On a real cluster these bounds come back with the write-task
     metrics; a driver-side footer read per new file (≈ one per touched
     bucket per commit) is the local[] equivalent and costs ~1 ms/file.
 
-    Returns None (no pruning possible for this file) when the column
-    is missing, any row group lacks min/max stats, or the values are
-    not JSON-round-trippable scalars (str/int/float). Parquet string
-    stats are byte-wise UTF-8 bounds == codepoint order, so Python
-    comparison against probe keys is exact; writers that truncate long
-    binary stats keep them valid *bounds*, which is all pruning needs.
+    A column is omitted (no pruning possible for this file) when it is
+    missing, any row group lacks min/max stats, or the values are not
+    JSON-round-trippable scalars (str/int/float). Parquet string stats
+    are byte-wise UTF-8 bounds == codepoint order, so Python comparison
+    against probe values is exact; writers that truncate long binary
+    stats keep them valid *bounds*, which is all pruning needs.
     """
+    out: dict[str, tuple] = {}
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
         if md.num_row_groups == 0:
-            return None
+            return out
         rg0 = md.row_group(0)
-        idx = next(
-            (
-                i
-                for i in range(md.num_columns)
-                if rg0.column(i).path_in_schema == key_col
-            ),
-            None,
-        )
-        if idx is None:
-            return None
-        mn = mx = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
+        idx_by_col = {
+            rg0.column(i).path_in_schema: i for i in range(md.num_columns)
+        }
         ok = (str, int, float)
-        if not (isinstance(mn, ok) and isinstance(mx, ok)) or isinstance(mn, bool):
-            return None
-        return mn, mx
+        for col in cols:
+            idx = idx_by_col.get(col)
+            if idx is None:
+                continue
+            mn = mx = None
+            complete = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    complete = False
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if (
+                complete
+                and isinstance(mn, ok)
+                and isinstance(mx, ok)
+                and not isinstance(mn, bool)
+            ):
+                out[col] = (mn, mx)
     except Exception:  # noqa: BLE001 — stats are an optimization only
-        return None
+        return {}
+    return out
 
 
 # ------------------------------------------------------- manifest scaling
@@ -225,6 +230,38 @@ class MergeStats:
     # when validation quarantines rows, this records how many of those
     # received rows were diverted and never merged.
     rows_quarantined: int = 0
+
+
+def _entry_bounds(entry: dict, col: str, key0: str):
+    """This file's (min, max) for `col` from its manifest entry, or
+    None when the entry carries no bounds for it."""
+    if col == key0 and "kmin" in entry:
+        return entry["kmin"], entry["kmax"]
+    s = entry.get("stats", {}).get(col)
+    return (s[0], s[1]) if s else None
+
+
+def _bounds_pred(bounds: dict[str, tuple], key0: str):
+    """file_pred keeping a file iff, for every bounded column with
+    recorded stats, [file_min, file_max] overlaps [lo, hi] (either end
+    None = unbounded). Files without stats for a column — and
+    type-mismatched bounds — fail open."""
+
+    def pred(b: int, entry: dict) -> bool:
+        for col, (lo, hi) in bounds.items():
+            fr = _entry_bounds(entry, col, key0)
+            if fr is None:
+                continue
+            try:
+                if (lo is not None and fr[1] < lo) or (
+                    hi is not None and fr[0] > hi
+                ):
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    return pred
 
 
 def _zone_map_pred(keys_by_bucket: dict[int, list]):
@@ -515,8 +552,13 @@ class LakeTable:
         properties: dict | None = None,
         merge_strategy: str = "cow",
         agg_spec: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
-        """merge_strategy:
+        """`stats_cols`: extra columns whose per-file (min, max) bounds
+        are bound into the manifest at every commit (the first key
+        column always is); `scan(bounds=...)` skips files with them.
+
+        merge_strategy:
         - "cow" (copy-on-write): each merge eagerly reduces batch +
           touched buckets and rewrites them; reads are plain scans.
         - "mor" (merge-on-read): each merge only appends the batch's
@@ -538,6 +580,9 @@ class LakeTable:
             raise ValueError(f"version column {version_col!r} not in schema")
         if merge_strategy not in ("cow", "mor"):
             raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
+        for c in stats_cols or []:
+            if c not in schema.fieldNames():
+                raise ValueError(f"stats column {c!r} not in schema")
         if agg_spec is not None:
             # aggregation merge engine DDL (ClickHouse SummingMergeTree /
             # Paimon aggregation analog) — bound at CREATE so every merge
@@ -571,6 +616,7 @@ class LakeTable:
             "epoch_watermarks": {},
             "properties": properties or {},
             "agg_spec": agg_spec,
+            "stats_cols": list(stats_cols or []),
             "operation": "create",
             "lineage": [],
         }
@@ -679,6 +725,70 @@ class LakeTable:
         ):
             keys_by_bucket.setdefault(int(r[0]), []).append(r[1])
         return kdf, keys_by_bucket
+
+    def scan(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping scan: `bounds` maps column -> (lo, hi)
+        inclusive range (either end None = unbounded). Files whose
+        manifest bounds cannot overlap a range are never opened; the
+        range predicates are then applied to the surviving rows (and
+        reach the parquet scan as pushed filters where Catalyst can
+        move them).
+
+        Pruning safety depends on the merge strategy:
+        - COW: every live row sits in exactly one CURRENT file (reads
+          don't fold), so file skipping is safe on ANY column.
+        - MOR: reads fold base+deltas per key, and a non-key bound
+          could prune the file holding a key's NEWEST image while an
+          older in-range image survives elsewhere — the fold would
+          then resurrect a stale row. So only first-key-column bounds
+          prune files (per-key complete: every file that can contain
+          an in-range key is kept); other bounds filter POST-fold only
+          (Catalyst cannot push a non-grouping predicate below the
+          fold's aggregate, which is exactly the safety we need).
+
+        The classic win: an append-shaped COW event table whose lsn /
+        event-time correlates with commit order — a time-window scan
+        opens O(files in window), the Iceberg/Delta data-skipping
+        shape (stats_cols at create() declares the bounded columns)."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        bounds = dict(bounds or {})
+        for c in bounds:
+            if c not in schema.fieldNames():
+                raise ValueError(f"bounds column {c!r} not in schema")
+        k0 = m["key_cols"][0]
+        mor = m.get("merge_strategy", "cow") == "mor"
+        prunable = {c: r for c, r in bounds.items() if c == k0 or not mor}
+        pred = _bounds_pred(prunable, k0) if prunable else None
+        all_buckets = [int(b) for b in m["buckets"]]
+        out = self._resolve(spark, m, all_buckets, schema, file_pred=pred)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                out = out.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.where(F.col(c) <= F.lit(hi))
+        return out
+
+    def files_for_bounds(self, bounds: dict[str, tuple]) -> list[dict]:
+        """The manifest entries scan(bounds) would open — introspection
+        for tests/EXPLAIN (applies the same strategy-aware safety
+        rule)."""
+        m = self.manifest()
+        k0 = m["key_cols"][0]
+        mor = m.get("merge_strategy", "cow") == "mor"
+        prunable = {c: r for c, r in (bounds or {}).items() if c == k0 or not mor}
+        pred = _bounds_pred(prunable, k0)
+        return [
+            e
+            for b in sorted(int(x) for x in m["buckets"])
+            for e in m["buckets"][str(b)]
+            if pred(b, e)
+        ]
 
     def files_for_keys(self, spark: SparkSession, keys: list) -> list[dict]:
         """The manifest entries read_keys would scan for `keys` (after
@@ -1135,16 +1245,22 @@ class LakeTable:
                         "schema_id": sid,
                         "cv": version_hint,  # commit version (MOR precedence)
                     }
-                    # zone map: first-key-column bounds from the footer;
-                    # read_keys prunes FILES with these (on top of bucket
-                    # pruning) — selective for MOR deltas whose batches
-                    # cover narrow key ranges (CDC doc_ids correlate with
-                    # time) and for sorted maintenance rewrites
-                    ks = _file_key_stats(
-                        os.path.join(self.root, entry["path"]), k0
+                    # zone maps: first-key-column bounds (kmin/kmax —
+                    # read_keys prunes FILES with these on top of bucket
+                    # pruning; selective for MOR deltas whose batches
+                    # cover narrow key ranges, CDC doc_ids correlate
+                    # with time, and for sorted maintenance rewrites)
+                    # plus declared stats_cols bounds for scan()
+                    stats = _file_col_stats(
+                        os.path.join(self.root, entry["path"]),
+                        [k0] + [c for c in m.get("stats_cols", []) if c != k0],
                     )
-                    if ks is not None:
-                        entry["kmin"], entry["kmax"] = ks
+                    if k0 in stats:
+                        entry["kmin"], entry["kmax"] = stats.pop(k0)
+                    else:
+                        stats.pop(k0, None)
+                    if stats:
+                        entry["stats"] = {c: list(v) for c, v in stats.items()}
                     new_files.setdefault(b, []).append(entry)
         return new_files
 

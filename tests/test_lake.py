@@ -343,3 +343,75 @@ def test_zone_map_entries_without_stats_fail_open(spark, tmp_path):
     assert len(t.files_for_keys(spark, ["a"])) >= 1
     got = [r.k for r in t.read_keys(spark, ["a"]).collect()]
     assert got == ["a"], got
+
+
+def test_scan_bounds_pruning_cow_append(spark, tmp_path):
+    """Data-skipping scan on an append-shaped COW event table: files
+    whose declared stats_cols bounds miss the window are never opened;
+    results equal the unpruned filter."""
+    t = LakeTable(str(tmp_path / "ev"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("val", T.StringType(), True),
+            ]
+        ),
+        ["event_id"],
+        "change_lsn",
+        n_buckets=4,
+        stats_cols=["change_lsn"],
+    )
+    for e in range(5):  # lsn correlates with epoch (CDC-shaped)
+        t.append(
+            spark.createDataFrame(
+                [(e * 1000 + j, e * 100 + j % 100, f"v{e}") for j in range(200)],
+                "event_id long, change_lsn long, val string",
+            ),
+            epoch_id=f"a-{e}",
+        )
+    total = sum(len(fs) for fs in t.manifest()["buckets"].values())
+    cand = t.files_for_bounds({"change_lsn": (250, 299)})
+    assert len(cand) <= total // 2, (len(cand), total)
+    got = t.scan(spark, {"change_lsn": (250, 299)})
+    want = t.read(spark).where("change_lsn between 250 and 299")
+    assert got.count() == want.count() > 0
+
+
+def test_scan_mor_nonkey_bound_never_resurrects_stale_image(spark, tmp_path):
+    """MOR safety rule: a non-key bound must not prune files (an older
+    in-range image elsewhere would win the fold) and must filter the
+    CURRENT image post-fold."""
+    t = LakeTable(str(tmp_path / "m"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+                T.StructField("amount", T.LongType(), True),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+        merge_strategy="mor",
+        stats_cols=["amount"],
+    )
+    s = "k long, v long, amount long, op string"
+    t.merge(spark.createDataFrame([(1, 1, 5, "I"), (2, 1, 5, "I")], s), epoch_id="m-0")
+    t.merge(spark.createDataFrame([(1, 2, 50, "U")], s), epoch_id="m-1")
+    got = sorted((r.k, r.amount) for r in t.scan(spark, {"amount": (0, 10)}).collect())
+    assert got == [(2, 5)], got  # k=1's stale amount=5 must not come back
+    got = sorted((r.k, r.amount) for r in t.scan(spark, {"amount": (40, 60)}).collect())
+    assert got == [(1, 50)], got
+    # non-key bounds keep every file on MOR ...
+    total = sum(len(fs) for fs in t.manifest()["buckets"].values())
+    assert len(t.files_for_bounds({"amount": (0, 10)})) == total
+    # ... while first-key-column bounds still prune (per-key complete)
+    t.merge(
+        spark.createDataFrame([(1000 + i, 3, 7, "I") for i in range(50)], s),
+        epoch_id="m-2",
+    )
+    total = sum(len(fs) for fs in t.manifest()["buckets"].values())
+    assert len(t.files_for_bounds({"k": (1, 2)})) < total
