@@ -1104,6 +1104,20 @@ class LakeTable:
             for files in (src or {}).values():
                 referenced.update(e["path"] for e in files)
         referenced_snaps = {p.split(os.sep)[1] for p in referenced if p.startswith("data")}
+        # staged (write-audit-publish) manifests pin their data dirs
+        # until published or aborted — a long-lived staging must survive
+        # expiry even after the table advances past its base version
+        for sid in self.staged_ids():
+            try:
+                rec = self._read_staged(sid)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            referenced_snaps.update(
+                e["path"].split(os.sep)[1]
+                for fs in rec.get("buckets", {}).values()
+                for e in fs
+                if e["path"].startswith("data")
+            )
 
         expired = 0
         for v in range(1, boundary):
@@ -1234,6 +1248,7 @@ class LakeTable:
         new_files: dict[str, list[dict]] = {}
         sid = m["schema_id"]
         k0 = m["key_cols"][0]
+        entries: list[dict] = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
@@ -1245,23 +1260,32 @@ class LakeTable:
                         "schema_id": sid,
                         "cv": version_hint,  # commit version (MOR precedence)
                     }
-                    # zone maps: first-key-column bounds (kmin/kmax —
-                    # read_keys prunes FILES with these on top of bucket
-                    # pruning; selective for MOR deltas whose batches
-                    # cover narrow key ranges, CDC doc_ids correlate
-                    # with time, and for sorted maintenance rewrites)
-                    # plus declared stats_cols bounds for scan()
-                    stats = _file_col_stats(
-                        os.path.join(self.root, entry["path"]),
-                        [k0] + [c for c in m.get("stats_cols", []) if c != k0],
-                    )
-                    if k0 in stats:
-                        entry["kmin"], entry["kmax"] = stats.pop(k0)
-                    else:
-                        stats.pop(k0, None)
-                    if stats:
-                        entry["stats"] = {c: list(v) for c, v in stats.items()}
                     new_files.setdefault(b, []).append(entry)
+                    entries.append(entry)
+        # zone maps: first-key-column bounds (kmin/kmax — read_keys
+        # prunes FILES with these on top of bucket pruning; selective
+        # for MOR deltas whose batches cover narrow key ranges, CDC
+        # doc_ids correlate with time, and for sorted maintenance
+        # rewrites) plus declared stats_cols bounds for scan(). Footer
+        # reads release the GIL inside Arrow C++, so a small pool keeps
+        # this off the ingest critical path (~n_buckets/8 ms instead of
+        # n_buckets ms of serial driver time per commit; on a real
+        # cluster the bounds come back with the write-task metrics).
+        stat_cols = [k0] + [c for c in m.get("stats_cols", []) if c != k0]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _bind(entry: dict) -> None:
+            stats = _file_col_stats(
+                os.path.join(self.root, entry["path"]), stat_cols
+            )
+            if k0 in stats:
+                entry["kmin"], entry["kmax"] = stats.pop(k0)
+            if stats:
+                entry["stats"] = {c: list(v) for c, v in stats.items()}
+
+        if entries:
+            with ThreadPoolExecutor(max_workers=min(8, len(entries))) as pool:
+                list(pool.map(_bind, entries))
         return new_files
 
     def _with_bucket(self, df: DataFrame, m: dict) -> DataFrame:
@@ -1291,8 +1315,20 @@ class LakeTable:
         post_reduce=None,
         carry_cols: tuple[str, ...] = (),
         reduce: str = "lww",
+        stage: str | None = None,
     ) -> MergeStats:
         """Last-writer-wins MERGE of a change batch.
+
+        `stage` (optional): a staging id. The merge runs fully — data
+        files land, the new manifest is computed — but instead of
+        committing, the manifest is written to `_meta/staged/<id>.json`
+        pinned to its base version (write-audit-publish, the Iceberg
+        WAP pattern). `read_staged()` serves the audit queries,
+        `publish()` commits atomically (CommitConflict if the table
+        advanced past the base — re-stage), `abort()` drops the staged
+        data. Returned MergeStats carries version=-1 (nothing visible
+        changed). Staged data dirs are excluded from expire_snapshots
+        GC until published or aborted.
 
         `batch` columns = table data columns + `op` (I/U/D). Per key the
         greatest version wins, including against rows already in the
@@ -1336,7 +1372,7 @@ class LakeTable:
         return self._apply(
             batch, mode="merge", epoch_id=epoch_id, tiebreak_cols=tiebreak_cols,
             lineage_df=lineage_df, post_reduce=post_reduce, carry_cols=carry_cols,
-            reduce=reduce,
+            reduce=reduce, stage=stage,
         )
 
     def overwrite_where(
@@ -1371,6 +1407,88 @@ class LakeTable:
                     raise
         raise CommitConflict("unreachable")
 
+    # ------------------------------------------- write-audit-publish
+
+    def _staged_path(self, staging_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", staging_id):
+            raise ValueError(f"invalid staging id {staging_id!r}")
+        return os.path.join(self.meta_dir, "staged", f"{staging_id}.json")
+
+    def _write_staged(self, staging_id: str, manifest: dict, base: int) -> None:
+        """Persist a fully-computed manifest WITHOUT committing it —
+        same durability discipline as _commit (fsynced temp, exclusive
+        hard-link so a staging id can't be silently overwritten)."""
+        path = self._staged_path(staging_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rec = dict(manifest)
+        rec["staged_base"] = base
+        rec["staged_id"] = staging_id
+        rec["staged_at"] = time.time()
+        tmp = os.path.join(self.meta_dir, f".s.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise FileExistsError(f"staging id {staging_id!r} already exists")
+        os.unlink(tmp)
+
+    def _read_staged(self, staging_id: str) -> dict:
+        with open(self._staged_path(staging_id)) as f:
+            return json.load(f)
+
+    def staged_ids(self) -> list[str]:
+        d = os.path.join(self.meta_dir, "staged")
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    def read_staged(self, spark: SparkSession, staging_id: str) -> DataFrame:
+        """The staged table state, for audit queries before publish."""
+        rec = self._read_staged(staging_id)
+        schema = T.StructType.fromJson(rec["schemas"][str(rec["schema_id"])])
+        return self._resolve(
+            spark, rec, [int(b) for b in rec["buckets"]], schema
+        )
+
+    def publish(self, staging_id: str) -> int:
+        """Atomically commit a staged merge. Raises CommitConflict when
+        the table advanced past the staged base (the staged rewrite was
+        computed against state that no longer exists) — abort and
+        re-stage, the WAP retry discipline."""
+        rec = self._read_staged(staging_id)
+        base = rec.pop("staged_base")
+        rec.pop("staged_id", None)
+        rec.pop("staged_at", None)
+        self._recover_orphan()
+        v = self._commit(rec, base)
+        os.unlink(self._staged_path(staging_id))
+        return v
+
+    def abort(self, staging_id: str) -> None:
+        """Drop a staged merge: delete the snapshot dirs only THIS
+        staging created (referenced by the staged manifest but not by
+        its base — new dirs carry a fresh nonce, so no committed
+        version can reference them) and the staged record."""
+        rec = self._read_staged(staging_id)
+        base = rec["staged_base"]
+        base_m = self._resolved(base) if base >= 1 else {"buckets": {}}
+
+        def _snaps(man: dict) -> set[str]:
+            return {
+                e["path"].split(os.sep)[1]
+                for fs in man.get("buckets", {}).values()
+                for e in fs
+                if e["path"].startswith("data")
+            }
+
+        for snap in _snaps(rec) - _snaps(base_m):
+            shutil.rmtree(os.path.join(self.root, "data", snap), ignore_errors=True)
+        os.unlink(self._staged_path(staging_id))
+
     # ------------------------------------------------------------- core
 
     def _apply(
@@ -1383,6 +1501,7 @@ class LakeTable:
         post_reduce=None,
         carry_cols: tuple[str, ...] = (),
         reduce: str = "lww",
+        stage: str | None = None,
     ) -> MergeStats:
         spark = batch.sparkSession
         if reduce not in ("lww", "partial", "aggregate"):
@@ -1505,6 +1624,9 @@ class LakeTable:
                 m["lineage"] = []
                 if epoch_id is not None:
                     m["applied_epochs"][epoch_id] = base + 1
+                if stage is not None:
+                    self._write_staged(stage, m, base)
+                    return MergeStats(epoch_id, -1, 0, 0, 0)
                 try:
                     v = self._commit(m, base)
                     return MergeStats(epoch_id, v, 0, 0, 0)
@@ -1670,6 +1792,11 @@ class LakeTable:
             m["lineage"] = lineage
             if epoch_id is not None:
                 m["applied_epochs"][epoch_id] = base + 1
+            if stage is not None:
+                self._write_staged(stage, m, base)
+                return MergeStats(
+                    epoch_id, -1, rows_up, rows_del, len(touched), lineage=lineage
+                )
             try:
                 v = self._commit(m, base)
                 return MergeStats(

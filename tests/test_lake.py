@@ -415,3 +415,96 @@ def test_scan_mor_nonkey_bound_never_resurrects_stale_image(spark, tmp_path):
     )
     total = sum(len(fs) for fs in t.manifest()["buckets"].values())
     assert len(t.files_for_bounds({"k": (1, 2)})) < total
+
+
+def test_wap_stage_audit_publish(spark, tmp_table_root):
+    """Write-audit-publish: a staged merge is invisible until publish;
+    read_staged serves the audit; publish commits atomically and
+    records the epoch exactly-once."""
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=4)
+    t.merge(spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA), epoch_id="w-0")
+    v0 = t.current_version()
+
+    st = t.merge(
+        spark.createDataFrame([("a", [9], 5, "U"), ("b", [2], 6, "I")], BATCH_SCHEMA),
+        epoch_id="w-1",
+        stage="release-1",
+    )
+    assert st.version == -1
+    assert t.current_version() == v0  # nothing visible changed
+    assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [1]}
+    assert not t.is_epoch_applied("w-1")
+    # audit the staged state
+    staged = {r.doc_id: r.tokens for r in t.read_staged(spark, "release-1").collect()}
+    assert staged == {"a": [9], "b": [2]}
+    assert t.staged_ids() == ["release-1"]
+
+    v1 = t.publish("release-1")
+    assert v1 == v0 + 1
+    assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [9], "b": [2]}
+    assert t.is_epoch_applied("w-1")
+    assert t.staged_ids() == []
+
+
+def test_wap_publish_conflict_and_abort(spark, tmp_table_root):
+    """A commit landing after the stage invalidates it: publish raises
+    CommitConflict, abort removes ONLY the staged snapshot dirs."""
+    import glob
+
+    from airbyte_destination_spark.lake.table import CommitConflict
+
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=4)
+    t.merge(spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA), epoch_id="c-0")
+    t.merge(
+        spark.createDataFrame([("a", [7], 3, "U")], BATCH_SCHEMA),
+        epoch_id="c-1",
+        stage="release-2",
+    )
+    # concurrent writer advances the table past the staged base
+    t.merge(spark.createDataFrame([("c", [5], 4, "I")], BATCH_SCHEMA), epoch_id="c-2")
+    with pytest.raises(CommitConflict):
+        t.publish("release-2")
+    n_before = len(glob.glob(f"{tmp_table_root}/data/snap-*"))
+    t.abort("release-2")
+    assert len(glob.glob(f"{tmp_table_root}/data/snap-*")) < n_before
+    # committed state untouched by the abort
+    got = {r.doc_id: r.tokens for r in t.read(spark).collect()}
+    assert got == {"a": [1], "c": [5]}
+    assert t.staged_ids() == []
+    # the conflicted epoch never became applied -> a re-stage can run it
+    assert not t.is_epoch_applied("c-1")
+
+
+def test_wap_staged_dirs_survive_expiry(spark, tmp_table_root):
+    """expire_snapshots must never GC a staged (unpublished) snapshot
+    dir, even after the table advances past the staged base."""
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=2)
+    t.merge(spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA), epoch_id="g-0")
+    t.merge(
+        spark.createDataFrame([("a", [2], 2, "U")], BATCH_SCHEMA),
+        epoch_id="g-stage",
+        stage="slow-release",
+    )
+    rec = t._read_staged("slow-release")
+    staged_snaps = {
+        e["path"].split("/")[1]
+        for fs in rec["buckets"].values()
+        for e in fs
+        if e["path"].startswith("data")
+    }
+    for i in range(3):  # advance well past the staged base
+        t.merge(
+            spark.createDataFrame([(f"k{i}", [i], 10 + i, "I")], BATCH_SCHEMA),
+            epoch_id=f"g-{i + 1}",
+        )
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    import os
+
+    for snap in staged_snaps:
+        assert os.path.isdir(f"{tmp_table_root}/data/{snap}"), snap
+    # the staging is still auditable after expiry
+    staged = {r.doc_id: r.tokens for r in t.read_staged(spark, "slow-release").collect()}
+    assert staged["a"] == [2]
