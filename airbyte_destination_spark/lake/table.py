@@ -75,7 +75,10 @@ def _file_col_stats(path: str, cols: list[str]) -> dict[str, tuple]:
     try:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        # read_metadata parses just the footer — no ParquetFile/handle
+        # construction (measured vs a paired pre-zone-map A/B run: the
+        # whole binding costs <=1-2% of a 2M-event MOR apply epoch)
+        md = pq.read_metadata(path)
         if md.num_row_groups == 0:
             return out
         rg0 = md.row_group(0)
@@ -1406,6 +1409,94 @@ class LakeTable:
                 if attempt == 4:
                     raise
         raise CommitConflict("unreachable")
+
+    # ------------------------------------------------------ rollback
+
+    def rollback(self, version: int) -> int:
+        """Restore the table to an earlier snapshot as a NEW commit
+        (Iceberg `rollback_to_snapshot`): metadata-only — the new
+        version's manifest is the old version's buckets/schema, no data
+        moves, and history after `version` stays readable until expiry.
+        Epoch markers revert with the manifest, so the exactly-once
+        gate re-admits the rolled-back epochs: replaying the change log
+        from `version` forward reconverges the table (this interplay is
+        pytest-pinned)."""
+        for attempt in range(5):
+            self._recover_orphan()
+            base = self.current_version()
+            if version > base or version < 1:
+                raise ValueError(f"cannot roll back to version {version}")
+            old = self._resolved(version)
+            m = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in old.items()
+                if k not in ("version", "committed_at")
+            }
+            m["operation"] = f"rollback({version})"
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        raise CommitConflict("unreachable")
+
+    # ------------------------------------- incremental consumers (CDF)
+
+    def _consumer_path(self, consumer_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", consumer_id):
+            raise ValueError(f"invalid consumer id {consumer_id!r}")
+        return os.path.join(self.meta_dir, "consumers", f"{consumer_id}.json")
+
+    def consumer_offset(self, consumer_id: str) -> int:
+        """Last snapshot version this consumer acknowledged (0 = never
+        consumed: the first poll sees the whole table as inserts)."""
+        try:
+            with open(self._consumer_path(consumer_id)) as f:
+                return int(json.load(f)["acked_version"])
+        except FileNotFoundError:
+            return 0
+
+    def poll_changes(self, spark: SparkSession, consumer_id: str):
+        """Incremental consumption of the change feed (the Delta/Hudi
+        streaming-source shape): returns (changes_df, v_to) — the net
+        CDF from the consumer's acked offset to the current snapshot —
+        or (None, acked) when there is nothing new. Call
+        `ack(consumer_id, v_to)` after durably processing the batch;
+        an unacked crash re-delivers the same window (at-least-once for
+        the consumer, idempotent when its sink keys on the table key:
+        the same offset window always yields the same net changes)."""
+        acked = self.consumer_offset(consumer_id)
+        cur = self.current_version()
+        if cur <= acked:
+            return None, acked
+        if acked == 0:
+            # bootstrap: the whole current snapshot as inserts, shaped
+            # like table_changes output (key cols, change_type, payload)
+            m = self.manifest(cur)
+            snap = self.read(spark, version=cur)
+            payload = [c for c in snap.columns if c not in m["key_cols"]]
+            return (
+                snap.select(
+                    *m["key_cols"], F.lit("insert").alias("change_type"), *payload
+                ),
+                cur,
+            )
+        return self.table_changes(spark, v_from=acked, v_to=cur), cur
+
+    def ack(self, consumer_id: str, version: int) -> None:
+        """Advance a consumer's offset — refuses to move backwards."""
+        path = self._consumer_path(consumer_id)
+        prev = self.consumer_offset(consumer_id)
+        if version < prev:
+            raise ValueError(f"ack {version} < acked {prev}")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(self.meta_dir, f".c.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"acked_version": version, "acked_at": time.time()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     # ------------------------------------------- write-audit-publish
 

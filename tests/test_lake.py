@@ -508,3 +508,65 @@ def test_wap_staged_dirs_survive_expiry(spark, tmp_table_root):
     # the staging is still auditable after expiry
     staged = {r.doc_id: r.tokens for r in t.read_staged(spark, "slow-release").collect()}
     assert staged["a"] == [2]
+
+
+def test_rollback_restores_state_and_reopens_epochs(spark, tmp_table_root):
+    """rollback(v) is a metadata-only restore committed as a NEW
+    version; epoch markers revert with it, so replaying the undone
+    change log reconverges (exactly-once interplay)."""
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=4)
+    b1 = spark.createDataFrame([("a", [1], 1, "I"), ("b", [2], 2, "I")], BATCH_SCHEMA)
+    b2 = spark.createDataFrame([("a", [9], 5, "U"), ("b", None, 6, "D")], BATCH_SCHEMA)
+    v1 = t.merge(b1, epoch_id="r-0").version
+    t.merge(b2, epoch_id="r-1")
+    assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [9]}
+
+    v_rb = t.rollback(v1)
+    assert v_rb == t.current_version()
+    assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [1], "b": [2]}
+    # the rolled-back snapshot stays readable as history
+    assert t.read(spark, version=v_rb - 1).count() == 1
+    # the undone epoch was re-admitted: replay converges to the same end
+    assert not t.is_epoch_applied("r-1")
+    t.merge(b2, epoch_id="r-1")
+    assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [9]}
+    with pytest.raises(ValueError):
+        t.rollback(t.current_version() + 1)
+
+
+def test_incremental_consumer_poll_ack(spark, tmp_table_root):
+    """poll_changes/ack: bootstrap poll sees the snapshot as inserts;
+    subsequent polls see only the net CDF since the acked offset; an
+    unacked poll re-delivers the identical window."""
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=4)
+    t.merge(spark.createDataFrame([("a", [1], 1, "I"), ("b", [2], 2, "I")], BATCH_SCHEMA))
+
+    df, v1 = t.poll_changes(spark, "sink-1")
+    got = {(r.doc_id, r.change_type) for r in df.collect()}
+    assert got == {("a", "insert"), ("b", "insert")}
+    # not acked yet -> same window again
+    df2, v1b = t.poll_changes(spark, "sink-1")
+    assert v1b == v1
+    assert {(r.doc_id, r.change_type) for r in df2.collect()} == got
+    t.ack("sink-1", v1)
+    assert t.poll_changes(spark, "sink-1") == (None, v1)
+
+    t.merge(
+        spark.createDataFrame(
+            [("a", [7], 5, "U"), ("b", None, 6, "D"), ("c", [3], 7, "I")], BATCH_SCHEMA
+        )
+    )
+    df3, v2 = t.poll_changes(spark, "sink-1")
+    got3 = {(r.doc_id, r.change_type) for r in df3.collect()}
+    assert got3 == {("a", "update"), ("b", "delete"), ("c", "insert")}
+    t.ack("sink-1", v2)
+    # a second consumer starts from scratch independently
+    dfx, _ = t.poll_changes(spark, "sink-2")
+    assert {(r.doc_id, r.change_type) for r in dfx.collect()} == {
+        ("a", "insert"),
+        ("c", "insert"),
+    }
+    with pytest.raises(ValueError):
+        t.ack("sink-1", v1)  # offsets never move backwards
