@@ -1515,6 +1515,11 @@ class LakeTable:
         rec["staged_base"] = base
         rec["staged_id"] = staging_id
         rec["staged_at"] = time.time()
+        # wap_id rides INTO the committed version record (it is not
+        # stripped at publish) so a crash between _commit and the
+        # staged-record unlink is self-healing: the retry recognizes
+        # its own commit instead of wedging on CommitConflict
+        rec["wap_id"] = staging_id
         tmp = os.path.join(self.meta_dir, f".s.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(rec, f)
@@ -1555,7 +1560,19 @@ class LakeTable:
         rec.pop("staged_id", None)
         rec.pop("staged_at", None)
         self._recover_orphan()
-        v = self._commit(rec, base)
+        try:
+            v = self._commit(rec, base)
+        except CommitConflict:
+            # crash-retry self-heal: if version base+1 IS this staging's
+            # own commit (a previous publish died between _commit and
+            # the unlink below), finish the cleanup and succeed
+            try:
+                already = self._read_raw(base + 1).get("wap_id") == staging_id
+            except FileNotFoundError:
+                already = False
+            if not already:
+                raise
+            v = base + 1
         os.unlink(self._staged_path(staging_id))
         return v
 

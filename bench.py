@@ -423,7 +423,15 @@ def _run_scaling(
         hard_overrun = time.time() - _T_START > BENCH_BUDGET_SEC * float(
             os.environ.get("SPARK_GRAFT_SCALE_CLEAN_OVERRUN", "1.35")
         )
-        if len(meas) >= n_measured and n_clean >= 2:
+        soft_overrun = time.time() - _T_START > BENCH_BUDGET_SEC * float(
+            os.environ.get("SPARK_GRAFT_SCALE_SOFT_OVERRUN", "0.75")
+        )
+        # prefer a TRUE median (>=3 clean rounds); settle for 2 clean
+        # only once the soft deadline passes — a 2-round "median" is a
+        # mean and one optimistic round biases it (observed both ways)
+        if len(meas) >= n_measured and (
+            n_clean >= 3 or (n_clean >= 2 and soft_overrun)
+        ):
             break  # estimator precondition met
         if len(meas) >= 2 and hard_overrun:
             break  # absolute cap, clean or not (steal_filtered flags it)

@@ -570,3 +570,28 @@ def test_incremental_consumer_poll_ack(spark, tmp_table_root):
     }
     with pytest.raises(ValueError):
         t.ack("sink-1", v1)  # offsets never move backwards
+
+
+def test_wap_publish_crash_retry_self_heals(spark, tmp_table_root):
+    """A publish that dies between its commit and the staged-record
+    unlink must succeed (not wedge on CommitConflict) when retried:
+    the committed version record carries the staging's wap_id."""
+    import shutil
+
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=2)
+    t.merge(spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA), epoch_id="h-0")
+    t.merge(
+        spark.createDataFrame([("a", [5], 9, "U")], BATCH_SCHEMA),
+        epoch_id="h-1",
+        stage="crashy",
+    )
+    staged_path = t._staged_path("crashy")
+    keep = staged_path + ".bak"
+    shutil.copy(staged_path, keep)
+    v = t.publish("crashy")
+    # simulate the crash: the staged record survived the first publish
+    shutil.copy(keep, staged_path)
+    assert t.publish("crashy") == v  # retry self-heals, same version
+    assert t.staged_ids() == []
+    assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [5]}
