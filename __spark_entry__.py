@@ -520,6 +520,72 @@ def q_cdc_engine_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level secondary index maintained from the change feed
+    (operators/secondary_index): base table keyed event_id ingests two
+    lsn-range epochs with an index on user_id refreshed incrementally
+    after EACH epoch (bootstrap poll, then a net-CDF window); the
+    lookup probes the 5 smallest user_ids through the index's
+    bucket+zone-map+IN pruned path, then reads only the base
+    buckets holding the matching event_ids."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.operators.secondary_index import (
+        create_index,
+        lookup,
+        refresh_index,
+    )
+
+    key = (sf_dir, "idx")
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        ).withColumn("change_lsn", F.col("event_id"))
+        lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
+        root = tempfile.mkdtemp(prefix="engine-idx-")
+        base = LakeTable(root + "/t")
+        base.create(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType(), False),
+                    T.StructField("user_id", T.LongType(), True),
+                    T.StructField("event_type", T.StringType(), True),
+                    T.StructField("change_lsn", T.LongType(), False),
+                ]
+            ),
+            ["event_id"],
+            "change_lsn",
+            n_buckets=8,
+        )
+        index = create_index(base, root + "/idx", "user_id", n_buckets=8)
+        mid = lo + (hi - lo) // 2
+        for i, cond in enumerate(
+            [F.col("event_id") <= mid, F.col("event_id") > mid]
+        ):
+            base.merge(
+                ev.where(cond).withColumn("op", F.lit("I")), epoch_id=f"ix-{i}"
+            )
+            refresh_index(spark, base, index, "user_id")
+        _REPLAY_CACHE[key] = (base, index, None)
+    base, index, _ = _REPLAY_CACHE[key]
+    probe = [
+        r[0]
+        for r in _t(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())  # Spark sorts nulls first,
+        .distinct()                           # DuckDB last — exclude them
+        .orderBy("user_id")
+        .limit(5)
+        .collect()
+    ]
+    return lookup(spark, base, index, probe).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation: reading the version committed by the FIRST
     epoch must show exactly the LWW state of the first lsn-range batch,
@@ -1384,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_aggregate_final_state": q_cdc_aggregate_final_state,
         "cdc_engine_aggregate_final_state": q_cdc_engine_aggregate_final_state,
         "cdc_engine_window_scan": q_cdc_engine_window_scan,
+        "cdc_engine_index_lookup": q_cdc_engine_index_lookup,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
@@ -1954,6 +2021,15 @@ SELECT event_id, ms, user_id, event_type
 FROM ev, b
 WHERE ms >= mn + (mx - mn) * 2 // 5
   AND ms <= mn + (mx - mn) * 3 // 5
+""",
+        "cdc_engine_index_lookup": """
+-- secondary-index lookup: events of the 5 smallest user_ids
+SELECT event_id, user_id, event_type
+FROM events
+WHERE user_id IN (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 5
+)
 """,
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,

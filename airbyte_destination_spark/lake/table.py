@@ -267,6 +267,18 @@ def _bounds_pred(bounds: dict[str, tuple], key0: str):
     return pred
 
 
+def _bucket_cols(m: dict) -> list[str]:
+    """The columns the bucket hash is computed over — a subset of the
+    key columns (default: all of them). A proper subset makes the
+    layout prefix-addressable: `read_prefix` prunes buckets from the
+    subset's values alone (the secondary-index layout, where the index
+    table is keyed (value, base_key) but bucketed on value only).
+    Clustering on a subset still satisfies the merge fold's
+    ClusteredDistribution over the full key (coarser partitioning), so
+    the one-exchange merge shape is unchanged."""
+    return m.get("bucket_cols") or m["key_cols"]
+
+
 def _zone_map_pred(keys_by_bucket: dict[int, list]):
     """file_pred keeping a file iff it lacks zone-map bounds or some
     probe key of its bucket falls inside them. Type-mismatched bounds
@@ -556,8 +568,16 @@ class LakeTable:
         merge_strategy: str = "cow",
         agg_spec: dict | None = None,
         stats_cols: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> None:
-        """`stats_cols`: extra columns whose per-file (min, max) bounds
+        """`bucket_cols`: subset of `key_cols` the bucket hash uses
+        (default: all). A proper subset makes the layout
+        prefix-addressable — `read_prefix` prunes buckets from the
+        subset's values alone (secondary-index layout) — while the
+        merge still co-locates full keys (coarser partitioning
+        satisfies the fold's clustering).
+
+        `stats_cols`: extra columns whose per-file (min, max) bounds
         are bound into the manifest at every commit (the first key
         column always is); `scan(bounds=...)` skips files with them.
 
@@ -586,6 +606,12 @@ class LakeTable:
         for c in stats_cols or []:
             if c not in schema.fieldNames():
                 raise ValueError(f"stats column {c!r} not in schema")
+        if bucket_cols is not None:
+            if not bucket_cols or any(c not in key_cols for c in bucket_cols):
+                raise ValueError(
+                    f"bucket_cols {bucket_cols!r} must be a non-empty subset "
+                    f"of key_cols {key_cols!r}"
+                )
         if agg_spec is not None:
             # aggregation merge engine DDL (ClickHouse SummingMergeTree /
             # Paimon aggregation analog) — bound at CREATE so every merge
@@ -620,6 +646,7 @@ class LakeTable:
             "properties": properties or {},
             "agg_spec": agg_spec,
             "stats_cols": list(stats_cols or []),
+            "bucket_cols": list(bucket_cols) if bucket_cols else None,
             "operation": "create",
             "lineage": [],
         }
@@ -776,6 +803,35 @@ class LakeTable:
             if hi is not None:
                 out = out.where(F.col(c) <= F.lit(hi))
         return out
+
+    def read_prefix(self, spark: SparkSession, values: list) -> DataFrame:
+        """Prefix point lookups for tables bucketed on a single-column
+        proper subset of their key (`bucket_cols=[c]`): all rows whose
+        bucket column equals any of `values`, with bucket pruning, the
+        zone-map file skip (when the bucket column is also the first
+        key column — the secondary-index layout), and a pushed IN
+        predicate. This is the index-probe read: the table may hold
+        many rows per prefix value (one per full key)."""
+        m = self.manifest()
+        bcols = _bucket_cols(m)
+        if len(bcols) != 1:
+            raise ValueError("read_prefix requires a single bucket column")
+        b0 = bcols[0]
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        vdf = spark.createDataFrame([(v,) for v in values], T.StructType([schema[b0]]))
+        by_bucket: dict[int, list] = {}
+        for r in (
+            vdf.select(bucket_expr(bcols, m["n_buckets"]).alias("_kb"), F.col(b0))
+            .distinct()
+            .collect()
+        ):
+            by_bucket.setdefault(int(r[0]), []).append(r[1])
+        buckets = sorted(by_bucket)
+        pred = _zone_map_pred(by_bucket) if b0 == m["key_cols"][0] else None
+        out = self._resolve(spark, m, buckets, schema, file_pred=pred)
+        if len(values) <= 256:
+            out = out.where(F.col(b0).isin(list(values)))
+        return out.join(F.broadcast(vdf), [b0], "left_semi")
 
     def files_for_bounds(self, bounds: dict[str, tuple]) -> list[dict]:
         """The manifest entries scan(bounds) would open — introspection
@@ -1292,7 +1348,7 @@ class LakeTable:
         return new_files
 
     def _with_bucket(self, df: DataFrame, m: dict) -> DataFrame:
-        return df.withColumn(_BUCKET_COL, bucket_expr(m["key_cols"], m["n_buckets"]))
+        return df.withColumn(_BUCKET_COL, bucket_expr(_bucket_cols(m), m["n_buckets"]))
 
     def _evolve_if_needed(self, m: dict, incoming: T.StructType) -> T.StructType:
         """Mutate manifest-in-progress to include evolved schema; return it."""
@@ -1457,7 +1513,9 @@ class LakeTable:
         except FileNotFoundError:
             return 0
 
-    def poll_changes(self, spark: SparkSession, consumer_id: str):
+    def poll_changes(
+        self, spark: SparkSession, consumer_id: str, pre_images: bool = False
+    ):
         """Incremental consumption of the change feed (the Delta/Hudi
         streaming-source shape): returns (changes_df, v_to) — the net
         CDF from the consumer's acked offset to the current snapshot —
@@ -1482,7 +1540,10 @@ class LakeTable:
                 ),
                 cur,
             )
-        return self.table_changes(spark, v_from=acked, v_to=cur), cur
+        return (
+            self.table_changes(spark, v_from=acked, v_to=cur, pre_images=pre_images),
+            cur,
+        )
 
     def ack(self, consumer_id: str, version: int) -> None:
         """Advance a consumer's offset — refuses to move backwards."""
@@ -1755,7 +1816,7 @@ class LakeTable:
                 # data, so ingest is O(batch) no matter how big the table
                 # is. Readers fold deltas (read()/compact()).
                 src = aligned if has_op else aligned.withColumn("op", F.lit("U"))
-                src = src.repartition(m["n_buckets"], *[F.col(c) for c in key_cols])
+                src = src.repartition(m["n_buckets"], *[F.col(c) for c in _bucket_cols(m)])
                 other = [c for c in src.columns if c not in key_cols]
                 ord_fields = ([F.col(ver_col)] if ver_col is not None else []) + [
                     F.col(c) for c in tiebreak_cols or []
@@ -1825,7 +1886,7 @@ class LakeTable:
                 # bucket function IS Spark's hash partitioning, partition
                 # i == bucket i afterwards — the write then needs no
                 # further shuffle. REPARTITION_BY_NUM is AQE-stable.
-                combined = combined.repartition(m["n_buckets"], *[F.col(c) for c in key_cols])
+                combined = combined.repartition(m["n_buckets"], *[F.col(c) for c in _bucket_cols(m)])
                 # LWW as max_by aggregation: map-side partial combine
                 # pre-reduces every upstream partition, so hot keys never
                 # concentrate on one reducer (built-in skew handling) and

@@ -1,0 +1,129 @@
+"""Record-level secondary index, maintained incrementally from the
+change feed.
+
+The reference delegates all lookup acceleration to its warehouse
+(ClickHouse ORDER-BY keys / skip indexes, configured at
+/root/reference/internal/connector/destination.go:337-351); lakehouse
+engines solve the same problem with record-level indexes (Hudi's
+record index, DB secondary indexes). Here the index IS a lake table —
+it inherits snapshots, exactly-once epochs, zone maps, time travel —
+keyed (value, *base_key) but BUCKETED on value alone
+(`bucket_cols=[col]`), so an index probe prunes to the value's bucket,
+then its zone-mapped files, then a pushed IN predicate: the full
+three-layer point-lookup path over the index, followed by
+`read_keys` bucket pruning over the base.
+
+Maintenance rides the engine's own machinery end-to-end:
+`poll_changes(pre_images=True)` supplies net pre/post change pairs, the
+transform below turns them into index merge ops, and the consumer
+offset + epoch watermark make the refresh exactly-once and
+crash-resumable (an unacked crash re-polls a superset window whose
+re-application is idempotent — versions are monotone per key).
+
+Update translation needs no value comparison: an update emits
+D(pre_value, key) at the OLD version and U(post_value, key) at the NEW
+version. When the indexed value didn't change, both land on the same
+index key and the newer U wins; when it did, the D kills the old entry
+(batch-over-existing on the version tie) and the U creates the new one.
+NULL values are not indexed (a NULL pre-image emits nothing).
+
+Indexed columns should be selective: bucketing hashes the value, so a
+column with fewer distinct values than buckets concentrates the index
+in few buckets (use a plain scan for low-cardinality predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+
+
+def _index_consumer(col: str) -> str:
+    return f"__index_{col}"
+
+
+def create_index(
+    base: LakeTable, index_root: str, col: str, n_buckets: int = 32
+) -> LakeTable:
+    """Create the (empty) index table for `col`. Key = (col, *base
+    key); version = the base version column (the base row's version IS
+    the index entry's version, which is what makes refresh ordering
+    exact); bucketed on `col` alone for prefix-addressable probes."""
+    m = base.manifest()
+    schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+    if m["version_col"] is None:
+        raise ValueError("secondary index requires a base version column")
+    if col in m["key_cols"] or col == m["version_col"]:
+        raise ValueError(f"{col!r} is a key/version column — nothing to index")
+    if col not in schema.fieldNames():
+        raise ValueError(f"indexed column {col!r} not in base schema")
+    fields = [schema[col]]
+    fields += [schema[k] for k in m["key_cols"]]
+    fields += [schema[m["version_col"]]]
+    index = LakeTable(index_root)
+    index.create(
+        T.StructType(
+            [T.StructField(f.name, f.dataType, f.name != col) for f in fields]
+        ),
+        key_cols=[col, *m["key_cols"]],
+        version_col=m["version_col"],
+        n_buckets=n_buckets,
+        bucket_cols=[col],
+    )
+    return index
+
+
+def refresh_index(
+    spark: SparkSession, base: LakeTable, index: LakeTable, col: str
+) -> int | None:
+    """Advance the index to the base's current snapshot. Returns the
+    base version the index now reflects, or None when already current."""
+    m = base.manifest()
+    ver = m["version_col"]
+    consumer = _index_consumer(col)
+    changes, v_to = base.poll_changes(spark, consumer, pre_images=True)
+    if changes is None:
+        return None
+    ct = F.col("change_type")
+    batch = changes.where(F.col(col).isNotNull()).select(
+        F.col(col),
+        *m["key_cols"],
+        F.col(ver),
+        F.when(ct.isin("delete", "update_preimage"), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    index.merge(batch, epoch_id=f"{consumer}-{v_to}")
+    base.ack(consumer, v_to)
+    return v_to
+
+
+def lookup_keys(spark: SparkSession, index: LakeTable, values: list) -> DataFrame:
+    """Base keys whose indexed column equals any of `values` — the
+    three-layer pruned probe over the index table."""
+    m = index.manifest()
+    return index.read_prefix(spark, values).select(*m["key_cols"][1:])
+
+
+def lookup(
+    spark: SparkSession,
+    base: LakeTable,
+    index: LakeTable,
+    values: list,
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """Index-accelerated point lookup: probe the index for `values`,
+    then read only the base buckets/files holding the matching keys.
+    Collects the matching key set on the driver (point-lookup scale —
+    `max_keys` guards against accidentally probing a non-selective
+    value; at analytical scale join the index instead)."""
+    key_rows = lookup_keys(spark, index, values).limit(max_keys + 1).collect()
+    if len(key_rows) > max_keys:
+        raise ValueError(
+            f"index probe matched more than {max_keys} keys — join the "
+            "index table instead of a point lookup"
+        )
+    return base.read_keys(spark, [r[0] for r in key_rows])
