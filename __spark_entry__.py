@@ -1344,6 +1344,17 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_dedup(_docs_wide(spark, sf_dir), block_words=16)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: intra-document repeated-span REMOVAL (the
+    remediation to block_dedup's detection): keep the first occurrence
+    of every distinct 16-word block per doc and rebuild the text in
+    original order. ONE exchange (doc-id repartition shared by the
+    first-occurrence window and the rebuild groupBy)."""
+    from airbyte_destination_spark.functions.text import dedup_spans
+
+    return dedup_spans(_docs_wide(spark, sf_dir), block_words=16)
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats op: EXACT per-source word-length quantiles (p50/p90/p99)
     via histogram + rank arithmetic — per-group state is the distinct
@@ -1491,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "block_dedup": q_block_dedup,
+        "dedup_spans": q_dedup_spans,
         "fuzzy_dedup": q_fuzzy_dedup,
         "lm_perplexity": q_lm_perplexity,
         "length_quantiles": q_length_quantiles,
@@ -2778,6 +2790,34 @@ WHERE user_id IN (
                               AS DOUBLE) / count(*), 6) AS dup_block_ratio
             FROM blk b JOIN cnt c USING (bh)
             GROUP BY b.doc_id
+        """,
+        "dedup_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, CAST(i.i AS INT) AS i,
+                     array_to_string(ws[(i.i * 16 + 1):(i.i * 16 + 16)], ' ')
+                       AS blk
+              FROM w, LATERAL (
+                SELECT unnest(range(0,
+                  CAST(ceil(len(ws) / 16.0) AS INT))) AS i
+              ) i
+            ),
+            r AS (
+              SELECT *, row_number()
+                OVER (PARTITION BY doc_id, blk ORDER BY i) AS rn
+              FROM b
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN blk END, ' '
+                              ORDER BY i) AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM r GROUP BY doc_id
         """,
         "length_quantiles": r"""
             WITH lens AS (

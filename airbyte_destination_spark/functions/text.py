@@ -588,6 +588,58 @@ def block_dedup(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 16,
+) -> DataFrame:
+    """Intra-document repeated-span REMOVAL — the remediation step to
+    block_dedup's detection (Lee et al. ACL'22 drop the later copies of
+    repeated spans; their suffix-array byte ranges are coarsened to
+    consecutive `block_words`-word blocks here, same convention as
+    block_dedup). Keeps the FIRST occurrence of every distinct block
+    within a document and rebuilds the text in original block order.
+
+    Emits per doc: text_dedup (whitespace-normalized lowercase — the
+    same canonical form the block split uses), n_blocks, n_dropped.
+
+    Plan shape: ONE exchange — an explicit repartition on the doc id
+    that both the first-occurrence window (partitionBy doc+block is a
+    finer clustering, satisfied by the coarser doc hash) and the
+    rebuild groupBy reuse; the window adds sorts, never a shuffle
+    (plan-asserted). Skew bound = the largest single document.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nblk = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * block_words + 1, block_words)
+                ),
+            )
+        ).alias("pos", "btxt"),
+    ).repartition(F.col(id_col))
+    w = Window.partitionBy(id_col, "btxt").orderBy("pos")
+    kept = base.withColumn("rn", F.row_number().over(w))
+    first = F.when(F.col("rn") == 1, F.struct(F.col("pos"), F.col("btxt")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(first)), lambda s: s["btxt"]
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dropped"),
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -458,3 +458,28 @@ def test_lm_perplexity_scores_fluent_below_gibberish(spark):
     import math
 
     assert out[10].perplexity == round(math.exp(out[10].cross_entropy), 4)
+
+
+def test_dedup_spans_removes_later_copies_one_exchange(spark):
+    from airbyte_destination_spark.functions.text import dedup_spans
+    from airbyte_destination_spark.plans import count_exchanges
+
+    blk = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        ("d1", f"{blk} {blk} middle words here {blk}"),
+        ("d2", "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup_spans(df)
+    # one exchange: window + rebuild share the doc-id repartition
+    # (assert BEFORE collect — the post-AQE string prints the plan twice)
+    assert count_exchanges(out) == 1
+    got = {r.doc_id: r for r in out.collect()}
+    # first copy kept, later copies dropped, remainder in order
+    assert got["d1"].text_dedup.startswith(blk)
+    assert got["d1"].n_dropped >= 1
+    # the deduped text contains the block exactly once at 16-word grain
+    blocks = got["d1"].text_dedup.split(" ")
+    joined = [" ".join(blocks[i : i + 16]) for i in range(0, len(blocks), 16)]
+    assert joined.count(blk) == 1
+    assert got["d2"].text_dedup == "short doc" and got["d2"].n_dropped == 0
