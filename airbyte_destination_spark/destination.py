@@ -380,8 +380,9 @@ class Destination:
 
         if not table.exists():
             table.create(
-                table_schema, key_cols, ver_col, n_buckets=self.config.n_buckets
-            )  # O14
+                table_schema, key_cols, ver_col, n_buckets=self.config.n_buckets,
+                agg_spec=s.agg_spec if s.merge_engine == "aggregate" else None,
+            )  # O14 (+TableSettings-analog engine selection)
         elif s.destination_sync_mode == P.MODE_OVERWRITE:
             # O13: DeletionJob(extracted_at <= sync start) equivalent
             ts = (sync_start_ms / 1000.0) if sync_start_ms else None
@@ -394,8 +395,13 @@ class Destination:
 
         out = enriched.drop("_record_index", "_emitted_at")
         if s.destination_sync_mode == P.MODE_APPEND_DEDUP:
-            reduced = lww_reduce(out, key_cols, [ver_col], tiebreak_cols=[P.RAW_ID_COL])
-            stats = table.merge(reduced)
+            if s.merge_engine != "lww":
+                # partial/aggregate engines fold EVERY event — an LWW
+                # pre-reduce would drop summed/inherited contributions
+                stats = table.merge(out, reduce=s.merge_engine)
+            else:
+                reduced = lww_reduce(out, key_cols, [ver_col], tiebreak_cols=[P.RAW_ID_COL])
+                stats = table.merge(reduced)
         else:
             stats = table.append(out)
         return stats.rows_upserted

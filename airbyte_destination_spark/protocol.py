@@ -93,6 +93,15 @@ class ConfiguredStream:
     destination_sync_mode: str = MODE_APPEND
     primary_key: list[list[str]] = field(default_factory=list)
     cursor_field: list[str] = field(default_factory=list)
+    # Engine-selection extension beyond the 3 Airbyte modes — the
+    # analog of the reference shipping TableSettings engine config to
+    # its warehouse (ReplacingMergeTree at destination.go:337-351;
+    # ClickHouse's Summing/AggregatingMergeTree are the same knob).
+    # Honored for append_dedup streams only: "lww" (default),
+    # "partial" (NULL columns inherit), or "aggregate" (per-column
+    # declared folds from agg_spec).
+    merge_engine: str = "lww"
+    agg_spec: dict = field(default_factory=dict)
 
     @property
     def table_name(self) -> str:
@@ -124,6 +133,20 @@ class ConfiguredStream:
             raise ValueError(
                 f"stream {self.table_name!r}: unsupported destination_sync_mode "
                 f"{self.destination_sync_mode!r}"
+            )
+        if self.merge_engine not in ("lww", "partial", "aggregate"):
+            raise ValueError(
+                f"stream {self.table_name!r}: unsupported merge_engine "
+                f"{self.merge_engine!r}"
+            )
+        if self.merge_engine != "lww" and self.destination_sync_mode != MODE_APPEND_DEDUP:
+            raise ValueError(
+                f"stream {self.table_name!r}: merge_engine {self.merge_engine!r} "
+                "requires the append_dedup destination sync mode"
+            )
+        if self.merge_engine == "aggregate" and not self.agg_spec:
+            raise ValueError(
+                f"stream {self.table_name!r}: merge_engine 'aggregate' requires agg_spec"
             )
 
     def spark_schema(self, include_system: bool = True) -> T.StructType:
@@ -160,6 +183,8 @@ class ConfiguredCatalog:
                     destination_sync_mode=cs.get("destination_sync_mode", MODE_APPEND),
                     primary_key=cs.get("primary_key", []) or [],
                     cursor_field=cs.get("cursor_field", []) or [],
+                    merge_engine=cs.get("merge_engine", "lww"),
+                    agg_spec=cs.get("agg_spec", {}) or {},
                 )
             )
         return cls(streams)

@@ -407,3 +407,77 @@ def test_multi_stream_concurrent_write_matches_serial(spark, tmp_path):
         }
         assert got == expected, (k, got, expected)
         assert result.tables[f"st{k}"] == len(expected)
+
+
+def test_catalog_merge_engine_aggregate_stream(spark, dest):
+    """TableSettings-analog engine selection from the catalog: an
+    append_dedup stream with merge_engine='aggregate' SUMS its declared
+    column across events per key (SummingMergeTree shape) instead of
+    keeping only the last row."""
+    catalog = P.ConfiguredCatalog.from_dict(
+        {
+            "streams": [
+                {
+                    "sync_mode": "incremental",
+                    "cursor_field": ["seq"],
+                    "primary_key": [["id"]],
+                    "destination_sync_mode": "append_dedup",
+                    "merge_engine": "aggregate",
+                    "agg_spec": {"amount": "sum"},
+                    "stream": {
+                        "name": "totals",
+                        "json_schema": {
+                            "type": "object",
+                            "properties": {
+                                "id": {"type": "integer"},
+                                "amount": {"type": "integer"},
+                                "seq": {"type": "integer"},
+                            },
+                        },
+                    },
+                }
+            ]
+        }
+    )
+    lines = [
+        _rec("totals", 1, id=1, amount=10, seq=1),
+        _rec("totals", 2, id=1, amount=5, seq=2),
+        _rec("totals", 3, id=2, amount=7, seq=3),
+        _state(1),
+        _rec("totals", 4, id=1, amount=1, seq=4),
+    ]
+    dest.write(catalog, _lines_df(spark, lines))
+    rows = {r.id: (r.amount, r.seq) for r in dest.read_table("totals").collect()}
+    assert rows == {1: (16, 4), 2: (7, 3)}
+
+
+def test_catalog_merge_engine_validation(spark, dest):
+    with pytest.raises(ValueError, match="merge_engine"):
+        P.ConfiguredCatalog.from_dict(
+            {
+                "streams": [
+                    {
+                        "destination_sync_mode": "append",
+                        "merge_engine": "aggregate",
+                        "agg_spec": {"x": "sum"},
+                        "stream": {"name": "bad", "json_schema": {"properties": {}}},
+                    }
+                ]
+            }
+        ).streams[0].validate()
+    with pytest.raises(ValueError, match="agg_spec"):
+        P.ConfiguredCatalog.from_dict(
+            {
+                "streams": [
+                    {
+                        "destination_sync_mode": "append_dedup",
+                        "primary_key": [["id"]],
+                        "merge_engine": "aggregate",
+                        "stream": {
+                            "name": "bad2",
+                            "json_schema": {"properties": {"id": {"type": "integer"}}},
+                        },
+                    }
+                ]
+            }
+        ).streams[0].validate()
