@@ -1466,6 +1466,46 @@ class LakeTable:
                     raise
         raise CommitConflict("unreachable")
 
+    # -------------------------------------------------- observability
+
+    def describe(self) -> dict:
+        """Table-health snapshot from metadata alone (no data read):
+        per-bucket file/byte/delta-depth stats, epoch bookkeeping, and
+        maintenance signals (max delta depth drives compact(); stats
+        coverage shows how prunable point lookups are)."""
+        m = self.manifest()
+        n_files = 0
+        n_bytes = 0
+        with_stats = 0
+        depth = {}
+        for b, fs in m["buckets"].items():
+            depth[b] = len(fs)
+            for e in fs:
+                n_files += 1
+                with_stats += 1 if "kmin" in e else 0
+                try:
+                    n_bytes += os.path.getsize(os.path.join(self.root, e["path"]))
+                except OSError:
+                    pass
+        depths = sorted(depth.values())
+        return {
+            "version": m.get("version", self.current_version()),
+            "merge_strategy": m.get("merge_strategy", "cow"),
+            "key_cols": m["key_cols"],
+            "bucket_cols": _bucket_cols(m),
+            "version_col": m["version_col"],
+            "n_buckets": m["n_buckets"],
+            "agg_spec": m.get("agg_spec"),
+            "stats_cols": m.get("stats_cols", []),
+            "n_data_files": n_files,
+            "data_bytes": n_bytes,
+            "files_with_zone_maps": with_stats,
+            "max_files_per_bucket": depths[-1] if depths else 0,
+            "applied_epochs": self.n_applied_epochs(),
+            "staged": self.staged_ids(),
+            "schemas": len(m["schemas"]),
+        }
+
     # ------------------------------------------------------ rollback
 
     def rollback(self, version: int) -> int:

@@ -595,3 +595,17 @@ def test_wap_publish_crash_retry_self_heals(spark, tmp_table_root):
     assert t.publish("crashy") == v  # retry self-heals, same version
     assert t.staged_ids() == []
     assert {r.doc_id: r.tokens for r in t.read(spark).collect()} == {"a": [5]}
+
+
+def test_describe_reports_health(spark, tmp_table_root):
+    t = LakeTable(tmp_table_root)
+    t.create(SCHEMA, key_cols=["doc_id"], version_col="change_lsn", n_buckets=2,
+             merge_strategy="mor")
+    t.merge(spark.createDataFrame([("a", [1], 1, "I"), ("b", [2], 2, "I")], BATCH_SCHEMA), epoch_id="d-0")
+    t.merge(spark.createDataFrame([("a", [3], 3, "U")], BATCH_SCHEMA), epoch_id="d-1", stage="pending")
+    d = t.describe()
+    assert d["merge_strategy"] == "mor" and d["n_buckets"] == 2
+    assert d["n_data_files"] >= 1 and d["data_bytes"] > 0
+    assert d["files_with_zone_maps"] == d["n_data_files"]
+    assert d["applied_epochs"] == 1 and d["staged"] == ["pending"]
+    assert d["max_files_per_bucket"] >= 1
