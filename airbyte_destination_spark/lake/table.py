@@ -961,7 +961,13 @@ class LakeTable:
             )
         )
 
-    def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int | None:
         """Fold MOR delta files (and small-file buildup generally):
         rewrite every bucket holding >= min_files files as one reduced
         file set. Tombstones are RETAINED (they still guard against late
@@ -970,7 +976,18 @@ class LakeTable:
 
         This is the reference storage engine's background merge
         (ReplacingMergeTree merge threads) as an explicit operation.
-        """
+
+        `cluster_by` + `max_records_per_file`: RANGE-CLUSTERED
+        compaction. Plain compaction collapses a bucket into one file
+        spanning the full value range of every column, so the zone-map
+        selectivity that un-compacted epoch files had (time-correlated
+        lsn/event-time) is destroyed. Sorting each bucket by
+        `cluster_by` and capping records per file makes the parquet
+        writer cut the sorted stream into CONSECUTIVE files, each
+        covering a contiguous value range — scan(bounds) then skips
+        compacted files by their manifest bounds again (declare the
+        columns in stats_cols). The Delta OPTIMIZE ZORDER / Iceberg
+        sort-order-rewrite shape, one-dimensional."""
         for attempt in range(5):
             self._recover_orphan()
             base = self.current_version()
@@ -989,7 +1006,9 @@ class LakeTable:
                 )
             folded = self._with_bucket(folded.drop("_cv"), m)
             new_files = self._write_bucketed(
-                folded, m, base + 1, n_out=len(todo), sort_keys=True
+                folded, m, base + 1, n_out=len(todo),
+                sort_keys=cluster_by is None, sort_cols=cluster_by,
+                max_records_per_file=max_records_per_file,
             )
             buckets = dict(m["buckets"])
             for b in todo:
@@ -1268,6 +1287,8 @@ class LakeTable:
         n_out: int | None = None,
         already_bucket_aligned: bool = False,
         sort_keys: bool = False,
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[dict]]:
         """Write df (which must carry _BUCKET_COL) partitioned by bucket;
         return {bucket: [file entries]} with paths relative to root.
@@ -1297,13 +1318,16 @@ class LakeTable:
             # already hash(key)-partitioned with n_buckets partitions
             # (the merge path) skip this exchange entirely
             df = df.repartition(max(1, n_out), F.col(_BUCKET_COL))
-        if sort_keys:
+        if sort_cols:
+            # range clustering: the sorted stream + per-file record cap
+            # makes consecutive files cover contiguous value ranges
+            df = df.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+        elif sort_keys:
             df = df.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
-        (
-            df.write.mode("overwrite")
-            .partitionBy(_BUCKET_COL)
-            .parquet(out_dir)
-        )
+        writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(_BUCKET_COL).parquet(out_dir)
         new_files: dict[str, list[dict]] = {}
         sid = m["schema_id"]
         k0 = m["key_cols"][0]

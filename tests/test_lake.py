@@ -609,3 +609,39 @@ def test_describe_reports_health(spark, tmp_table_root):
     assert d["files_with_zone_maps"] == d["n_data_files"]
     assert d["applied_epochs"] == 1 and d["staged"] == ["pending"]
     assert d["max_files_per_bucket"] >= 1
+
+
+def test_range_clustered_compaction_restores_data_skipping(spark, tmp_path):
+    """Plain compaction collapses a bucket into one all-spanning file;
+    compact(cluster_by=..., max_records_per_file=...) cuts the sorted
+    stream into contiguous-range files so scan(bounds) skips compacted
+    data again."""
+    t = LakeTable(str(tmp_path / "rc"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("ms", T.LongType(), True),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+        stats_cols=["ms"],  # COW: reads don't fold -> any-column pruning
+    )
+    s = "k long, ms long, v long"
+    # 4 append epochs whose ms values INTERLEAVE (k % 400 scrambles
+    # ranges) — pre-compaction epoch files are NOT ms-selective
+    for e in range(4):
+        rows = [(e * 1000 + i, (e * 1000 + i) % 400 * 10, e) for i in range(250)]
+        t.append(spark.createDataFrame(rows, s), epoch_id=f"rc-{e}")
+    v = t.compact(spark, cluster_by=["ms"], max_records_per_file=200)
+    assert v is not None
+    total = sum(len(fs) for fs in t.manifest()["buckets"].values())
+    assert total > 2  # the cap split each bucket into several files
+    cand = t.files_for_bounds({"ms": (0, 500)})
+    assert len(cand) < total, (len(cand), total)
+    got = t.scan(spark, {"ms": (0, 500)}).count()
+    want = t.read(spark).where("ms between 0 and 500").count()
+    assert got == want > 0
