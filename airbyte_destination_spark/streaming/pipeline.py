@@ -281,6 +281,7 @@ def run_ingest_batches(
     job_name: str = "ingest",
     rollup: LakeTable | None = None,
     rollup_spec=None,
+    indexes: list | None = None,
 ) -> list[MergeStats]:
     """Replay an at-rest change log (list of parquet dirs in lsn order).
 
@@ -292,6 +293,11 @@ def run_ingest_batches(
     With `rollup`/`rollup_spec` set, a derived aggregate table is
     maintained from each epoch's change feed under the same
     exactly-once markers (operators/incremental.apply_with_rollup).
+
+    `indexes`: list of (index_table, indexed_column) pairs (created
+    with operators/secondary_index.create_index) refreshed after every
+    applied epoch — secondary-index maintenance rides the ingest loop,
+    each refresh exactly-once via its consumer offset + epoch marker.
     """
     cfg = cfg or IngestConfig()
     stats = []
@@ -301,7 +307,17 @@ def run_ingest_batches(
         batch = reader.parquet(path)
         schema = batch.schema
         stats.append(_apply(table, batch, f"{job_name}-{i:06d}", cfg, rollup, rollup_spec))
+        _refresh_indexes(spark, table, indexes)
     return stats
+
+
+def _refresh_indexes(spark, table, indexes) -> None:
+    if not indexes:
+        return
+    from airbyte_destination_spark.operators.secondary_index import refresh_index
+
+    for idx, col in indexes:
+        refresh_index(spark, table, idx, col)
 
 
 def _apply(table, batch, epoch_id, cfg, rollup, rollup_spec) -> MergeStats:
@@ -323,6 +339,7 @@ def run_ingest_stream(
     available_now: bool = True,
     rollup: LakeTable | None = None,
     rollup_spec=None,
+    indexes: list | None = None,
 ):
     """Structured Streaming front-end: tail a growing parquet change-log
     directory, applying each micro-batch through the same exactly-once
@@ -344,6 +361,7 @@ def run_ingest_stream(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         _apply(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg, rollup, rollup_spec)
+        _refresh_indexes(batch_df.sparkSession, table, indexes)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

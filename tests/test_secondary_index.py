@@ -130,3 +130,46 @@ def test_index_probe_plan_and_validation(spark, tmp_path, base):
             None,
             bucket_cols=["nope"],
         )
+
+
+def test_index_rides_run_ingest_batches(spark, tmp_path):
+    """indexes= on run_ingest_batches: the index refreshes after every
+    applied epoch and a resumed replay (epoch skips) leaves it
+    consistent."""
+    from pyspark.sql import functions as F
+
+    from airbyte_destination_spark.streaming.pipeline import (
+        IngestConfig,
+        run_ingest_batches,
+    )
+
+    dirs = []
+    for b in range(3):
+        rows = [
+            (f"d{k:02d}", f"s{(k + b) % 3}", [k, b], 2, b * 100 + k, "I" if b == 0 else "U")
+            for k in range(20)
+        ]
+        d = str(tmp_path / f"log/b{b}")
+        spark.createDataFrame(
+            rows,
+            "doc_id string, source string, tokens array<int>, n_tok int, "
+            "change_lsn long, op string",
+        ).write.parquet(d)
+        dirs.append(d)
+
+    base = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(n_buckets=4)
+    run_ingest_batches(spark, dirs[:1], base, cfg)  # create table first
+    idx = create_index(base, str(tmp_path / "idx"), "source", n_buckets=4)
+    run_ingest_batches(spark, dirs, base, cfg, indexes=[(idx, "source")])
+
+    direct = sorted(
+        r.doc_id for r in base.read(spark).where("source = 's1'").collect()
+    )
+    via_index = sorted(r.doc_id for r in lookup(spark, base, idx, ["s1"]).collect())
+    assert via_index == direct and len(direct) > 0
+    # resume: full replay skips applied epochs; index stays consistent
+    run_ingest_batches(spark, dirs, base, cfg, indexes=[(idx, "source")])
+    assert sorted(
+        r.doc_id for r in lookup(spark, base, idx, ["s1"]).collect()
+    ) == direct
