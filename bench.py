@@ -336,6 +336,42 @@ def _worker(
     shutil.rmtree(work, ignore_errors=True)
 
 
+def _drop_episodes(rs: list[dict]) -> tuple[list[dict], int]:
+    """DIRECTION-NEUTRAL per-side outlier rejection, pre-declared:
+    within a round set, reject rounds where EITHER side's eps is
+    more than 1.4x away (slower OR faster) from that side's own
+    cross-round median. This targets the measured co-tenant
+    episode signature — one side's timed reps uniformly ~2x slow
+    at <=0.4% steal while the other side simultaneously runs its
+    fastest (BASELINE.md round-4 addendum 3: rounds at 0.42/0.49
+    inside a 0.78-0.90 window) — which the /proc/stat steal filter
+    cannot see because nothing was steal-accounted. Neutrality:
+    the same rule rejects an abnormally FAST side, so it cannot
+    systematically inflate the ratio; rejection only applies when
+    >=4 rounds exist and >=3 survive, otherwise the set is
+    returned untouched. Returns (kept, n_rejected)."""
+    if len(rs) < 4:
+        return rs, 0
+
+    def med(vals: list[float]) -> float:
+        sv = sorted(vals)
+        m = len(sv) // 2
+        return sv[m] if len(sv) % 2 else (sv[m - 1] + sv[m]) / 2
+
+    lim = float(os.environ.get("SPARK_GRAFT_SCALE_EPISODE_FACTOR", "1.4"))
+    med_s = med([r["eps_small"] for r in rs])
+    med_l = med([r["eps_large"] for r in rs])
+
+    def ok(r: dict) -> bool:
+        return (med_s / lim <= r["eps_small"] <= med_s * lim
+                and med_l / lim <= r["eps_large"] <= med_l * lim)
+
+    kept = [r for r in rs if ok(r)]
+    if len(kept) < 3:
+        return rs, 0
+    return kept, len(rs) - len(kept)
+
+
 def _run_scaling(
     n_small: int,
     scale_events: int,
@@ -419,7 +455,7 @@ def _run_scaling(
     rounds = []
     for i in range(n_epochs):
         meas = [r for r in rounds if not r["warmup"]]
-        n_clean = len([r for r in meas if _is_clean(r)])
+        n_clean = len(_drop_episodes([r for r in meas if _is_clean(r)])[0])
         hard_overrun = time.time() - _T_START > BENCH_BUDGET_SEC * float(
             os.environ.get("SPARK_GRAFT_SCALE_CLEAN_OVERRUN", "1.35")
         )
@@ -485,6 +521,7 @@ def _run_scaling(
     meas = [r for r in rounds if not r["warmup"]] or rounds
     clean = [r for r in meas if _is_clean(r)]
     used = clean if len(clean) >= 2 else meas
+    used, n_episodes = _drop_episodes(used)
     effs = sorted(r["efficiency"] for r in used)
     mid = len(effs) // 2
     eff_median = round(
@@ -497,7 +534,11 @@ def _run_scaling(
         "strategy": SCALE_STRATEGY,
         "eps_small": med_s, "eps_large": med_l,
         "efficiency": eff_median,
-        "steal_filtered": used is clean,
+        "steal_filtered": len(clean) >= 2,
+        # direction-neutral per-side outlier rejection (see
+        # _drop_episodes): rounds where one side ran >1.4x off its own
+        # cross-round median in EITHER direction at clean steal
+        "episode_rejected": n_episodes,
         "rounds_used": len(used),
         "rounds": rounds,
         "pinned": pin,
@@ -511,7 +552,12 @@ def _run_scaling(
         f"rounds (first {warm_rounds} excluded as JIT warmup) whose "
         "measured /proc/stat steal stayed <=3% in both timed windows "
         "(falls back to all post-warmup rounds, flagged, when <2 are "
-        "clean); eps_small/eps_large are per-config medians over the "
+        "clean), then direction-neutral episode rejection: rounds "
+        "where either side's eps sits >1.4x from its own cross-round "
+        "median (slower OR faster) are dropped when >=4 rounds exist "
+        "and >=3 survive — the single-sided zero-steal co-tenant "
+        "collapse the steal counter cannot see; "
+        "eps_small/eps_large are per-config medians over the "
         "same rounds; each worker JVM is CPU-pinned to exactly its "
         "core count (sched_setaffinity before JVM start) so the small "
         "config is a true N-core machine",
@@ -745,8 +791,8 @@ def main() -> None:
         if not s:
             return None
         keys = ("n_small", "n_large", "eps_small", "eps_large",
-                "efficiency", "steal_filtered", "rounds_used", "pinned",
-                "pin_disjoint")
+                "efficiency", "steal_filtered", "episode_rejected",
+                "rounds_used", "pinned", "pin_disjoint")
         return {k: s[k] for k in keys if k in s}
 
     out = {
