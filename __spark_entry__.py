@@ -28,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -981,6 +982,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_debezium_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 over the Debezium wire format (the public binlog/WAL
+    envelope the north rule's 'binlog tail' actually arrives as;
+    sources/debezium.py): the events-derived change log is rendered as
+    Debezium NDJSON — a per-row MIX of Kafka-Connect-wrapped and
+    unwrapped events plus compaction tombstones — parsed back through
+    `read_debezium_json` (one from_json, JVM-side), and LWW-folded.
+    The oracle is the SAME plain LWW SQL as `cdc_lww_final_state`:
+    format adaptation must be invisible to the replayed state."""
+    from airbyte_destination_spark.sources.debezium import (
+        read_debezium_json,
+        to_debezium_json,
+    )
+
+    log = _cdc_events(spark, sf_dir)
+    lines = to_debezium_json(
+        log, wrapped_pred=F.col("change_lsn") % 3 != 0, table="events", db="sf"
+    )
+    # compaction tombstones interleaved: must be dropped, not quarantined
+    lines = lines.union(spark.createDataFrame([("",), ("null",)], "value string"))
+    data_schema = T.StructType(
+        [
+            T.StructField("doc_key", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    rec, _ = read_debezium_json(spark, lines, data_schema)
+    return (
+        rec.groupBy(F.col("data.doc_key").alias("doc_key"))
+        .agg(
+            F.max("change_lsn").alias("last_lsn"),
+            F.max_by(
+                F.struct("op", "data.event_type", "data.value"), F.col("change_lsn")
+            ).alias("_w"),
+        )
+        .where(F.col("_w.op") != "D")
+        .select(
+            "doc_key",
+            "last_lsn",
+            F.col("_w.event_type").alias("event_type"),
+            F.col("_w.value").alias("value"),
+        )
+    )
+
+
 def q_cdc_orders_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 over a second 'stream': orders viewed as a per-customer change
     log (version = o_orderkey, delete when the winning status is 'F') —
@@ -1490,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "media_frames": q_media_frames,
         "multimodal_features": q_multimodal_features,
+        "cdc_debezium_final_state": q_cdc_debezium_final_state,
         "cdc_orders_final_state": q_cdc_orders_final_state,
         "rollup_daily": q_rollup_daily,
         "topk_per_group": q_topk_per_group,
@@ -2016,6 +2064,7 @@ FROM live GROUP BY doc_key
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_SQL,
+        "cdc_debezium_final_state": _LWW_SQL,
         "cdc_partial_final_state": _PARTIAL_SQL,
         "cdc_engine_partial_final_state": _PARTIAL_SQL,
         "cdc_aggregate_final_state": _AGGREGATE_SQL,
