@@ -587,6 +587,32 @@ def q_cdc_engine_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (lake/bloom.py): the MOR engine
+    replay's files each span ~the whole key space (lsn-range epochs,
+    random key order), so zone maps prune nothing — the CDC-natural
+    worst case. `build_bloom_index` folds per-file key blooms in one
+    ids-only distributed job; the point lookup then opens only files
+    that MAY contain a probe key (no false negatives => per-key
+    complete => the LWW fold over base+deltas stays exact). Probes the
+    5 smallest user_ids; oracle = plain LWW state restricted to them."""
+    table, _, _ = _engine_replay(spark, sf_dir, "mor")
+    table.build_bloom_index(spark)  # incremental: no-op on re-run
+    probe = [
+        r[0]
+        for r in _t(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .orderBy("user_id")
+        .limit(5)
+        .collect()
+    ]
+    return table.read_keys(spark, probe).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation: reading the version committed by the FIRST
     epoch must show exactly the LWW state of the first lsn-range batch,
@@ -1509,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_aggregate_final_state": q_cdc_engine_aggregate_final_state,
         "cdc_engine_window_scan": q_cdc_engine_window_scan,
         "cdc_engine_index_lookup": q_cdc_engine_index_lookup,
+        "cdc_engine_bloom_lookup": q_cdc_engine_bloom_lookup,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
@@ -2091,6 +2118,25 @@ WHERE user_id IN (
   SELECT DISTINCT user_id FROM events
   WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 5
 )
+""",
+        "cdc_engine_bloom_lookup": """
+-- bloom-pruned point lookup: LWW final state of the 5 smallest user_ids
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+  FROM log
+)
+SELECT doc_key, change_lsn AS last_lsn, event_type, value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+  AND doc_key IN (
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 5
+  )
 """,
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,

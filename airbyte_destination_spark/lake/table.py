@@ -703,16 +703,21 @@ class LakeTable:
         )
 
     def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
-        """Point lookups with two pruning layers: (1) bucket pruning —
-        only the buckets the keys hash to are scanned (1/n_buckets of
-        the table per key); (2) zone-map FILE pruning inside each
-        candidate bucket — a file is opened only if some probe key
-        falls inside its manifest (kmin, kmax) bounds. Layer 2 is what
-        keeps point lookups O(files containing the key) on an
-        un-compacted MOR table: delta files from epochs whose key
-        range never covered the probe are skipped without reading a
-        footer. Safe under the MOR LWW fold because pruning is per-key
-        complete (any file that CAN contain a probed key is kept).
+        """Point lookups with three file-level pruning layers:
+        (1) bucket pruning — only the buckets the keys hash to are
+        scanned (1/n_buckets of the table per key); (2) zone-map FILE
+        pruning inside each candidate bucket — a file is opened only
+        if some probe key falls inside its manifest (kmin, kmax)
+        bounds; (3) bloom pruning (lake/bloom.py) — when a per-file
+        key bloom exists, the file is opened only if some probe key
+        MAY be present. Zone maps win on key-clustered files (sorted
+        compaction); blooms win on the CDC-natural shape where every
+        epoch's file spans the whole key space and ranges prune
+        nothing. Together they keep point lookups O(files containing
+        the key) on an un-compacted MOR table. Safe under the MOR LWW
+        fold because every layer is per-key complete (any file that
+        CAN contain a probed key is kept; blooms have no false
+        negatives).
 
         Single-column keys only; `keys` is a list of key values.
         """
@@ -721,9 +726,11 @@ class LakeTable:
         key_cols = m["key_cols"]
         if len(key_cols) != 1:
             raise ValueError("read_keys supports single-column keys")
-        kdf, keys_by_bucket = self._keys_by_bucket(spark, m, schema, keys)
+        kdf, keys_by_bucket, hashes_by_bucket = self._keys_by_bucket(
+            spark, m, schema, keys
+        )
         buckets = sorted(keys_by_bucket)
-        pred = _zone_map_pred(keys_by_bucket)
+        pred = self._point_lookup_pred(keys_by_bucket, hashes_by_bucket)
         pruned = self._resolve(spark, m, buckets, schema, file_pred=pred)
         if len(keys) <= 256:
             # third pruning layer: a literal IN predicate reaches the
@@ -738,6 +745,10 @@ class LakeTable:
         return pruned.join(F.broadcast(kdf), key_cols, "left_semi")
 
     def _keys_by_bucket(self, spark, m, schema, keys):
+        """(probe kdf, bucket -> keys, bucket -> xxhash64(key)). The
+        hash column rides the same tiny collect the bucket routing
+        already pays, and is the SAME engine expression the bloom
+        build hashes file keys with — Python never re-implements it."""
         key_cols = m["key_cols"]
         if len(key_cols) != 1:
             raise ValueError("point lookups support single-column keys only")
@@ -745,16 +756,19 @@ class LakeTable:
             [(k,) for k in keys], T.StructType([schema[key_cols[0]]])
         )
         keys_by_bucket: dict[int, list] = {}
+        hashes_by_bucket: dict[int, list[int]] = {}
         for r in (
             kdf.select(
                 bucket_expr(key_cols, m["n_buckets"]).alias("_kb"),
                 F.col(key_cols[0]),
+                F.xxhash64(F.col(key_cols[0])).alias("_kh"),
             )
             .distinct()
             .collect()
         ):
             keys_by_bucket.setdefault(int(r[0]), []).append(r[1])
-        return kdf, keys_by_bucket
+            hashes_by_bucket.setdefault(int(r[0]), []).append(int(r[2]))
+        return kdf, keys_by_bucket, hashes_by_bucket
 
     def scan(
         self,
@@ -851,17 +865,144 @@ class LakeTable:
 
     def files_for_keys(self, spark: SparkSession, keys: list) -> list[dict]:
         """The manifest entries read_keys would scan for `keys` (after
-        bucket + zone-map pruning) — introspection for tests/EXPLAIN."""
+        bucket + zone-map + bloom pruning) — introspection for
+        tests/EXPLAIN."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
-        _, keys_by_bucket = self._keys_by_bucket(spark, m, schema, keys)
-        pred = _zone_map_pred(keys_by_bucket)
+        _, keys_by_bucket, hashes_by_bucket = self._keys_by_bucket(
+            spark, m, schema, keys
+        )
+        pred = self._point_lookup_pred(keys_by_bucket, hashes_by_bucket)
         return [
             e
             for b in sorted(keys_by_bucket)
             for e in m["buckets"].get(str(b), [])
             if pred(b, e)
         ]
+
+    def _point_lookup_pred(
+        self,
+        keys_by_bucket: dict[int, list],
+        hashes_by_bucket: dict[int, list[int]],
+    ):
+        """Combined per-file predicate for point lookups: zone-map
+        range check AND bloom membership (lake/bloom.py). Both layers
+        are per-key complete — a file that can contain a probed key is
+        always kept — so the MOR LWW fold stays exact. Bloom shards
+        are loaded lazily for the probed buckets only."""
+        from airbyte_destination_spark.lake import bloom as _bloom
+
+        zone = _zone_map_pred(keys_by_bucket)
+        blooms: dict[str, _bloom.BloomEntry] = {}
+        for b in keys_by_bucket:
+            for path, d in _bloom.load_shard(self.root, b).items():
+                try:
+                    blooms[path] = _bloom.BloomEntry(d)
+                except (KeyError, ValueError):  # corrupt entry: fail open
+                    continue
+        if not blooms:
+            return zone
+        bl = _bloom.bloom_pred(blooms, hashes_by_bucket)
+
+        def pred(b: int, entry: dict) -> bool:
+            return zone(b, entry) and bl(b, entry)
+
+        return pred
+
+    def build_bloom_index(
+        self,
+        spark: SparkSession,
+        fpp: float = 0.01,
+        only_missing: bool = True,
+    ) -> int:
+        """Build/refresh per-file key blooms (lake/bloom.py sidecars).
+
+        ONE distributed job over the files that need blooms: project
+        (xxhash64(key), input_file_name) — an ids-only column, key
+        payloads never shuffle — group by file, fold each group's
+        hashes into a packed bit array vectorized in numpy. Entries
+        land in per-bucket `_meta/bloom/` shards keyed by data-file
+        path; data files are immutable so entries never go stale, and
+        `only_missing=True` (the default) scans ONLY files without an
+        entry — post-ingest maintenance costs O(new files), the same
+        amortization as sorted compaction. Returns #files indexed.
+
+        Files written after the last build simply lack entries and
+        fail open at probe time; `describe()` reports coverage."""
+        from airbyte_destination_spark.lake import bloom as _bloom
+
+        m = self.manifest()
+        key0 = m["key_cols"][0]
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        cur_field = schema[key0]
+        # (bucket, relpath) for files needing an entry, grouped by the
+        # schema they were written under (the key may have widened —
+        # hash over the CURRENT type so probe hashes match)
+        shards: dict[int, dict] = {}
+        by_schema: dict[str, list[tuple[int, str]]] = {}
+        for b_str, entries in m["buckets"].items():
+            b = int(b_str)
+            shards[b] = _bloom.load_shard(self.root, b)
+            for e in entries:
+                if only_missing and e["path"] in shards[b]:
+                    continue
+                by_schema.setdefault(str(e["schema_id"]), []).append((b, e["path"]))
+        if not by_schema:
+            return 0
+        rel_by_abs: dict[str, tuple[int, str]] = {}
+        parts = []
+        for sid, pairs in by_schema.items():
+            file_field = T.StructType.fromJson(m["schemas"][sid])[key0]
+            paths = []
+            for b, rel in pairs:
+                ap = os.path.join(self.root, rel)
+                rel_by_abs[os.path.realpath(ap)] = (b, rel)
+                paths.append(ap)
+            df = spark.read.schema(T.StructType([file_field])).parquet(*paths)
+            parts.append(
+                df.select(
+                    F.xxhash64(F.col(key0).cast(cur_field.dataType)).alias("h"),
+                    F.input_file_name().alias("f"),
+                )
+            )
+        hashed = parts[0]
+        for p in parts[1:]:
+            hashed = hashed.unionByName(p)
+
+        def fold(pdf):
+            import pandas as pd
+
+            entry = _bloom.build_bloom_bits(pdf["h"].to_numpy(), fpp)
+            return pd.DataFrame(
+                [
+                    {
+                        "f": pdf["f"].iloc[0],
+                        "n": entry["n"],
+                        "m": entry["m"],
+                        "k": entry["k"],
+                        "bits": entry["bits"],
+                    }
+                ]
+            )
+
+        built = 0
+        touched: set[int] = set()
+        for r in (
+            hashed.groupBy("f")
+            .applyInPandas(fold, "f string, n long, m long, k int, bits string")
+            .collect()
+        ):
+            abs_path = os.path.realpath(r["f"].removeprefix("file:"))
+            hit = rel_by_abs.get(abs_path)
+            if hit is None:
+                continue
+            b, rel = hit
+            shards[b][rel] = {"n": r["n"], "m": r["m"], "k": r["k"], "bits": r["bits"]}
+            touched.add(b)
+            built += 1
+        for b in touched:
+            _bloom.write_shard(self.root, b, shards[b])
+        return built
 
     def table_changes(
         self,
@@ -1498,15 +1639,20 @@ class LakeTable:
         maintenance signals (max delta depth drives compact(); stats
         coverage shows how prunable point lookups are)."""
         m = self.manifest()
+        from airbyte_destination_spark.lake import bloom as _bloom
+
         n_files = 0
         n_bytes = 0
         with_stats = 0
+        with_bloom = 0
         depth = {}
         for b, fs in m["buckets"].items():
+            shard = _bloom.load_shard(self.root, int(b))
             depth[b] = len(fs)
             for e in fs:
                 n_files += 1
                 with_stats += 1 if "kmin" in e else 0
+                with_bloom += 1 if e["path"] in shard else 0
                 try:
                     n_bytes += os.path.getsize(os.path.join(self.root, e["path"]))
                 except OSError:
@@ -1524,6 +1670,7 @@ class LakeTable:
             "n_data_files": n_files,
             "data_bytes": n_bytes,
             "files_with_zone_maps": with_stats,
+            "files_with_blooms": with_bloom,
             "max_files_per_bucket": depths[-1] if depths else 0,
             "applied_epochs": self.n_applied_epochs(),
             "staged": self.staged_ids(),
