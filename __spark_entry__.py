@@ -521,6 +521,69 @@ def q_cdc_engine_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping after z-order compaction
+    (lake/zorder.py + compact(cluster="zorder")): an events-derived
+    COW table with stats on (ms, user_id) is Morton-clustered so a
+    rectangle query — middle-fifth time window AND middle-third
+    user_id band — prunes files on BOTH dimensions (linear clustering
+    would prune on one only). Bounds are integer arithmetic over
+    corpus min/max so the DuckDB twin computes the identical
+    rectangle; results must equal the plain SQL filter."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "zorder")
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+            "user_id",
+            "event_type",
+        )
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-zorder-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType(), False),
+                    T.StructField("ms", T.LongType(), True),
+                    T.StructField("user_id", T.LongType(), True),
+                    T.StructField("event_type", T.StringType(), True),
+                ]
+            ),
+            ["event_id"],
+            None,
+            n_buckets=4,
+            stats_cols=["ms", "user_id"],
+        )
+        table.append(ev, epoch_id="z-0")
+        table.compact(
+            spark, min_files=1, cluster_by=["ms", "user_id"],
+            cluster="zorder", max_records_per_file=4000,
+        )
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    mn, mx, un, ux = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.min(F.unix_millis(F.col("ts").cast("timestamp"))),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))),
+            F.min("user_id"),
+            F.max("user_id"),
+        )
+        .first()
+    )
+    tspan, uspan = mx - mn, ux - un
+    bounds = {
+        "ms": (mn + tspan * 2 // 5, mn + tspan * 3 // 5),
+        "user_id": (un + uspan * 1 // 3, un + uspan * 2 // 3),
+    }
+    return table.scan(spark, bounds).select("event_id", "ms", "user_id", "event_type")
+
+
 def q_cdc_engine_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-level secondary index maintained from the change feed
     (operators/secondary_index): base table keyed event_id ingests two
@@ -1534,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_aggregate_final_state": q_cdc_aggregate_final_state,
         "cdc_engine_aggregate_final_state": q_cdc_engine_aggregate_final_state,
         "cdc_engine_window_scan": q_cdc_engine_window_scan,
+        "cdc_engine_zorder_scan": q_cdc_engine_zorder_scan,
         "cdc_engine_index_lookup": q_cdc_engine_index_lookup,
         "cdc_engine_bloom_lookup": q_cdc_engine_bloom_lookup,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
@@ -2109,6 +2173,24 @@ SELECT event_id, ms, user_id, event_type
 FROM ev, b
 WHERE ms >= mn + (mx - mn) * 2 // 5
   AND ms <= mn + (mx - mn) * 3 // 5
+""",
+        "cdc_engine_zorder_scan": """
+-- rectangle scan: middle-fifth ms window AND middle-third user band,
+-- integer arithmetic over corpus min/max (identical to the Spark side)
+WITH ev AS (
+  SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, user_id, event_type
+  FROM events
+), b AS (
+  SELECT min(ms) AS mn, max(ms) AS mx,
+         min(user_id) AS un, max(user_id) AS ux
+  FROM ev
+)
+SELECT event_id, ms, user_id, event_type
+FROM ev, b
+WHERE ms >= mn + (mx - mn) * 2 // 5
+  AND ms <= mn + (mx - mn) * 3 // 5
+  AND user_id >= un + (ux - un) * 1 // 3
+  AND user_id <= un + (ux - un) * 2 // 3
 """,
         "cdc_engine_index_lookup": """
 -- secondary-index lookup: events of the 5 smallest user_ids

@@ -50,6 +50,8 @@ _BUCKET_COL = "_b"
 # a versioned tombstone row so later-arriving OLDER updates still lose;
 # reads filter tombstones out; purge_tombstones() reclaims them.
 _DELETED_COL = "_deleted"
+# transient sort key for z-order compaction; dropped before the write
+_ZORDER_COL = "_zorder"
 
 
 class CommitConflict(Exception):
@@ -1108,6 +1110,7 @@ class LakeTable:
         min_files: int = 2,
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        cluster: str = "range",
     ) -> int | None:
         """Fold MOR delta files (and small-file buildup generally):
         rewrite every bucket holding >= min_files files as one reduced
@@ -1127,8 +1130,17 @@ class LakeTable:
         writer cut the sorted stream into CONSECUTIVE files, each
         covering a contiguous value range — scan(bounds) then skips
         compacted files by their manifest bounds again (declare the
-        columns in stats_cols). The Delta OPTIMIZE ZORDER / Iceberg
-        sort-order-rewrite shape, one-dimensional."""
+        columns in stats_cols). The Iceberg sort-order-rewrite shape,
+        one-dimensional.
+
+        `cluster="zorder"` (with >=2 cluster_by columns): sort by the
+        bit-interleaved Morton key instead (lake/zorder.py) — each cut
+        file's bounding box is tight in EVERY clustered dimension, so
+        scan(bounds) prunes files on any of them (Delta OPTIMIZE
+        ZORDER BY). Costs one extra min/max aggregation pass to fix
+        the rank ranges; the key itself is pure codegen arithmetic."""
+        if cluster not in ("range", "zorder"):
+            raise ValueError(f"unknown cluster mode {cluster!r}")
         for attempt in range(5):
             self._recover_orphan()
             base = self.current_version()
@@ -1146,9 +1158,19 @@ class LakeTable:
                     folded, m["key_cols"], ([ver] if ver else []) + ["_cv"]
                 )
             folded = self._with_bucket(folded.drop("_cv"), m)
+            sort_cols = cluster_by
+            if cluster == "zorder" and cluster_by:
+                from airbyte_destination_spark.lake.zorder import (
+                    column_ranges,
+                    zorder_key,
+                )
+
+                ranges = column_ranges(folded, cluster_by)
+                folded = folded.withColumn(_ZORDER_COL, zorder_key(ranges))
+                sort_cols = [_ZORDER_COL]
             new_files = self._write_bucketed(
                 folded, m, base + 1, n_out=len(todo),
-                sort_keys=cluster_by is None, sort_cols=cluster_by,
+                sort_keys=cluster_by is None, sort_cols=sort_cols,
                 max_records_per_file=max_records_per_file,
             )
             buckets = dict(m["buckets"])
@@ -1461,8 +1483,13 @@ class LakeTable:
             df = df.repartition(max(1, n_out), F.col(_BUCKET_COL))
         if sort_cols:
             # range clustering: the sorted stream + per-file record cap
-            # makes consecutive files cover contiguous value ranges
+            # makes consecutive files cut contiguous value ranges
             df = df.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+            if _ZORDER_COL in sort_cols:
+                # the Morton key orders the write but is not part of
+                # the table; the projection after the sort preserves
+                # row order into the writer
+                df = df.drop(_ZORDER_COL)
         elif sort_keys:
             df = df.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
         writer = df.write.mode("overwrite")
