@@ -282,6 +282,8 @@ def run_ingest_batches(
     rollup: LakeTable | None = None,
     rollup_spec=None,
     indexes: list | None = None,
+    bloom: bool = False,
+    bloom_fpp: float = 0.01,
 ) -> list[MergeStats]:
     """Replay an at-rest change log (list of parquet dirs in lsn order).
 
@@ -298,6 +300,12 @@ def run_ingest_batches(
     with operators/secondary_index.create_index) refreshed after every
     applied epoch — secondary-index maintenance rides the ingest loop,
     each refresh exactly-once via its consumer offset + epoch marker.
+
+    `bloom`: build per-file key blooms (LakeTable.build_bloom_index)
+    after every applied epoch. The build is incremental — it scans
+    ONLY the epoch's new files (idempotent: a resumed replay whose
+    epoch was already applied finds nothing missing) — so point-lookup
+    pruning stays fresh at O(new files) maintenance cost per batch.
     """
     cfg = cfg or IngestConfig()
     stats = []
@@ -308,6 +316,8 @@ def run_ingest_batches(
         schema = batch.schema
         stats.append(_apply(table, batch, f"{job_name}-{i:06d}", cfg, rollup, rollup_spec))
         _refresh_indexes(spark, table, indexes)
+        if bloom:
+            table.build_bloom_index(spark, fpp=bloom_fpp)
     return stats
 
 
@@ -340,6 +350,8 @@ def run_ingest_stream(
     rollup: LakeTable | None = None,
     rollup_spec=None,
     indexes: list | None = None,
+    bloom: bool = False,
+    bloom_fpp: float = 0.01,
 ):
     """Structured Streaming front-end: tail a growing parquet change-log
     directory, applying each micro-batch through the same exactly-once
@@ -362,6 +374,8 @@ def run_ingest_stream(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         _apply(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg, rollup, rollup_spec)
         _refresh_indexes(batch_df.sparkSession, table, indexes)
+        if bloom:
+            table.build_bloom_index(batch_df.sparkSession, fpp=bloom_fpp)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

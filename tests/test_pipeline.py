@@ -257,3 +257,24 @@ def test_ingest_pre_reduce_rejected_for_non_lww(spark, tmp_path):
     cfg = IngestConfig(reduce="partial", pre_reduce="salted")
     with pytest.raises(ValueError, match="pre_reduce"):
         apply_change_batch(table, spark.read.parquet(dirs[0]), "e0", cfg)
+
+
+def test_bloom_maintenance_rides_ingest(spark, tmp_path, changelog):
+    """bloom=True builds per-file key blooms after every epoch: full
+    coverage at the end, point lookups prune + stay correct, and a
+    crash-resume replay leaves coverage intact (incremental build finds
+    nothing missing for skipped epochs)."""
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    cfg = IngestConfig(n_buckets=8, merge_strategy="mor")
+    run_ingest_batches(spark, dirs[:2], table, cfg, bloom=True)
+    d = table.describe()
+    assert d["files_with_blooms"] == d["n_data_files"] > 0
+    run_ingest_batches(spark, dirs, table, cfg, bloom=True)  # resume
+    d = table.describe()
+    assert d["files_with_blooms"] == d["n_data_files"]
+    assert_equal_state(table.read(spark), f"{log_dir}/batch-*/*.parquet")
+    # a probed key folds correctly through bloom-pruned MOR reads
+    k = table.read(spark).limit(1).first()["doc_id"]
+    rows = table.read_keys(spark, [k]).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == k
