@@ -722,6 +722,49 @@ def q_cdc_engine_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `lake_changes` Python Data Source (lake/datasource.py, the
+    pyspark-4 DataSource API) streaming the MOR replay's committed
+    change tail into Structured Streaming, drained under availableNow:
+    one row per (epoch, key) winner INCLUDING tombstones, read
+    executor-side by pyarrow from the immutable delta files
+    (maintenance commits skipped). The oracle recomputes each
+    lsn-range epoch's per-key winners in SQL — the streamed tail and
+    the relational definition of 'what each commit applied' must
+    agree exactly."""
+    import tempfile
+
+    from airbyte_destination_spark.lake.datasource import LakeChangesDataSource
+
+    table, _, _ = _engine_replay(spark, sf_dir, "mor")
+    spark.dataSource.register(LakeChangesDataSource)
+    work = tempfile.mkdtemp(prefix="changes-stream-")
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("path", table.root)
+        .load()
+        .select(
+            "doc_key",
+            "change_lsn",
+            "event_type",
+            "value",
+            F.coalesce(F.col("_deleted"), F.lit(False)).alias("deleted"),
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("lake_changes stream did not finish")
+    q.stop()
+    return spark.read.schema(
+        "doc_key long, change_lsn long, event_type string, value double, deleted boolean"
+    ).parquet(f"{work}/out")
+
+
 def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC OUT -> materialized-view maintenance: a per-event_type
     aggregate computed at the FIRST epoch's snapshot is advanced to the
@@ -1598,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_aggregate_final_state": q_cdc_engine_aggregate_final_state,
         "cdc_engine_window_scan": q_cdc_engine_window_scan,
         "cdc_engine_zorder_scan": q_cdc_engine_zorder_scan,
+        "cdc_engine_changes_stream": q_cdc_engine_changes_stream,
         "cdc_engine_index_lookup": q_cdc_engine_index_lookup,
         "cdc_engine_bloom_lookup": q_cdc_engine_bloom_lookup,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
@@ -2173,6 +2217,30 @@ SELECT event_id, ms, user_id, event_type
 FROM ev, b
 WHERE ms >= mn + (mx - mn) * 2 // 5
   AND ms <= mn + (mx - mn) * 3 // 5
+""",
+        "cdc_engine_changes_stream": """
+-- the committed change tail of the 3-epoch MOR replay: per lsn-range
+-- epoch, the per-key winner (max lsn) including tombstones. Epoch
+-- boundaries use the replay's arithmetic: step = floor((max-min)/3)+1,
+-- epoch(lsn) = floor((lsn - min) / step)
+WITH b AS (
+  SELECT min(event_id) AS lo,
+         CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+  FROM events
+), log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), tagged AS (
+  SELECT l.*, CAST(floor((l.change_lsn - b.lo) / b.step) AS BIGINT) AS ep
+  FROM log l, b
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ep, doc_key ORDER BY change_lsn DESC) AS rn
+  FROM tagged
+)
+SELECT doc_key, change_lsn, event_type, value, (op = 'D') AS deleted
+FROM ranked WHERE rn = 1
 """,
         "cdc_engine_zorder_scan": """
 -- rectangle scan: middle-fifth ms window AND middle-third user band,

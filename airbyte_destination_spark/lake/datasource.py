@@ -1,0 +1,191 @@
+"""`lake_changes` — a Spark Python Data Source (the pyspark 4
+`pyspark.sql.datasource` API) exposing a lake table's committed change
+stream to Structured Streaming:
+
+    spark.dataSource.register(LakeChangesDataSource)
+    df = (spark.readStream.format("lake_changes")
+          .option("path", table_root)
+          .load())
+
+Each micro-batch delivers the rows committed by the data commits
+(operation merge/append) in a version window — the raw change tail
+(winning upserts AND tombstones, `_deleted` marks deletes), i.e. the
+Delta CDF / Hudi incremental-query shape at the storage layer. This is
+the composition point for downstream pipelines: a second engine (or a
+derived-table job) can tail a lake table exactly like it tails the
+original binlog.
+
+Scale shape:
+- Offsets are table versions — a monotone long read from the LATEST
+  pointer; no data is touched at offset-resolution time.
+- `partitions()` is metadata-only: one InputPartition per data FILE
+  committed in the window (files are immutable; the manifest's `cv`
+  stamp identifies each commit's files). Spark distributes partitions
+  across executors.
+- `read()` runs executor-side on plain pyarrow — batched columnar
+  reads, no per-row Python — aligning old-schema files to the current
+  schema (schema evolution: missing columns null-padded, widened types
+  upcast).
+
+Semantics notes:
+- MERGE-ON-READ tables only: a MOR commit's delta files contain
+  exactly the batch's winning rows + tombstones, so the file set IS
+  the change batch. A COW merge rewrites whole buckets (old rows mixed
+  with new), so per-commit row attribution would be wrong — the
+  source refuses cow tables rather than emitting garbage.
+- Maintenance commits (compact / purge_tombstones / rebucket /
+  rollback) rewrite or drop files without logical changes; their
+  versions are SKIPPED, like Delta CDF skipping OPTIMIZE.
+- Within one micro-batch, rows from multiple versions may interleave;
+  `_change_version` orders them and the table's version_col orders
+  within a key (the same contract the merge fold itself uses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_META_COLS = [
+    T.StructField("_change_version", T.LongType(), False),
+    T.StructField("_deleted", T.BooleanType(), True),
+]
+_DATA_OPS = ("merge", "append")
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    version: int
+    file_schema_json: str
+    target_schema_json: str
+
+
+class LakeChangesDataSource(DataSource):
+    """See module docstring. Options:
+
+    - `path` (required): table root directory.
+    - `startingVersion` (default 0): deliver commits AFTER this
+      version (0 = from the beginning).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_changes"
+
+    def _table(self):
+        from airbyte_destination_spark.lake import LakeTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake_changes requires .option('path', <table root>)")
+        return LakeTable(root)
+
+    def schema(self) -> T.StructType:
+        t = self._table()
+        m = t.manifest()
+        if m.get("merge_strategy", "cow") != "mor":
+            raise ValueError(
+                "lake_changes streams MOR tables only (a COW merge rewrites "
+                "whole buckets, so per-commit row attribution is undefined)"
+            )
+        base = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        return T.StructType(base.fields + _META_COLS)
+
+    def streamReader(self, schema: T.StructType) -> "LakeChangesStreamReader":
+        return LakeChangesStreamReader(
+            self._table(), schema, int(self.options.get("startingversion", 0))
+        )
+
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, table, schema: T.StructType, starting_version: int):
+        self._t = table
+        self._schema = schema
+        self._start = starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._t.current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        target_json = json.dumps(self._schema.jsonValue())
+        parts: list[_FilePartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            try:
+                raw = self._t._read_raw(v)
+            except FileNotFoundError:  # expired history below the offset
+                continue
+            if raw.get("operation") not in _DATA_OPS:
+                continue  # maintenance rewrite: no logical changes
+            m = self._t.manifest(v)
+            schemas = m["schemas"]
+            for entries in m["buckets"].values():
+                for e in entries:
+                    if int(e.get("cv", 0)) != v:
+                        continue
+                    parts.append(
+                        _FilePartition(
+                            path=os.path.join(self._t.root, e["path"]),
+                            version=v,
+                            file_schema_json=json.dumps(
+                                schemas[str(e["schema_id"])]
+                            ),
+                            target_schema_json=target_json,
+                        )
+                    )
+        # Spark requires a non-empty partition list; a sentinel with no
+        # path yields zero rows for an empty window
+        return parts or [_FilePartition("", 0, "", "")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_aligned(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint owns progress; table files are immutable
+
+
+def _read_aligned(partition: _FilePartition):
+    """Executor-side: read one immutable parquet file with pyarrow and
+    align it to the stream schema — null-pad columns the file predates,
+    upcast widened primitives, stamp _change_version, default _deleted
+    to false for files written before tombstones existed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = T.StructType.fromJson(json.loads(partition.target_schema_json))
+    arrow_target = to_arrow_schema(target)
+    tbl = pq.read_table(partition.path)
+    n = tbl.num_rows
+    cols = []
+    for fld in arrow_target:
+        if fld.name == "_change_version":
+            cols.append(pa.array([partition.version] * n, type=fld.type))
+            continue
+        if fld.name in tbl.column_names:
+            col = tbl.column(fld.name)
+            if col.type != fld.type:
+                col = col.cast(fld.type)
+            if fld.name == "_deleted":
+                col = col.combine_chunks().fill_null(False)
+            cols.append(col)
+        elif fld.name == "_deleted":
+            cols.append(pa.array([False] * n, type=fld.type))
+        else:  # column added by schema evolution after this file
+            cols.append(pa.nulls(n, type=fld.type))
+    out = pa.table(cols, schema=arrow_target)
+    yield from out.to_batches(max_chunksize=1 << 16)
