@@ -662,17 +662,50 @@ class LakeTable:
 
     # ------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        read_optimized: bool = False,
+    ) -> DataFrame:
         """Current table state as a DataFrame (bucket column excluded).
 
         Files are grouped by the schema they were written under, each
         group aligned (cast / null-fill) to the table's current schema,
         then unioned — this is how added/widened columns read back
         without rewriting history.
-        """
+
+        `read_optimized=True` (MOR tables; the Hudi RO-view shape):
+        skip the per-key LWW fold entirely and read only each bucket's
+        BASE files — the fully-folded output of the last maintenance
+        rewrite (compact / purge_tombstones / rebucket), which is
+        key-unique by construction — plus, for buckets never rewritten,
+        a single delta file when that is ALL the bucket holds (one
+        merge's reduced batch is key-unique too). Deltas landed after
+        the rewrite are NOT visible: the view trades bounded staleness
+        for a fold-free scan (no aggregate exchange in the plan). A
+        bucket with several un-folded deltas contributes nothing until
+        compaction, exactly like a Hudi bucket before its first base
+        file. No-op for COW tables (reads never fold)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         all_buckets = [int(b) for b in m["buckets"]]
+        if read_optimized and m.get("merge_strategy", "cow") == "mor":
+            allowed: set[str] = set()
+            for fs in m["buckets"].values():
+                bases = [e for e in fs if e.get("base")]
+                if bases:
+                    allowed.update(e["path"] for e in bases)
+                elif len(fs) == 1:
+                    allowed.add(fs[0]["path"])
+            out = self._read_buckets(
+                spark, m, all_buckets, schema,
+                file_pred=lambda b, e: e["path"] in allowed,
+            )
+            return (
+                out.where(~F.coalesce(F.col(_DELETED_COL), F.lit(False)))
+                .drop(_DELETED_COL, "_cv")
+            )
         return self._resolve(spark, m, all_buckets, schema)
 
     def _resolve(
@@ -1172,6 +1205,7 @@ class LakeTable:
                 folded, m, base + 1, n_out=len(todo),
                 sort_keys=cluster_by is None, sort_cols=sort_cols,
                 max_records_per_file=max_records_per_file,
+                mark_base=True,
             )
             buckets = dict(m["buckets"])
             for b in todo:
@@ -1199,7 +1233,7 @@ class LakeTable:
             # _resolve folds MOR deltas and drops tombstone rows
             live = self._resolve(spark, m, [int(b) for b in m["buckets"]], schema)
             live = self._with_bucket(live, m)
-            new_files = self._write_bucketed(live, m, base + 1, sort_keys=True)
+            new_files = self._write_bucketed(live, m, base + 1, sort_keys=True, mark_base=True)
             m["buckets"] = new_files
             m["operation"] = "purge_tombstones"
             m["epoch_id"] = None
@@ -1255,7 +1289,7 @@ class LakeTable:
                 )
             m["n_buckets"] = n_buckets
             folded = self._with_bucket(folded.drop("_cv"), m)
-            new_files = self._write_bucketed(folded, m, base + 1, sort_keys=True)
+            new_files = self._write_bucketed(folded, m, base + 1, sort_keys=True, mark_base=True)
             m["buckets"] = new_files
             m["operation"] = "rebucket"
             m["epoch_id"] = None
@@ -1452,6 +1486,7 @@ class LakeTable:
         sort_keys: bool = False,
         sort_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        mark_base: bool = False,
     ) -> dict[str, list[dict]]:
         """Write df (which must carry _BUCKET_COL) partitioned by bucket;
         return {bucket: [file entries]} with paths relative to root.
@@ -1511,6 +1546,10 @@ class LakeTable:
                         "schema_id": sid,
                         "cv": version_hint,  # commit version (MOR precedence)
                     }
+                    if mark_base:
+                        # fully-folded maintenance output: key-unique
+                        # per bucket, eligible for the RO view
+                        entry["base"] = True
                     new_files.setdefault(b, []).append(entry)
                     entries.append(entry)
         # zone maps: first-key-column bounds (kmin/kmax — read_keys
@@ -1645,7 +1684,7 @@ class LakeTable:
                 ~F.expr(predicate) | F.expr(predicate).isNull()
             )
             kept = self._with_bucket(kept, m)
-            new_files = self._write_bucketed(kept, m, base + 1)
+            new_files = self._write_bucketed(kept, m, base + 1, mark_base=True)
             m["buckets"] = new_files
             m["operation"] = f"delete_where({predicate})"
             m["epoch_id"] = epoch_id
@@ -1659,6 +1698,80 @@ class LakeTable:
         raise CommitConflict("unreachable")
 
     # -------------------------------------------------- observability
+
+    def analyze(self, spark: SparkSession, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE: one distributed scan over the current visible
+        state computing row count plus per-column null counts, approx
+        NDV (HyperLogLog via approx_count_distinct — executor-side
+        sketches, one tiny driver row back), and min/max for orderable
+        atomic types. The result is written to `_meta/stats/v<N>.json`
+        pinned to the analyzed version — the Iceberg ANALYZE / Spark
+        CBO statistics shape — and `describe()` surfaces the latest
+        along with its staleness (versions since analyzed)."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        cols = columns or [f.name for f in schema.fields]
+        orderable = (
+            T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.StringType, T.TimestampType,
+            T.DateType, T.DecimalType,
+        )
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+            aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
+            if isinstance(schema[c].dataType, orderable):
+                aggs.append(F.min(c).alias(f"_min_{c}"))
+                aggs.append(F.max(c).alias(f"_max_{c}"))
+        row = self.read(spark).agg(*aggs).first().asDict()
+
+        def _jsonable(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        stats = {
+            "analyzed_version": m.get("version", self.current_version()),
+            "row_count": int(row["_rows"]),
+            "columns": {
+                c: {
+                    "null_count": int(row[f"_nulls_{c}"] or 0),
+                    "ndv": int(row[f"_ndv_{c}"]),
+                    **(
+                        {
+                            "min": _jsonable(row.get(f"_min_{c}")),
+                            "max": _jsonable(row.get(f"_max_{c}")),
+                        }
+                        if f"_min_{c}" in row
+                        else {}
+                    ),
+                }
+                for c in cols
+            },
+        }
+        out_dir = os.path.join(self.meta_dir, "stats")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"v{stats['analyzed_version']:08d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return stats
+
+    def latest_stats(self) -> dict | None:
+        """The most recent analyze() result, or None."""
+        out_dir = os.path.join(self.meta_dir, "stats")
+        try:
+            names = sorted(n for n in os.listdir(out_dir) if n.endswith(".json"))
+        except FileNotFoundError:
+            return None
+        if not names:
+            return None
+        try:
+            with open(os.path.join(out_dir, names[-1])) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
 
     def describe(self) -> dict:
         """Table-health snapshot from metadata alone (no data read):
@@ -1702,6 +1815,19 @@ class LakeTable:
             "applied_epochs": self.n_applied_epochs(),
             "staged": self.staged_ids(),
             "schemas": len(m["schemas"]),
+            "stats": (
+                None
+                if (st := self.latest_stats()) is None
+                else {
+                    "analyzed_version": st["analyzed_version"],
+                    "row_count": st["row_count"],
+                    "versions_stale": max(
+                        0,
+                        m.get("version", self.current_version())
+                        - st["analyzed_version"],
+                    ),
+                }
+            ),
         }
 
     # ------------------------------------------------------ rollback

@@ -152,3 +152,51 @@ def test_optimize_one_call_maintenance(spark, table):
     m = table.manifest()
     assert all(len(fs) <= 1 for fs in m["buckets"].values())  # deltas folded
     assert table.is_epoch_applied("opt-000") and table.is_epoch_applied("opt-005")
+
+
+def test_read_optimized_view(spark, tmp_path):
+    """Hudi-style RO view: after compaction the fold-free read equals
+    the full read; deltas landed after it are invisible (bounded
+    staleness) until the next compact; the plan carries no aggregate."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "ro"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+                T.StructField("p", T.StringType(), True),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=4,
+        merge_strategy="mor",
+    )
+    S = "k long, v long, p string, op string"
+    t.merge(spark.createDataFrame([(i, 1, f"a{i}", "I") for i in range(40)], S), epoch_id="e0")
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2, "UPD", "U"), (2, 2, None, "D"), (99, 2, "NEW", "I")], S
+        ),
+        epoch_id="e1",
+    )
+    t.compact(spark, min_files=1)
+    full = sorted(tuple(r) for r in t.read(spark).collect())
+    ro = sorted(tuple(r) for r in t.read(spark, read_optimized=True).collect())
+    assert ro == full  # all buckets based: identical state
+    # fold-free: no aggregate exchange in the RO plan
+    plan = t.read(spark, read_optimized=True)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan and "HashAggregate" not in plan, plan
+    # staleness contract: a post-compaction delta is NOT visible in RO
+    t.merge(spark.createDataFrame([(1, 3, "NEWER", "U")], S), epoch_id="e2")
+    ro2 = {r["k"]: r["p"] for r in t.read(spark, read_optimized=True).collect()}
+    assert ro2[1] == "UPD"  # still the compacted image
+    assert {r["k"]: r["p"] for r in t.read(spark).collect()}[1] == "NEWER"
+    # next compact folds it in
+    t.compact(spark, min_files=1)
+    ro3 = {r["k"]: r["p"] for r in t.read(spark, read_optimized=True).collect()}
+    assert ro3[1] == "NEWER"

@@ -51,3 +51,47 @@ def test_block_dedup_flags_shared_blocks(spark):
     assert out[1].dup_block_ratio == 0.5
     # doc 3 IS doc 2's second block: both flagged
     assert out[3].dup_blocks == 1 and out[2].dup_blocks == 2
+
+
+def test_analyze_table_statistics(spark, tmp_path):
+    """analyze() scans the visible state once: row count, per-column
+    nulls / approx NDV / min-max, persisted per version; describe()
+    surfaces the latest with staleness."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "an"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+                T.StructField("grp", T.StringType(), True),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=4,
+        merge_strategy="mor",
+    )
+    S = "k long, v long, grp string, op string"
+    rows = [(i, 1, None if i % 5 == 0 else f"g{i % 3}", "I") for i in range(100)]
+    t.merge(spark.createDataFrame(rows, S), epoch_id="e0")
+    t.merge(spark.createDataFrame([(0, 2, None, "D")], S), epoch_id="e1")
+    st = t.analyze(spark)
+    assert st["row_count"] == 99  # tombstoned row excluded
+    ck = st["columns"]["k"]
+    assert ck["null_count"] == 0 and ck["min"] == 1 and ck["max"] == 99
+    # approx NDV within HLL tolerance of the true 99
+    assert abs(ck["ndv"] - 99) <= 10
+    cg = st["columns"]["grp"]
+    assert cg["null_count"] == 19  # 20 multiples of 5 minus deleted k=0
+    assert abs(cg["ndv"] - 3) <= 1
+    d = t.describe()
+    assert d["stats"]["row_count"] == 99 and d["stats"]["versions_stale"] == 0
+    t.merge(spark.createDataFrame([(500, 3, "gX", "I")], S), epoch_id="e2")
+    assert t.describe()["stats"]["versions_stale"] == 1
+    st2 = t.analyze(spark, columns=["grp"])
+    assert set(st2["columns"]) == {"grp"}
+    assert t.describe()["stats"]["versions_stale"] == 0
