@@ -667,6 +667,7 @@ class LakeTable:
         spark: SparkSession,
         version: int | None = None,
         read_optimized: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
         """Current table state as a DataFrame (bucket column excluded).
 
@@ -686,7 +687,14 @@ class LakeTable:
         for a fold-free scan (no aggregate exchange in the plan). A
         bucket with several un-folded deltas contributes nothing until
         compaction, exactly like a Hudi bucket before its first base
-        file. No-op for COW tables (reads never fold)."""
+        file. No-op for COW tables (reads never fold).
+
+        `tag="name"` reads the snapshot a tag pins (exclusive with
+        `version`)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         all_buckets = [int(b) for b in m["buckets"]]
@@ -1354,6 +1362,12 @@ class LakeTable:
         if cur == 0:
             return {"expired_versions": 0, "deleted_files": 0, "boundary": 0}
         cutoff = max(cur - keep_last, 1)
+        # tags pin history: retain at least back to the oldest tagged
+        # snapshot (Iceberg refs semantics) — the retained-chain walk
+        # below then keeps every data file those versions reference
+        tagged = self.tags()
+        if tagged:
+            cutoff = min(cutoff, min(tagged.values()))
         boundary = None
         for v in range(cutoff, 0, -1):
             try:
@@ -1829,6 +1843,61 @@ class LakeTable:
                 }
             ),
         }
+
+    # ---------------------------------------------------------- tags
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag): `read(tag=name)` resolves to
+        it and `expire_snapshots` retains at least back to the oldest
+        tag. One file per tag (`_meta/refs/<name>.json`, fsync +
+        atomic replace) so concurrent taggers of different names never
+        race a shared record; re-tagging a name moves it (last writer
+        wins). Returns the pinned version."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if v < 1 or v > self.current_version():
+            raise ValueError(f"cannot tag version {v}")
+        self.manifest(v)  # raises if already expired
+        refs_dir = os.path.join(self.meta_dir, "refs")
+        os.makedirs(refs_dir, exist_ok=True)
+        path = os.path.join(refs_dir, f"{name}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.meta_dir, "refs", f"{name}.json"))
+        except FileNotFoundError:
+            pass
+
+    def tags(self) -> dict[str, int]:
+        refs_dir = os.path.join(self.meta_dir, "refs")
+        out: dict[str, int] = {}
+        try:
+            names = os.listdir(refs_dir)
+        except FileNotFoundError:
+            return out
+        for n in sorted(names):
+            if not n.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(refs_dir, n)) as f:
+                    out[n[:-5]] = int(json.load(f)["version"])
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
+                continue  # torn/corrupt ref: ignore, never block reads
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        v = self.tags().get(name)
+        if v is None:
+            raise KeyError(f"unknown tag {name!r}")
+        return v
 
     # ------------------------------------------------------ rollback
 

@@ -645,3 +645,51 @@ def test_range_clustered_compaction_restores_data_skipping(spark, tmp_path):
     got = t.scan(spark, {"ms": (0, 500)}).count()
     want = t.read(spark).where("ms between 0 and 500").count()
     assert got == want > 0
+
+
+def test_snapshot_tags_pin_reads_and_expiry(spark, tmp_path, monkeypatch):
+    """Iceberg-style tags: read(tag=) resolves the pinned snapshot,
+    re-tagging moves the name, and expire_snapshots retains history
+    back to the oldest tag (a tagged version stays readable after an
+    expiry that would otherwise have dropped it)."""
+    from airbyte_destination_spark.lake import table as table_mod
+
+    # dense full checkpoints so a tiny history is actually expirable
+    monkeypatch.setattr(table_mod, "_CHECKPOINT_INTERVAL", 2)
+    t = LakeTable(str(tmp_path / "tags"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+    )
+    S = "k long, v long, op string"
+    versions = []
+    for i in range(8):
+        t.merge(spark.createDataFrame([(i, i, "I")], S), epoch_id=f"e{i}")
+        versions.append(t.current_version())
+    t.tag("release-1", versions[1])
+    assert t.tags() == {"release-1": versions[1]}
+    assert t.read(spark, tag="release-1").count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.resolve_tag("nope")
+    with _pytest.raises(ValueError):
+        t.tag("bad", versions[-1] + 10)
+    # aggressive expiry would drop versions[1] without the tag pin
+    out = t.expire_snapshots(keep_last=2, grace_seconds=0)
+    assert t.read(spark, tag="release-1").count() == 2  # still readable
+    # moving the tag forward frees old history for the next expiry
+    t.tag("release-1", versions[6])
+    t.expire_snapshots(keep_last=1, grace_seconds=0)
+    assert t.read(spark, tag="release-1").count() == 7
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=versions[1]).count()
+    t.drop_tag("release-1")
+    assert t.tags() == {}
