@@ -34,6 +34,21 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--config", required=True)
     pw.add_argument("--catalog", required=True)
     pw.add_argument("input", nargs="?", default="-")
+    # maintenance surface (beyond the reference's cobra commands): the
+    # operational verbs a lake table needs, driven from cron/airflow
+    pm = sub.add_parser("maintain")
+    pm.add_argument("--table", required=True, help="table root directory")
+    pm.add_argument(
+        "action",
+        choices=["compact", "purge-tombstones", "bloom", "analyze",
+                 "expire", "describe"],
+    )
+    pm.add_argument("--min-files", type=int, default=2)
+    pm.add_argument("--cluster-by", help="comma-separated columns")
+    pm.add_argument("--cluster", choices=["range", "zorder"], default="range")
+    pm.add_argument("--max-records-per-file", type=int)
+    pm.add_argument("--fpp", type=float, default=0.01)
+    pm.add_argument("--keep-last", type=int, default=100)
     args = p.parse_args(argv)
 
     from airbyte_destination_spark.destination import Destination, check, spec
@@ -63,6 +78,37 @@ def main(argv: list[str] | None = None) -> int:
                 "connectionStatus": {"status": "SUCCEEDED" if ok else "FAILED", "message": msg},
             }
         )
+        return 0
+
+    if args.cmd == "maintain":
+        from airbyte_destination_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        if args.action == "describe":
+            _emit({"type": "LOG", "log": {"level": "INFO",
+                                          "message": json.dumps(t.describe())}})
+            return 0
+        if args.action == "expire":
+            out = t.expire_snapshots(keep_last=args.keep_last)
+            _emit({"type": "LOG", "log": {"level": "INFO",
+                                          "message": json.dumps(out)}})
+            return 0
+        spark = get_spark("maintain")
+        if args.action == "compact":
+            cluster_by = args.cluster_by.split(",") if args.cluster_by else None
+            v = t.compact(
+                spark, min_files=args.min_files, cluster_by=cluster_by,
+                cluster=args.cluster,
+                max_records_per_file=args.max_records_per_file,
+            )
+            msg = {"compacted_version": v}
+        elif args.action == "purge-tombstones":
+            msg = {"purged_version": t.purge_tombstones(spark)}
+        elif args.action == "bloom":
+            msg = {"blooms_built": t.build_bloom_index(spark, fpp=args.fpp)}
+        else:  # analyze
+            msg = t.analyze(spark)
+        _emit({"type": "LOG", "log": {"level": "INFO", "message": json.dumps(msg)}})
         return 0
 
     # write — failure matrix parity (destination_test.go:93-224): bad

@@ -106,3 +106,49 @@ def test_write_happy_path_echoes_state(spark, capsys, tmp_path):
     assert len(states) == 1
     assert states[0]["state"]["destinationStats"] == {"recordCount": 1.0}
     assert any(m["type"] == "LOG" and "wrote" in m["log"]["message"] for m in msgs)
+
+
+def test_maintain_cli_lifecycle(spark, capsys, tmp_path):
+    """`maintain` drives compact / bloom / analyze / describe / expire
+    against a table root and reports each result as a LOG message."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    root = str(tmp_path / "m")
+    t = LakeTable(root)
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+        merge_strategy="mor",
+    )
+    S = "k long, v long, op string"
+    for i in range(3):
+        t.merge(
+            spark.createDataFrame([(j, i, "I") for j in range(20)], S),
+            epoch_id=f"e{i}",
+        )
+
+    def payload(msgs):
+        return json.loads(msgs[-1]["log"]["message"])
+
+    rc, msgs = _run(capsys, "maintain", "--table", root, "bloom")
+    assert rc == 0 and payload(msgs)["blooms_built"] > 0
+    rc, msgs = _run(capsys, "maintain", "--table", root, "compact",
+                    "--min-files", "1")
+    assert rc == 0 and payload(msgs)["compacted_version"] > 0
+    rc, msgs = _run(capsys, "maintain", "--table", root, "analyze")
+    assert rc == 0 and payload(msgs)["row_count"] == 20
+    rc, msgs = _run(capsys, "maintain", "--table", root, "describe")
+    d = payload(msgs)
+    assert d["n_data_files"] > 0 and d["stats"]["row_count"] == 20
+    rc, msgs = _run(capsys, "maintain", "--table", root, "expire",
+                    "--keep-last", "100")
+    assert rc == 0 and "expired_versions" in payload(msgs)
