@@ -77,3 +77,51 @@ def test_random_log_matches_oracle(spark, tmp_path_factory, events, n_batches):
     for k, (op, lsn) in expected.items():
         assert got[k][0] == lsn
         assert got[k][1] == [lsn % 7, lsn % 11]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, wrap_mod=st.integers(min_value=1, max_value=4))
+def test_debezium_roundtrip_matches_direct_path(spark, events, wrap_mod):
+    """Format invariance, property-based: ANY op sequence rendered as
+    Debezium NDJSON (per-row wrapped/unwrapped mix) and parsed back
+    folds to the same LWW state as the direct internal-shape fold."""
+    from pyspark.sql import functions as F
+
+    from airbyte_destination_spark.operators.dedup import lww_reduce_agg
+    from airbyte_destination_spark.sources.debezium import (
+        read_debezium_json,
+        to_debezium_json,
+    )
+
+    rows = [
+        (k, [lsn % 7] if op != "D" else None, lsn, op) for k, op, lsn in events
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, change_lsn long, op string"
+    )
+    lines = to_debezium_json(df, wrapped_pred=F.col("change_lsn") % wrap_mod == 0)
+    rec, bad = read_debezium_json(
+        spark, lines,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    assert bad.count() == 0
+    folded = lww_reduce_agg(
+        rec.select("op", "change_lsn", "data.doc_id", "data.tokens"),
+        ["doc_id"],
+        ["change_lsn"],
+    ).where(F.col("op") != "D")
+    got = {r.doc_id: (r.change_lsn, r.tokens) for r in folded.collect()}
+    expected = python_oracle(events)
+    assert set(got) == set(expected)
+    for k, (op, lsn) in expected.items():
+        assert got[k] == (lsn, [lsn % 7])
