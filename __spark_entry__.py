@@ -676,6 +676,62 @@ def q_cdc_engine_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_ro_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-optimized MOR view (Hudi RO shape; lake/table.read
+    read_optimized=True): after a full compaction the fold-FREE
+    base-file read must equal the plain LWW oracle exactly — same
+    rows, no aggregate exchange in the plan. Runs on its own replay so
+    the compaction never perturbs the shared one."""
+    import tempfile
+
+    key = (sf_dir, "ro")
+    if key not in _REPLAY_CACHE:
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-ro-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("doc_key", T.LongType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("event_type", T.StringType(), True),
+                    T.StructField("value", T.DoubleType(), True),
+                ]
+            ),
+            ["doc_key"],
+            "change_lsn",
+            n_buckets=8,
+            merge_strategy="mor",
+        )
+        table.merge(log, epoch_id="ro-0")
+        table.compact(spark, min_files=1)
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    return table.read(spark, read_optimized=True).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_cdc_engine_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE statistics (lake/table.analyze): row count +
+    per-column null counts and long-column min/max over the visible
+    state, re-shaped to one row per column. The approx-NDV sketch is
+    deliberately excluded from the compared columns (HLL estimates are
+    not SQL-portable); everything compared is exact."""
+    table, _, _ = _engine_replay(spark, sf_dir, "mor")
+    st = table.analyze(spark)
+    rows = []
+    for c in ("doc_key", "change_lsn"):
+        col = st["columns"][c]
+        rows.append(
+            (c, st["row_count"], col["null_count"], int(col["min"]), int(col["max"]))
+        )
+    return spark.createDataFrame(
+        rows, "column string, row_count long, null_count long, min_v long, max_v long"
+    )
+
+
 def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation: reading the version committed by the FIRST
     epoch must show exactly the LWW state of the first lsn-range batch,
@@ -1644,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_changes_stream": q_cdc_engine_changes_stream,
         "cdc_engine_index_lookup": q_cdc_engine_index_lookup,
         "cdc_engine_bloom_lookup": q_cdc_engine_bloom_lookup,
+        "cdc_engine_ro_view": q_cdc_engine_ro_view,
+        "cdc_engine_analyze": q_cdc_engine_analyze,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
@@ -2291,6 +2349,28 @@ WHERE rn = 1 AND op <> 'D'
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,
         "cdc_engine_mor_final_state": _LWW_SQL,
+        "cdc_engine_ro_view": _LWW_SQL,
+        "cdc_engine_analyze": """
+-- exact table statistics over the LWW final state, one row per long column
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+  FROM log
+), state AS (
+  SELECT doc_key, change_lsn FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT 'doc_key' AS "column", count(*) AS row_count,
+       count(*) - count(doc_key) AS null_count,
+       min(doc_key) AS min_v, max(doc_key) AS max_v
+FROM state
+UNION ALL
+SELECT 'change_lsn', count(*), count(*) - count(change_lsn),
+       min(change_lsn), max(change_lsn)
+FROM state
+""",
         "cdc_engine_rebucket_final_state": _LWW_SQL,
         "cdc_engine_time_travel": """
             -- LWW over the FIRST lsn-range batch only: the engine's
