@@ -119,3 +119,51 @@ def test_cow_table_refused(spark, tmp_path):
             .option("path", t.root)
             .load()
         )
+
+
+def test_chained_replication_via_lake_changes(spark, tmp_path, mor_table):
+    """Engine-to-engine replication: table B tails table A's committed
+    change stream through the lake_changes source and applies it with
+    the same exactly-once merge — final states identical, including a
+    second incremental hop after new commits land on A."""
+    src = mor_table
+    dst = LakeTable(str(tmp_path / "dst"))
+    dst.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4, merge_strategy="mor")
+    ck = str(tmp_path / "ck")
+
+    def replicate(bdf, epoch_id):
+        batch = bdf.select(
+            F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            "doc_id",
+            "tokens",
+            "change_lsn",
+        )
+        dst.merge(batch, epoch_id=f"rep-{epoch_id}")
+
+    from pyspark.sql import functions as F
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("path", src.root)
+            .load()
+            .writeStream.foreachBatch(replicate)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    a = {r["doc_id"]: r["tokens"] for r in src.read(spark).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in dst.read(spark).collect()}
+    assert a == b == {"d1": [3]}
+    # incremental hop: new commits on A flow to B on the next drain
+    src.merge(
+        spark.createDataFrame([("d1", None, 9, "D"), ("d7", [7], 10, "I")], S),
+        epoch_id="e2",
+    )
+    drain()
+    a = {r["doc_id"]: r["tokens"] for r in src.read(spark).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in dst.read(spark).collect()}
+    assert a == b == {"d7": [7]}
