@@ -260,3 +260,58 @@ def test_partial_update_reduce_single_exchange_with_partial_agg(spark):
     assert count_exchanges(out) == 1, out._jdf.queryExecution().executedPlan().toString()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan or "partial_max" in plan, plan
+
+
+def test_zorder_key_stays_in_codegen(spark):
+    """The Morton key is pure shift/and/or expression arithmetic: no
+    Python UDF node may appear, and the projection stays inside a
+    whole-stage-codegen span."""
+    from airbyte_destination_spark.lake.zorder import zorder_key
+
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        zorder_key([("event_id", 0.0, 1e6), ("user_id", 0.0, 1e4)]).alias("z")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert whole_stage_codegen_ids(df) >= 1
+
+
+def test_bloom_build_shuffles_ids_only(spark, tmp_path):
+    """The bloom build's exchange carries (hash, filename) — the key
+    payload column must be projected away BEFORE the shuffle (ids-only,
+    the textdedup discipline)."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "b"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("payload", T.StringType(), True),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["doc_id"],
+        "v",
+        n_buckets=2,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"d{i}", "X" * 100, 1, "I") for i in range(50)],
+            "doc_id string, payload string, v long, op string",
+        ),
+        epoch_id="e0",
+    )
+    m = t.manifest()
+    paths = [
+        f"{t.root}/{e['path']}" for fs in m["buckets"].values() for e in fs
+    ]
+    hashed = spark.read.parquet(*paths).select(
+        F.xxhash64(F.col("doc_id")).alias("h"),
+        F.input_file_name().alias("f"),
+    )
+    plan = hashed.groupBy("f").count()._jdf.queryExecution().executedPlan().toString()
+    # the scan feeding the exchange must not read the payload column
+    assert "payload" not in plan, plan
