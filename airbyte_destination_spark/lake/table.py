@@ -1316,12 +1316,17 @@ class LakeTable:
         keep_last: int = 100,
         purge_tombstones: bool = False,
         grace_seconds: float = 3600.0,
+        bloom: bool = False,
+        analyze: bool = False,
     ) -> dict:
         """One-call table maintenance, the nightly-job surface: fold
         MOR deltas / small files (compact), optionally rewrite
         tombstones away (only safe once the source can no longer
         deliver events older than them), then expire old snapshots and
-        GC unreferenced data files. Returns a summary of what ran."""
+        GC unreferenced data files. `bloom=True` rebuilds point-lookup
+        blooms for the files the rewrites just created (incremental —
+        untouched files keep their entries); `analyze=True` refreshes
+        table statistics afterwards. Returns a summary of what ran."""
         out: dict = {}
         out["compacted_version"] = self.compact(spark, min_files=min_files)
         if purge_tombstones:
@@ -1329,6 +1334,10 @@ class LakeTable:
         out.update(
             self.expire_snapshots(keep_last=keep_last, grace_seconds=grace_seconds)
         )
+        if bloom:
+            out["blooms_built"] = self.build_bloom_index(spark)
+        if analyze:
+            out["row_count"] = self.analyze(spark)["row_count"]
         return out
 
     def expire_snapshots(self, keep_last: int = 100, grace_seconds: float = 3600.0) -> dict:

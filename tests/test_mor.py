@@ -145,13 +145,19 @@ def test_optimize_one_call_maintenance(spark, table):
         )
         table.merge(b, epoch_id=f"opt-{i:03d}")
     before = {r.doc_id: r.tokens for r in table.read(spark).collect()}
-    res = table.optimize(spark, min_files=2, keep_last=3)
+    res = table.optimize(spark, min_files=2, keep_last=3, bloom=True, analyze=True)
     assert res["compacted_version"] is not None
     after = {r.doc_id: r.tokens for r in table.read(spark).collect()}
     assert after == before
     m = table.manifest()
     assert all(len(fs) <= 1 for fs in m["buckets"].values())  # deltas folded
     assert table.is_epoch_applied("opt-000") and table.is_epoch_applied("opt-005")
+    # the optional maintenance riders ran: blooms cover the rewritten
+    # files and stats are fresh
+    assert res["blooms_built"] > 0 and res["row_count"] == len(after)
+    d = table.describe()
+    assert d["files_with_blooms"] == d["n_data_files"]
+    assert d["stats"]["versions_stale"] == 0
 
 
 def test_read_optimized_view(spark, tmp_path):
