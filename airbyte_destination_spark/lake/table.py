@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import random
 import shutil
 import threading
 import time
@@ -134,6 +135,20 @@ def _file_col_stats(path: str, cols: list[str]) -> dict[str, tuple]:
 #    commit, so a single-writer stream keeps the map empty.
 
 _CHECKPOINT_INTERVAL = 32
+
+# optimistic-concurrency retry budget. Every conflicted attempt re-reads
+# the new base and re-runs the write, so attempts are not cheap — but a
+# FIXED small budget with no backoff thrashes under sustained contention
+# (N writers re-read and re-collide in lockstep; observed: a compactor
+# loop racing 4 writers starved one writer out of 5 straight attempts).
+_COMMIT_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_COMMIT_ATTEMPTS", "8"))
+
+
+def _conflict_backoff(attempt: int) -> None:
+    """Jittered exponential backoff between conflicted commit attempts
+    (full jitter, capped at 1 s): desynchronizes contending writers so
+    the retry budget buys progress instead of lockstep re-collisions."""
+    time.sleep(random.uniform(0.0, min(0.02 * (2 ** attempt), 1.0)))
 _EPOCH_RE = re.compile(r"(.*)-(\d+)\Z")
 # delta-record bookkeeping keys (never part of a resolved manifest)
 _DELTA_KEYS = ("delta", "buckets_set", "buckets_del", "schemas_add",
@@ -1182,7 +1197,7 @@ class LakeTable:
         the rank ranges; the key itself is pure codegen arithmetic."""
         if cluster not in ("range", "zorder"):
             raise ValueError(f"unknown cluster mode {cluster!r}")
-        for attempt in range(5):
+        for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
@@ -1225,15 +1240,16 @@ class LakeTable:
             try:
                 return self._commit(m, base)
             except CommitConflict:
-                if attempt == 4:
+                if attempt == _COMMIT_ATTEMPTS - 1:
                     raise
+                _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
     def purge_tombstones(self, spark: SparkSession) -> int:
         """Maintenance compaction: rewrite all buckets without tombstone
         rows. Safe once the source can no longer deliver events older
         than the tombstones' versions (e.g. past the log's watermark)."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
@@ -1249,8 +1265,9 @@ class LakeTable:
             try:
                 return self._commit(m, base)
             except CommitConflict:
-                if attempt == 4:
+                if attempt == _COMMIT_ATTEMPTS - 1:
                     raise
+                _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
     def rebucket(self, spark: SparkSession, n_buckets: int) -> int:
@@ -1278,7 +1295,7 @@ class LakeTable:
         matches). The rewrite is one shuffle of the live table — the
         same cost class as purge_tombstones — so it's a maintenance
         operation, not an ingest-path one."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
@@ -1305,8 +1322,9 @@ class LakeTable:
             try:
                 return self._commit(m, base)
             except CommitConflict:
-                if attempt == 4:
+                if attempt == _COMMIT_ATTEMPTS - 1:
                     raise
+                _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
     def optimize(
@@ -1694,7 +1712,7 @@ class LakeTable:
         """DELETE FROM table WHERE predicate — rewrite of matching
         buckets. Spark-side equivalent of the reference's DeletionJob
         (destination.go:198-241), synchronous and transactional."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
@@ -1716,8 +1734,9 @@ class LakeTable:
                 v = self._commit(m, base)
                 return MergeStats(epoch_id, v, 0, 0, len(all_buckets))
             except CommitConflict:
-                if attempt == 4:
+                if attempt == _COMMIT_ATTEMPTS - 1:
                     raise
+                _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
     # -------------------------------------------------- observability
@@ -1919,7 +1938,7 @@ class LakeTable:
         gate re-admits the rolled-back epochs: replaying the change log
         from `version` forward reconverges the table (this interplay is
         pytest-pinned)."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             if version > base or version < 1:
@@ -1935,8 +1954,9 @@ class LakeTable:
             try:
                 return self._commit(m, base)
             except CommitConflict:
-                if attempt == 4:
+                if attempt == _COMMIT_ATTEMPTS - 1:
                     raise
+                _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
     # ------------------------------------- incremental consumers (CDF)
@@ -2102,6 +2122,68 @@ class LakeTable:
 
     # ------------------------------------------------------------- core
 
+    def _rebase_append_commit(
+        self,
+        old_m: dict,
+        new_files: dict,
+        epoch_id: str | None,
+        mode: str,
+        lineage: list,
+        rows_up: int,
+        rows_del: int,
+    ) -> "MergeStats | None":
+        """Conflict fast-path for delta-APPEND commits (MOR merge and
+        append mode): those data files never read the base snapshot, so
+        a lost commit race needs a new MANIFEST, not a new write —
+        re-read the advanced base, restamp each new entry's `cv` to the
+        new target version (cv is carried only in the manifest, so the
+        LWW tiebreak ordering stays exactly what a serial commit would
+        have produced), append the entries, and commit. This turns the
+        cost of a conflicted attempt from a full Spark write (seconds)
+        into a metadata round (milliseconds) — without it, a compactor
+        loop racing four writers starved one past its whole retry
+        budget (tests/test_manifest_scaling.py).
+
+        Returns None to demand a full re-run when the table shape moved
+        underneath (bucket count / bucket columns / merge strategy /
+        our entries' schema id missing or remapped) — those races
+        invalidate the written files themselves. A concurrent replica
+        that applied the same epoch wins: we return skipped, like the
+        top of _apply."""
+        sid = str(old_m["schema_id"])
+        for attempt in range(_COMMIT_ATTEMPTS):
+            self._recover_orphan()
+            base = self.current_version()
+            m = self.manifest(base)
+            if epoch_id is not None and _epoch_applied(m, epoch_id):
+                return MergeStats(epoch_id, base, 0, 0, 0, skipped=True)
+            if (
+                m["n_buckets"] != old_m["n_buckets"]
+                or _bucket_cols(m) != _bucket_cols(old_m)
+                or m.get("merge_strategy", "cow") != old_m.get("merge_strategy", "cow")
+                or m["schemas"].get(sid) != old_m["schemas"][sid]
+            ):
+                return None  # shape moved: the files must be rewritten
+            buckets = dict(m["buckets"])
+            for b, files in new_files.items():
+                buckets[b] = buckets.get(b, []) + [
+                    {**e, "cv": base + 1} for e in files
+                ]
+            m["buckets"] = buckets
+            m["operation"] = mode
+            m["epoch_id"] = epoch_id
+            m["lineage"] = lineage
+            if epoch_id is not None:
+                m["applied_epochs"][epoch_id] = base + 1
+            try:
+                v = self._commit(m, base)
+                return MergeStats(
+                    epoch_id, v, rows_up, rows_del, len(new_files), lineage=lineage
+                )
+            except CommitConflict:
+                _conflict_backoff(attempt)
+        return None  # rebase budget exhausted; caller may full-retry
+
     def _apply(
         self,
         batch: DataFrame,
@@ -2121,7 +2203,7 @@ class LakeTable:
             raise ValueError(
                 f"reduce={reduce!r} does not compose with post_reduce/carry_cols"
             )
-        for attempt in range(5):
+        for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
@@ -2242,6 +2324,7 @@ class LakeTable:
                     v = self._commit(m, base)
                     return MergeStats(epoch_id, v, 0, 0, 0)
                 except CommitConflict:
+                    _conflict_backoff(attempt)
                     continue
 
             if mode == "append":
@@ -2414,5 +2497,16 @@ class LakeTable:
                     epoch_id, v, rows_up, rows_del, len(touched), lineage=lineage
                 )
             except CommitConflict:
+                if mode == "append" or is_mor_merge:
+                    # delta-append commits rebase in metadata instead of
+                    # re-running the write (see _rebase_append_commit)
+                    rb = self._rebase_append_commit(
+                        m, new_files, epoch_id, mode, lineage, rows_up, rows_del
+                    )
+                    if rb is not None:
+                        return rb
+                _conflict_backoff(attempt)
                 continue
-        raise CommitConflict(f"could not commit to {self.root} after 5 attempts")
+        raise CommitConflict(
+            f"could not commit to {self.root} after {_COMMIT_ATTEMPTS} attempts"
+        )

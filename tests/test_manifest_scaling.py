@@ -561,3 +561,55 @@ def test_recover_orphan_walks_multiple_orphans(spark, tmp_path):
     t2._recover_orphan()
     assert t2.current_version() == v + 2
     assert t2.is_epoch_applied("w-crash1") and t2.is_epoch_applied("w-crash2")
+
+
+def test_compaction_races_concurrent_merges(spark, tmp_path):
+    """Maintenance racing ingest: a compactor thread loops while four
+    writer threads land disjoint epochs on a MOR table. Both sides
+    retry on CommitConflict; afterwards every epoch is applied exactly
+    once and the folded state is the union — compaction never loses an
+    update that committed around it."""
+    root = str(tmp_path / "t")
+    LakeTable(root).create(
+        SCHEMA, ["doc_id"], "change_lsn", n_buckets=4, merge_strategy="mor"
+    )
+    errs = []
+    stop = threading.Event()
+
+    def writer(w: int):
+        try:
+            t = LakeTable(root)
+            for e in range(3):
+                batch = spark.createDataFrame(
+                    [(f"w{w}-{i}", [w, e, i], e + 1, "U") for i in range(4)],
+                    BATCH_SCHEMA,
+                )
+                t.merge(batch, epoch_id=f"w{w}-{e:03d}")
+        except Exception as ex:  # noqa: BLE001
+            errs.append(("writer", w, ex))
+
+    def compactor():
+        try:
+            t = LakeTable(root)
+            while not stop.is_set():
+                t.compact(spark, min_files=2)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(("compactor", -1, ex))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    ct = threading.Thread(target=compactor)
+    ct.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    ct.join()
+    assert not errs, errs
+    t = LakeTable(root)
+    rows = {r.doc_id: r.tokens for r in t.read(spark).collect()}
+    expect = {f"w{w}-{i}": [w, 2, i] for w in range(4) for i in range(4)}
+    assert rows == expect
+    for w in range(4):
+        for e in range(3):
+            assert t.is_epoch_applied(f"w{w}-{e:03d}")
