@@ -1384,6 +1384,14 @@ class LakeTable:
         upcoming commit) or an aborted one (the NEXT expiry, run after
         that version number is surpassed, collects it). Do not run two
         expiries at once.
+
+        Note on the conflict-rebase fast-path (_rebase_append_commit):
+        a rebasing writer's data dir carries a version HINT that can
+        fall at or below `cur` while its commit is still in flight —
+        the version-number guard above does not cover it. The
+        `grace_seconds` window (default 1 h, measured from the dir's
+        mtime) is what protects such dirs; do not run expiry with
+        grace_seconds=0 next to live writers.
         """
         cur = self.current_version()
         if cur == 0:
