@@ -39,6 +39,11 @@ Semantics notes:
 - Within one micro-batch, rows from multiple versions may interleave;
   `_change_version` orders them and the table's version_col orders
   within a key (the same contract the merge fold itself uses).
+- The stream's schema is fixed at query START (standard Structured
+  Streaming): files written under OLDER schemas are aligned up
+  (null-pad / upcast); columns ADDED to the table mid-stream are not
+  visible until the query restarts with the new schema — same
+  contract as Delta's streaming source.
 """
 
 from __future__ import annotations

@@ -99,3 +99,25 @@ def test_bloom_on_cow_strategy(spark, tmp_path):
     k = keys_by_epoch[1][5]
     rows = t.read_keys(spark, [k]).collect()
     assert [r["doc_id"] for r in rows] == [k]
+
+
+def test_bloom_survives_rebucket(spark, tmp_path):
+    """rebucket() rewrites every file under a new key->bucket mapping:
+    old bloom entries are keyed by now-dead paths and must simply fail
+    open (correct, un-pruned lookups) until an incremental rebuild
+    re-covers the table."""
+    t, keys_by_epoch = _mk_table(spark, tmp_path / "t", n_epochs=3)
+    t.build_bloom_index(spark)
+    k = keys_by_epoch[1][0]
+    t.rebucket(spark, 8)
+    # stale sidecars: no pruning claims, lookups still exact
+    rows = t.read_keys(spark, [k]).collect()
+    assert [r["doc_id"] for r in rows] == [k]
+    d = t.describe()
+    assert d["files_with_blooms"] == 0  # all paths are new
+    built = t.build_bloom_index(spark)
+    assert built == d["n_data_files"]
+    rows = t.read_keys(spark, [k]).collect()
+    assert [r["doc_id"] for r in rows] == [k]
+    d2 = t.describe()
+    assert d2["files_with_blooms"] == d2["n_data_files"]
