@@ -34,6 +34,13 @@ Design:
 
 Reference frame: Hudi BloomIndex metadata / Iceberg puffin blobs —
 public designs; implementation is original.
+
+Concurrency: shard writes are atomic (tmp+fsync+replace) but a shard
+update is read-modify-write — run ONE bloom maintainer at a time (the
+same single-maintenance-runner assumption as expire_snapshots). Two
+concurrent builds can each win different shards; nothing corrupts, but
+the loser's entries for a shared shard are dropped and the next
+incremental build re-covers them. Probes are unaffected (fail-open).
 """
 
 from __future__ import annotations
