@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -109,6 +110,35 @@ class LakeChangesDataSource(DataSource):
         return LakeChangesStreamReader(
             self._table(), schema, int(self.options.get("startingversion", 0))
         )
+
+    def reader(self, schema: T.StructType) -> "LakeChangesBatchReader":
+        """Batch mode (`spark.read.format("lake_changes")`): the change
+        tail of one version window — Delta's batch CDF shape. Options:
+        `startingVersion` (exclusive, default 0), `endingVersion`
+        (inclusive, default: current)."""
+        t = self._table()
+        end = self.options.get("endingversion")
+        return LakeChangesBatchReader(
+            t,
+            schema,
+            int(self.options.get("startingversion", 0)),
+            int(end) if end is not None else t.current_version(),
+        )
+
+
+class LakeChangesBatchReader(DataSourceReader):
+    def __init__(self, table, schema: T.StructType, start: int, end: int):
+        self._sr = LakeChangesStreamReader(table, schema, start)
+        self._start = start
+        self._end = end
+
+    def partitions(self):
+        return self._sr.partitions(
+            {"version": self._start}, {"version": self._end}
+        )
+
+    def read(self, partition):
+        return self._sr.read(partition)
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):

@@ -167,3 +167,28 @@ def test_chained_replication_via_lake_changes(spark, tmp_path, mor_table):
     a = {r["doc_id"]: r["tokens"] for r in src.read(spark).collect()}
     b = {r["doc_id"]: r["tokens"] for r in dst.read(spark).collect()}
     assert a == b == {"d7": [7]}
+
+
+def test_batch_read_version_window(spark, mor_table):
+    """Batch mode: spark.read.format('lake_changes') over an explicit
+    version window — Delta's batch CDF shape."""
+    t = mor_table
+    v0 = t.epoch_commit_version("e0")
+    full = (
+        spark.read.format("lake_changes").option("path", t.root).load()
+    )
+    assert full.count() == 4
+    windowed = (
+        spark.read.format("lake_changes")
+        .option("path", t.root)
+        .option("startingVersion", str(v0))
+        .load()
+    )
+    assert sorted(r["change_lsn"] for r in windowed.collect()) == [3, 4]
+    upto = (
+        spark.read.format("lake_changes")
+        .option("path", t.root)
+        .option("endingVersion", str(v0))
+        .load()
+    )
+    assert sorted(r["change_lsn"] for r in upto.collect()) == [1, 2]
