@@ -1395,6 +1395,18 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: deterministic global shuffle into shards
+    (functions/sampling.epoch_shuffle) — stable (shard, pos) per doc
+    from md5(id||seed); one shard exchange + in-partition sort, never
+    a global ORDER BY. Identical permutation at any parallelism."""
+    from airbyte_destination_spark.functions.sampling import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"), n_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: per-source weighted downsampling (mixture
     construction) — stateless hash filter, fuses into the scan."""
@@ -1737,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
         "train_val_split": q_train_val_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
@@ -2876,6 +2889,20 @@ FROM state
                              / 16777216.0 < 0.1
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "epoch_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hx
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(('0x' || substr(hx, 1, 6))::BIGINT % 16 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY ('0x' || substr(hx, 1, 6))::BIGINT % 16
+                     ORDER BY hx, doc_id
+                   ) AS INT) AS pos
+            FROM h
         """,
         "mixture_sample": f"""
             SELECT doc_id, source FROM documents

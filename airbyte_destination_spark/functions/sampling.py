@@ -123,3 +123,35 @@ def pack_sequences(
         .cast("long")
         .alias("bins_spanned"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    stable (shard, pos) derived from md5(id || seed) — the reproducible
+    shuffle a training run needs (identical order at any parallelism or
+    corpus partitioning; a new epoch seed is a fresh permutation;
+    adding documents perturbs only their insertion points, never
+    reshuffles the survivors' relative order).
+
+    Physical shape: ONE hash exchange on the shard id plus an
+    in-partition sort — never a global ORDER BY (whose range exchange +
+    final single-ordered-stream write would bottleneck a 10^10-row
+    corpus). Readers consume shard files independently and shard-local
+    order is the contract, exactly how training data loaders shard.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    hv = F.conv(F.substring(h, 1, _U01_HEX_CHARS), 16, 10).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (hv % F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )

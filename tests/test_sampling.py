@@ -121,3 +121,35 @@ def test_split_fraction_monotone(spark, frac):
     lo = {r.doc_id for r in train_val_split(df, val_frac=frac).collect() if r.split == "val"}
     hi = {r.doc_id for r in train_val_split(df, val_frac=min(frac + 0.3, 1.0)).collect() if r.split == "val"}
     assert lo <= hi
+
+
+def test_epoch_shuffle_deterministic_across_parallelism(spark):
+    """(shard, pos) must be identical at any input partitioning, and a
+    different epoch seed must actually permute."""
+    from airbyte_destination_spark.functions.sampling import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in epoch_shuffle(docs, 8).select("doc_id", "shard", "pos").collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in epoch_shuffle(docs.repartition(17), 8)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert a == b
+    # contiguous positions per shard
+    by_shard = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    c = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in epoch_shuffle(docs, 8, seed="epoch1")
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert c != a  # a new epoch is a new permutation
