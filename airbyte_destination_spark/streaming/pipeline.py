@@ -284,6 +284,7 @@ def run_ingest_batches(
     indexes: list | None = None,
     bloom: bool = False,
     bloom_fpp: float = 0.01,
+    metrics: LakeTable | None = None,
 ) -> list[MergeStats]:
     """Replay an at-rest change log (list of parquet dirs in lsn order).
 
@@ -318,6 +319,7 @@ def run_ingest_batches(
         _refresh_indexes(spark, table, indexes)
         if bloom:
             table.build_bloom_index(spark, fpp=bloom_fpp)
+        _emit_metrics(spark, metrics, stats[-1])
     return stats
 
 
@@ -328,6 +330,62 @@ def _refresh_indexes(spark, table, indexes) -> None:
 
     for idx, col in indexes:
         refresh_index(spark, table, idx, col)
+
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.StringType(), False),
+        T.StructField("commit_version", T.LongType(), False),
+        T.StructField("partition_id", T.LongType(), False),
+        T.StructField("lsn_min", T.LongType(), True),
+        T.StructField("lsn_max", T.LongType(), True),
+        T.StructField("rows_applied", T.LongType(), False),
+        T.StructField("rows_quarantined", T.LongType(), False),
+    ]
+)
+
+
+def ensure_metrics_table(metrics: LakeTable, n_buckets: int = 8) -> LakeTable:
+    """Create the per-partition lineage metrics table (the north-star
+    contract: (partition_id, lsn_range, rows_applied) rows per commit).
+    Keyed (epoch_id, partition_id), bucketed on epoch_id so one epoch's
+    rows cluster together and `read_prefix` serves per-epoch queries."""
+    if not metrics.exists():
+        metrics.create(
+            METRICS_SCHEMA,
+            ["epoch_id", "partition_id"],
+            None,
+            n_buckets=n_buckets,
+            bucket_cols=["epoch_id"],
+        )
+    return metrics
+
+
+def _emit_metrics(spark, metrics: LakeTable, stats: MergeStats) -> None:
+    """Append one epoch's lineage rows to the metrics table, exactly
+    once: the append rides the SAME epoch-marker machinery as the data
+    commit (epoch id `metrics-<epoch>`), so a crash between the data
+    commit and the metrics append re-emits on resume, and a replayed
+    epoch (stats.skipped, or the marker already present) emits nothing.
+    Rows are tiny (one per touched bucket) — the append is a metadata-
+    dominated commit, not a data job."""
+    if metrics is None or stats.skipped or not stats.lineage:
+        return
+    ensure_metrics_table(metrics)
+    rows = [
+        (
+            stats.epoch_id,
+            stats.version,
+            int(l["partition_id"]),
+            l.get("lsn_min"),
+            l.get("lsn_max"),
+            int(l["rows_applied"]),
+            int(stats.rows_quarantined),
+        )
+        for l in stats.lineage
+    ]
+    df = spark.createDataFrame(rows, METRICS_SCHEMA)
+    metrics.append(df, epoch_id=f"metrics-{stats.epoch_id}")
 
 
 def _apply(table, batch, epoch_id, cfg, rollup, rollup_spec) -> MergeStats:
@@ -352,6 +410,7 @@ def run_ingest_stream(
     indexes: list | None = None,
     bloom: bool = False,
     bloom_fpp: float = 0.01,
+    metrics: LakeTable | None = None,
 ):
     """Structured Streaming front-end: tail a growing parquet change-log
     directory, applying each micro-batch through the same exactly-once
@@ -372,10 +431,11 @@ def run_ingest_stream(
     stream = reader.parquet(log_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        _apply(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg, rollup, rollup_spec)
+        st = _apply(table, batch_df, f"{job_name}-{epoch_id:06d}", cfg, rollup, rollup_spec)
         _refresh_indexes(batch_df.sparkSession, table, indexes)
         if bloom:
             table.build_bloom_index(batch_df.sparkSession, fpp=bloom_fpp)
+        _emit_metrics(batch_df.sparkSession, metrics, st)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

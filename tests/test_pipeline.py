@@ -278,3 +278,47 @@ def test_bloom_maintenance_rides_ingest(spark, tmp_path, changelog):
     k = table.read(spark).limit(1).first()["doc_id"]
     rows = table.read_keys(spark, [k]).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == k
+
+
+def test_metrics_table_rider(spark, tmp_path, changelog):
+    """Per-partition lineage rows land in a METRICS lake table (the
+    north-star contract), exactly once: a crash-resume replay adds no
+    duplicate rows, per-epoch sums reproduce the input batch sizes, and
+    the epoch_id-bucketed layout serves per-epoch reads via
+    read_prefix."""
+    from airbyte_destination_spark.streaming.pipeline import ensure_metrics_table
+
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    metrics = LakeTable(str(tmp_path / "metrics"))
+    cfg = IngestConfig(n_buckets=8)
+    run_ingest_batches(spark, dirs[:2], table, cfg, metrics=metrics)
+    n_rows_mid = metrics.read(spark).count()
+    assert n_rows_mid > 0
+    run_ingest_batches(spark, dirs, table, cfg, metrics=metrics)  # resume
+    mdf = metrics.read(spark)
+    # exactly once: the two replayed epochs added nothing
+    assert mdf.where(mdf.epoch_id.isin("ingest-000000", "ingest-000001")).count() == n_rows_mid
+    # per-epoch applied-row sums == input batch sizes
+    import pyspark.sql.functions as F
+
+    got = {
+        r["epoch_id"]: r["n"]
+        for r in mdf.groupBy("epoch_id").agg(F.sum("rows_applied").alias("n")).collect()
+    }
+    for i, d in enumerate(dirs):
+        assert got[f"ingest-{i:06d}"] == spark.read.parquet(d).count()
+    # lsn ranges nest inside each batch's actual bounds
+    for i, d in enumerate(dirs):
+        lo, hi = spark.read.parquet(d).agg(
+            F.min("change_lsn"), F.max("change_lsn")
+        ).first()
+        row = (
+            mdf.where(mdf.epoch_id == f"ingest-{i:06d}")
+            .agg(F.min("lsn_min"), F.max("lsn_max"))
+            .first()
+        )
+        assert row[0] >= lo and row[1] <= hi
+    # prefix read: one epoch's rows without scanning the others
+    one = metrics.read_prefix(spark, ["ingest-000002"])
+    assert one.count() == mdf.where(mdf.epoch_id == "ingest-000002").count() > 0
