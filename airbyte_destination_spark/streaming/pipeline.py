@@ -319,7 +319,7 @@ def run_ingest_batches(
         _refresh_indexes(spark, table, indexes)
         if bloom:
             table.build_bloom_index(spark, fpp=bloom_fpp)
-        _emit_metrics(spark, metrics, stats[-1])
+        _emit_metrics(spark, metrics, stats[-1], table)
     return stats
 
 
@@ -361,28 +361,44 @@ def ensure_metrics_table(metrics: LakeTable, n_buckets: int = 8) -> LakeTable:
     return metrics
 
 
-def _emit_metrics(spark, metrics: LakeTable, stats: MergeStats) -> None:
+def _emit_metrics(spark, metrics: LakeTable, stats: MergeStats, table: LakeTable) -> None:
     """Append one epoch's lineage rows to the metrics table, exactly
     once: the append rides the SAME epoch-marker machinery as the data
-    commit (epoch id `metrics-<epoch>`), so a crash between the data
-    commit and the metrics append re-emits on resume, and a replayed
-    epoch (stats.skipped, or the marker already present) emits nothing.
-    Rows are tiny (one per touched bucket) — the append is a metadata-
-    dominated commit, not a data job."""
-    if metrics is None or stats.skipped or not stats.lineage:
+    commit (epoch id `metrics-<epoch>`). The two commits are not
+    atomic, so the crash window between them is closed by RECOVERY,
+    the same shape as incremental.apply_with_rollup: when the data
+    epoch was already applied (stats.skipped) but the metrics marker
+    is absent, the lineage rows are re-read from the data table's own
+    commit record (epoch_commit_version -> record's lineage) and
+    emitted now; a truly replayed epoch finds its marker present and
+    the append skips inside merge(). Rows are tiny (one per touched
+    bucket) — a metadata-dominated commit, not a data job."""
+    if metrics is None or stats.epoch_id is None:
+        return
+    lineage = stats.lineage
+    version = stats.version
+    if stats.skipped:
+        if metrics.exists() and metrics.is_epoch_applied(f"metrics-{stats.epoch_id}"):
+            return  # both sides landed: a plain replay
+        v = table.epoch_commit_version(stats.epoch_id)
+        if v is None:
+            return
+        lineage = table._read_raw(v).get("lineage") or []
+        version = v
+    if not lineage:
         return
     ensure_metrics_table(metrics)
     rows = [
         (
             stats.epoch_id,
-            stats.version,
+            version,
             int(l["partition_id"]),
             l.get("lsn_min"),
             l.get("lsn_max"),
             int(l["rows_applied"]),
             int(stats.rows_quarantined),
         )
-        for l in stats.lineage
+        for l in lineage
     ]
     df = spark.createDataFrame(rows, METRICS_SCHEMA)
     metrics.append(df, epoch_id=f"metrics-{stats.epoch_id}")
@@ -435,7 +451,7 @@ def run_ingest_stream(
         _refresh_indexes(batch_df.sparkSession, table, indexes)
         if bloom:
             table.build_bloom_index(batch_df.sparkSession, fpp=bloom_fpp)
-        _emit_metrics(batch_df.sparkSession, metrics, st)
+        _emit_metrics(batch_df.sparkSession, metrics, st, table)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

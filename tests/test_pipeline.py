@@ -322,3 +322,31 @@ def test_metrics_table_rider(spark, tmp_path, changelog):
     # prefix read: one epoch's rows without scanning the others
     one = metrics.read_prefix(spark, ["ingest-000002"])
     assert one.count() == mdf.where(mdf.epoch_id == "ingest-000002").count() > 0
+
+
+def test_metrics_crash_window_recovery(spark, tmp_path, changelog):
+    """Crash BETWEEN the data commit and the metrics append: the next
+    replay sees the data epoch as applied (skipped) but must recover
+    the lineage from the data table's commit record and emit the
+    missing metrics rows — then a further replay adds nothing."""
+    log_dir, dirs = changelog
+    table = LakeTable(str(tmp_path / "t"))
+    metrics = LakeTable(str(tmp_path / "metrics"))
+    cfg = IngestConfig(n_buckets=8)
+    # simulate the crash: apply epoch 0 with NO metrics table attached
+    run_ingest_batches(spark, dirs[:1], table, cfg)
+    assert not metrics.exists()
+    # resume WITH metrics: epoch 0 is skipped, metrics must backfill
+    run_ingest_batches(spark, dirs[:1], table, cfg, metrics=metrics)
+    import pyspark.sql.functions as F
+
+    n0 = (
+        metrics.read(spark)
+        .where(F.col("epoch_id") == "ingest-000000")
+        .agg(F.sum("rows_applied"))
+        .first()[0]
+    )
+    assert n0 == spark.read.parquet(dirs[0]).count()
+    total = metrics.read(spark).count()
+    run_ingest_batches(spark, dirs[:1], table, cfg, metrics=metrics)
+    assert metrics.read(spark).count() == total  # idempotent
