@@ -159,8 +159,17 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             try:
                 raw = self._t._read_raw(v)
-            except FileNotFoundError:  # expired history below the offset
-                continue
+            except FileNotFoundError:
+                # history below the offset was expired: serving the
+                # window would SILENTLY drop those commits' changes —
+                # fail loudly instead (Delta's streaming source does
+                # the same); the consumer must re-bootstrap from a
+                # snapshot or a startingVersion inside retained history
+                raise RuntimeError(
+                    f"lake_changes offset {start['version']} is below the "
+                    f"retained history of {self._t.root} (version {v} "
+                    "expired); re-bootstrap the consumer"
+                ) from None
             if raw.get("operation") not in _DATA_OPS:
                 continue  # maintenance rewrite: no logical changes
             m = self._t.manifest(v)

@@ -192,3 +192,36 @@ def test_batch_read_version_window(spark, mor_table):
         .load()
     )
     assert sorted(r["change_lsn"] for r in upto.collect()) == [1, 2]
+
+
+def test_expired_offset_fails_loudly_not_silently(spark, tmp_path, monkeypatch):
+    """A consumer whose offset fell below retained history must get an
+    error demanding re-bootstrap — silently skipping expired commits
+    would be replication data loss."""
+    from airbyte_destination_spark.lake import table as table_mod
+
+    monkeypatch.setattr(table_mod, "_CHECKPOINT_INTERVAL", 2)
+    spark.dataSource.register(LakeChangesDataSource)
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=2, merge_strategy="mor")
+    for i in range(8):
+        t.merge(
+            spark.createDataFrame([(f"d{i}", [i], i, "I")], S), epoch_id=f"e{i}"
+        )
+    t.expire_snapshots(keep_last=2, grace_seconds=0)
+    got = []
+    with pytest.raises(Exception, match="re-bootstrap"):
+        _drain(spark, t.root, str(tmp_path / "ck"), got)
+    # a fresh consumer starting inside retained history works
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("path", t.root)
+        .option("startingVersion", str(t.current_version() - 1))
+        .load()
+        .writeStream.foreachBatch(lambda bdf, eid: got.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(got) == 1
