@@ -117,12 +117,16 @@ class LakeChangesDataSource(DataSource):
         `startingVersion` (exclusive, default 0), `endingVersion`
         (inclusive, default: current)."""
         t = self._table()
+        cur = t.current_version()
         end = self.options.get("endingversion")
+        end_v = int(end) if end is not None else cur
+        if end_v > cur:
+            raise ValueError(
+                f"endingVersion {end_v} is beyond the table's current "
+                f"version {cur}"
+            )
         return LakeChangesBatchReader(
-            t,
-            schema,
-            int(self.options.get("startingversion", 0)),
-            int(end) if end is not None else t.current_version(),
+            t, schema, int(self.options.get("startingversion", 0)), end_v
         )
 
 
