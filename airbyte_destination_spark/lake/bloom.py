@@ -134,14 +134,43 @@ def write_shard(root: str, bucket: int, entries: dict[str, dict]) -> None:
     os.replace(tmp, p)
 
 
-def bloom_pred(blooms: dict[str, BloomEntry], hashes_by_bucket: dict[int, list[int]]):
-    """file_pred for _read_buckets: keep a file iff it has no bloom
-    (fail-open — new files since the last build, legacy tables) or some
-    probe key of its bucket may be present. No false negatives => every
-    file that CAN contain a probed key is kept (per-key complete)."""
+def bloom_pred(
+    raw: dict[str, dict],
+    hashes_by_bucket: dict[int, list[int]],
+    key_type: str | None = None,
+):
+    """file_pred for _read_buckets: keep a file iff it has no usable
+    bloom (fail-open — new files since the last build, legacy tables,
+    corrupt entries, or entries built under a DIFFERENT key type) or
+    some probe key of its bucket may be present. No false negatives =>
+    every file that CAN contain a probed key is kept (per-key
+    complete).
+
+    `key_type` guards schema evolution: an entry records the key
+    column's type at build time (`ktype`); if the key has since
+    WIDENED (int -> long), xxhash64 of the same logical value differs
+    between the old build and the new probe, so a stale entry would be
+    a silent FALSE NEGATIVE — such entries are ignored instead.
+
+    Entries decode lazily (base64 + unpackbits can be MBs per entry):
+    only files that survive the earlier pruning layers and actually
+    get probed pay the decode, once, via a per-pred cache."""
+    decoded: dict[str, BloomEntry | None] = {}
 
     def pred(b: int, entry: dict) -> bool:
-        be = blooms.get(entry["path"])
+        path = entry["path"]
+        d = raw.get(path)
+        if d is None:
+            return True
+        if key_type is not None and d.get("ktype") != key_type:
+            return True  # built under another key type: fail open
+        be = decoded.get(path, False)
+        if be is False:
+            try:
+                be = BloomEntry(d)
+            except (KeyError, ValueError):  # corrupt entry
+                be = None
+            decoded[path] = be
         if be is None:
             return True
         return any(be.may_contain(h) for h in hashes_by_bucket.get(b, ()))

@@ -65,6 +65,8 @@ _META_COLS = [
     T.StructField("_deleted", T.BooleanType(), True),
 ]
 _DATA_OPS = ("merge", "append")
+# physical rewrites with NO logical changes — safe to skip silently
+_MAINTENANCE_OPS = ("compact", "purge_tombstones", "rebucket", "create")
 
 
 @dataclass
@@ -174,8 +176,20 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     f"retained history of {self._t.root} (version {v} "
                     "expired); re-bootstrap the consumer"
                 ) from None
-            if raw.get("operation") not in _DATA_OPS:
-                continue  # maintenance rewrite: no logical changes
+            op = raw.get("operation") or ""
+            if op in _MAINTENANCE_OPS:
+                continue  # physical rewrite: no logical changes
+            if op not in _DATA_OPS:
+                # delete_where / rollback ARE logical changes, but a
+                # bucket rewrite can't attribute rows to the commit —
+                # silently skipping would make a replica diverge (keep
+                # GDPR-deleted rows forever). Fail like the COW case.
+                raise RuntimeError(
+                    f"lake_changes cannot stream commit {v} "
+                    f"(operation {op!r}) of {self._t.root}: it changes "
+                    "rows without per-commit attribution; re-bootstrap "
+                    "the consumer from a snapshot past it"
+                )
             m = self._t.manifest(v)
             schemas = m["schemas"]
             for entries in m["buckets"].values():

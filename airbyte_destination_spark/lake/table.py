@@ -695,14 +695,15 @@ class LakeTable:
         skip the per-key LWW fold entirely and read only each bucket's
         BASE files — the fully-folded output of the last maintenance
         rewrite (compact / purge_tombstones / rebucket), which is
-        key-unique by construction — plus, for buckets never rewritten,
-        a single delta file when that is ALL the bucket holds (one
-        merge's reduced batch is key-unique too). Deltas landed after
-        the rewrite are NOT visible: the view trades bounded staleness
-        for a fold-free scan (no aggregate exchange in the plan). A
-        bucket with several un-folded deltas contributes nothing until
+        key-unique by construction. Deltas landed after the rewrite
+        are NOT visible: the view trades bounded staleness for a
+        fold-free scan (no aggregate exchange in the plan). A bucket
+        never rewritten contributes nothing until its first
         compaction, exactly like a Hudi bucket before its first base
-        file. No-op for COW tables (reads never fold).
+        file (a lone un-rewritten file is NOT served: append-mode
+        files legitimately carry duplicate keys, so "single file" does
+        not imply key-unique). No-op for COW tables (reads never
+        fold).
 
         `tag="name"` reads the snapshot a tag pins (exclusive with
         `version`)."""
@@ -716,11 +717,7 @@ class LakeTable:
         if read_optimized and m.get("merge_strategy", "cow") == "mor":
             allowed: set[str] = set()
             for fs in m["buckets"].values():
-                bases = [e for e in fs if e.get("base")]
-                if bases:
-                    allowed.update(e["path"] for e in bases)
-                elif len(fs) == 1:
-                    allowed.add(fs[0]["path"])
+                allowed.update(e["path"] for e in fs if e.get("base"))
             out = self._read_buckets(
                 spark, m, all_buckets, schema,
                 file_pred=lambda b, e: e["path"] in allowed,
@@ -788,7 +785,10 @@ class LakeTable:
             spark, m, schema, keys
         )
         buckets = sorted(keys_by_bucket)
-        pred = self._point_lookup_pred(keys_by_bucket, hashes_by_bucket)
+        pred = self._point_lookup_pred(
+            keys_by_bucket, hashes_by_bucket,
+            key_type=schema[key_cols[0]].dataType.simpleString(),
+        )
         pruned = self._resolve(spark, m, buckets, schema, file_pred=pred)
         if len(keys) <= 256:
             # third pruning layer: a literal IN predicate reaches the
@@ -930,7 +930,10 @@ class LakeTable:
         _, keys_by_bucket, hashes_by_bucket = self._keys_by_bucket(
             spark, m, schema, keys
         )
-        pred = self._point_lookup_pred(keys_by_bucket, hashes_by_bucket)
+        pred = self._point_lookup_pred(
+            keys_by_bucket, hashes_by_bucket,
+            key_type=schema[m["key_cols"][0]].dataType.simpleString(),
+        )
         return [
             e
             for b in sorted(keys_by_bucket)
@@ -942,25 +945,26 @@ class LakeTable:
         self,
         keys_by_bucket: dict[int, list],
         hashes_by_bucket: dict[int, list[int]],
+        key_type: str | None = None,
     ):
         """Combined per-file predicate for point lookups: zone-map
         range check AND bloom membership (lake/bloom.py). Both layers
         are per-key complete — a file that can contain a probed key is
         always kept — so the MOR LWW fold stays exact. Bloom shards
-        are loaded lazily for the probed buckets only."""
+        are loaded for the probed buckets only and entries decode
+        lazily (files the zone map already rejected never pay the
+        base64+unpackbits). `key_type` drops entries built before a
+        key-column widening (their hashes no longer match the probe's
+        — a stale entry would be a silent false negative)."""
         from airbyte_destination_spark.lake import bloom as _bloom
 
         zone = _zone_map_pred(keys_by_bucket)
-        blooms: dict[str, _bloom.BloomEntry] = {}
+        raw: dict[str, dict] = {}
         for b in keys_by_bucket:
-            for path, d in _bloom.load_shard(self.root, b).items():
-                try:
-                    blooms[path] = _bloom.BloomEntry(d)
-                except (KeyError, ValueError):  # corrupt entry: fail open
-                    continue
-        if not blooms:
+            raw.update(_bloom.load_shard(self.root, b))
+        if not raw:
             return zone
-        bl = _bloom.bloom_pred(blooms, hashes_by_bucket)
+        bl = _bloom.bloom_pred(raw, hashes_by_bucket, key_type=key_type)
 
         def pred(b: int, entry: dict) -> bool:
             return zone(b, entry) and bl(b, entry)
@@ -986,23 +990,35 @@ class LakeTable:
         amortization as sorted compaction. Returns #files indexed.
 
         Files written after the last build simply lack entries and
-        fail open at probe time; `describe()` reports coverage."""
+        fail open at probe time; `describe()` reports coverage.
+
+        Entries record the key column's type at build time (`ktype`):
+        a key-column WIDENING (int -> long) changes xxhash64 of the
+        same logical value, so pre-widening entries are unusable —
+        probes ignore them (fail open) and this build re-indexes them
+        (a ktype mismatch counts as missing). Shard writes also PRUNE
+        entries for files no longer in the current manifest, so shard
+        size tracks live files, not table history."""
         from airbyte_destination_spark.lake import bloom as _bloom
 
         m = self.manifest()
         key0 = m["key_cols"][0]
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         cur_field = schema[key0]
+        ktype = cur_field.dataType.simpleString()
         # (bucket, relpath) for files needing an entry, grouped by the
         # schema they were written under (the key may have widened —
         # hash over the CURRENT type so probe hashes match)
         shards: dict[int, dict] = {}
+        live_paths: dict[int, set] = {}
         by_schema: dict[str, list[tuple[int, str]]] = {}
         for b_str, entries in m["buckets"].items():
             b = int(b_str)
             shards[b] = _bloom.load_shard(self.root, b)
+            live_paths[b] = {e["path"] for e in entries}
             for e in entries:
-                if only_missing and e["path"] in shards[b]:
+                have = shards[b].get(e["path"]) if only_missing else None
+                if have is not None and have.get("ktype") == ktype:
                     continue
                 by_schema.setdefault(str(e["schema_id"]), []).append((b, e["path"]))
         if not by_schema:
@@ -1043,6 +1059,8 @@ class LakeTable:
                 ]
             )
 
+        from urllib.parse import unquote
+
         built = 0
         touched: set[int] = set()
         for r in (
@@ -1050,16 +1068,25 @@ class LakeTable:
             .applyInPandas(fold, "f string, n long, m long, k int, bits string")
             .collect()
         ):
-            abs_path = os.path.realpath(r["f"].removeprefix("file:"))
+            # input_file_name() returns a percent-encoded file: URI
+            abs_path = os.path.realpath(unquote(r["f"].removeprefix("file:")))
             hit = rel_by_abs.get(abs_path)
             if hit is None:
                 continue
             b, rel = hit
-            shards[b][rel] = {"n": r["n"], "m": r["m"], "k": r["k"], "bits": r["bits"]}
+            shards[b][rel] = {
+                "n": r["n"], "m": r["m"], "k": r["k"], "bits": r["bits"],
+                "ktype": ktype,
+            }
             touched.add(b)
             built += 1
         for b in touched:
-            _bloom.write_shard(self.root, b, shards[b])
+            # prune entries whose files left the manifest (compaction /
+            # rebucket / expiry): shard size tracks LIVE files
+            _bloom.write_shard(
+                self.root, b,
+                {p: d for p, d in shards[b].items() if p in live_paths[b]},
+            )
         return built
 
     def table_changes(
@@ -1197,6 +1224,10 @@ class LakeTable:
         the rank ranges; the key itself is pure codegen arithmetic."""
         if cluster not in ("range", "zorder"):
             raise ValueError(f"unknown cluster mode {cluster!r}")
+        if cluster == "zorder" and not cluster_by:
+            # silently falling back to key-sorted compaction would leave
+            # the operator believing multi-dimensional pruning exists
+            raise ValueError("cluster='zorder' requires cluster_by columns")
         for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
@@ -1758,7 +1789,8 @@ class LakeTable:
         pinned to the analyzed version — the Iceberg ANALYZE / Spark
         CBO statistics shape — and `describe()` surfaces the latest
         along with its staleness (versions since analyzed)."""
-        m = self.manifest()
+        v = self.current_version()
+        m = self.manifest(v)
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         cols = columns or [f.name for f in schema.fields]
         orderable = (
@@ -1773,13 +1805,15 @@ class LakeTable:
             if isinstance(schema[c].dataType, orderable):
                 aggs.append(F.min(c).alias(f"_min_{c}"))
                 aggs.append(F.max(c).alias(f"_max_{c}"))
-        row = self.read(spark).agg(*aggs).first().asDict()
+        # pinned to the version the stats are stamped with — a commit
+        # racing the scan must not mislabel the result
+        row = self.read(spark, version=v).agg(*aggs).first().asDict()
 
         def _jsonable(v):
             return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
         stats = {
-            "analyzed_version": m.get("version", self.current_version()),
+            "analyzed_version": v,
             "row_count": int(row["_rows"]),
             "columns": {
                 c: {
@@ -1836,13 +1870,18 @@ class LakeTable:
         with_stats = 0
         with_bloom = 0
         depth = {}
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        ktype = schema[m["key_cols"][0]].dataType.simpleString()
         for b, fs in m["buckets"].items():
             shard = _bloom.load_shard(self.root, int(b))
             depth[b] = len(fs)
             for e in fs:
                 n_files += 1
                 with_stats += 1 if "kmin" in e else 0
-                with_bloom += 1 if e["path"] in shard else 0
+                # only entries built under the CURRENT key type are
+                # usable at probe time (see build_bloom_index)
+                have = shard.get(e["path"])
+                with_bloom += 1 if have and have.get("ktype") == ktype else 0
                 try:
                     n_bytes += os.path.getsize(os.path.join(self.root, e["path"]))
                 except OSError:

@@ -49,12 +49,18 @@ def column_ranges(df: DataFrame, cols: list[str]) -> list[tuple[str, float, floa
 
 def zorder_key(ranges: list[tuple[str, float, float]], bits: int = 8) -> Column:
     """Morton key column from per-column fixed ranges. NULLs rank 0
-    (they cluster together at the curve origin)."""
+    (they cluster together at the curve origin).
+
+    `bits` auto-shrinks so bits*ncols fits a signed long (e.g. 8
+    columns at the default 8 bits run at 7 bits each): rank coarseness
+    degrades file-box tightness gracefully, whereas raising was a trap
+    — the column-count check passed and then the width check threw."""
     n = len(ranges)
     if not 1 <= n <= MAX_COLS:
         raise ValueError(f"zorder supports 1..{MAX_COLS} columns, got {n}")
-    if bits * n > 63:
-        raise ValueError("bits * ncols must fit a signed long")
+    bits = min(bits, 63 // n)
+    if bits < 1:
+        raise ValueError("too many columns for a signed-long morton key")
     top = (1 << bits) - 1
     ranks = []
     for c, lo, hi in ranges:

@@ -23,11 +23,14 @@ Python in the path):
   replayed state.
 - The row image is `after` for I/U and `before` for D (a Debezium
   delete's `after` is null; the key lives in `before`).
-- `change_lsn` = coalesce(source.lsn, source.pos, source.ts_ms):
-  Postgres publishes `lsn`, MySQL `pos` (callers replaying multi-file
-  MySQL binlogs should pre-compose file+pos into a single long — `pos`
-  alone is only ordered within one binlog file), and `ts_ms` is the
-  last-resort ordering for connectors that publish neither.
+- `change_lsn` = coalesce(source.lsn, source.pos, source.ts_ms,
+  envelope ts_ms): Postgres publishes `lsn`, MySQL `pos` (callers
+  replaying multi-file MySQL binlogs should pre-compose file+pos into
+  a single long — `pos` alone is only ordered within one binlog
+  file); `source.ts_ms` (the db commit time) orders connectors that
+  publish neither, and the envelope's ts_ms (Kafka-Connect processing
+  time) is strictly the last resort — processing time can reorder
+  redelivered events.
 - Kafka log-compaction tombstones (empty value / literal `null` after
   a delete) are dropped, not quarantined: they carry no payload by
   design and the preceding `d` event already encoded the delete.
@@ -142,8 +145,16 @@ def read_debezium_json(
         F.col("source.table").alias("stream"),
         F.coalesce(F.col("source.schema"), F.col("source.db")).alias("namespace"),
         op.alias("op"),
+        # ordering fallback chain ends at the SOURCE's commit time
+        # (source.ts_ms), never the envelope's ts_ms: the envelope
+        # timestamp is Kafka-Connect processing time, and a redelivered
+        # event re-stamped with a newer processing time would win an
+        # LWW replay over a genuinely newer change. The envelope ts_ms
+        # is only the very last resort when the source block carries no
+        # time at all.
         F.coalesce(
-            F.col("source.lsn"), F.col("source.pos"), F.col("ts_ms")
+            F.col("source.lsn"), F.col("source.pos"),
+            F.col("source.ts_ms"), F.col("ts_ms"),
         ).alias("change_lsn"),
         F.coalesce(F.col("ts_ms"), F.col("source.ts_ms")).alias("emitted_at"),
         data.alias("data"),

@@ -340,7 +340,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("lsn_min", T.LongType(), True),
         T.StructField("lsn_max", T.LongType(), True),
         T.StructField("rows_applied", T.LongType(), False),
-        T.StructField("rows_quarantined", T.LongType(), False),
+        # nullable: crash-window RECOVERY re-reads lineage from the data
+        # table's commit record, which does not carry the quarantine
+        # count — null says "unknown", never a fabricated 0
+        T.StructField("rows_quarantined", T.LongType(), True),
     ]
 )
 
@@ -377,6 +380,7 @@ def _emit_metrics(spark, metrics: LakeTable, stats: MergeStats, table: LakeTable
         return
     lineage = stats.lineage
     version = stats.version
+    quarantined = int(stats.rows_quarantined)
     if stats.skipped:
         if metrics.exists() and metrics.is_epoch_applied(f"metrics-{stats.epoch_id}"):
             return  # both sides landed: a plain replay
@@ -385,6 +389,9 @@ def _emit_metrics(spark, metrics: LakeTable, stats: MergeStats, table: LakeTable
             return
         lineage = table._read_raw(v).get("lineage") or []
         version = v
+        # the commit record carries lineage but not the quarantine
+        # count; null says "unknown" rather than a fabricated 0
+        quarantined = None
     if not lineage:
         return
     ensure_metrics_table(metrics)
@@ -396,7 +403,7 @@ def _emit_metrics(spark, metrics: LakeTable, stats: MergeStats, table: LakeTable
             l.get("lsn_min"),
             l.get("lsn_max"),
             int(l["rows_applied"]),
-            int(stats.rows_quarantined),
+            quarantined,
         )
         for l in lineage
     ]

@@ -121,3 +121,48 @@ def test_bloom_survives_rebucket(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == [k]
     d2 = t.describe()
     assert d2["files_with_blooms"] == d2["n_data_files"]
+
+
+def test_key_widening_invalidates_stale_blooms(spark, tmp_path):
+    """xxhash64(int 5) != xxhash64(long 5): blooms built before a
+    key-column widening would be silent FALSE NEGATIVES. Entries record
+    their build-time key type; probes ignore mismatched entries (fail
+    open) and the next incremental build re-indexes them."""
+    t = LakeTable(str(tmp_path / "w"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.IntegerType(), False),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["doc_id"],
+        "v",
+        n_buckets=2,
+        merge_strategy="mor",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(i, 1, "I") for i in range(50)], "doc_id int, v long, op string"
+        ),
+        epoch_id="e0",
+    )
+    assert t.build_bloom_index(spark) > 0
+    # widen the key via a long-typed batch (schema evolution)
+    t.merge(
+        spark.createDataFrame(
+            [(1_000_000_000_000, 2, "I")], "doc_id long, v long, op string"
+        ),
+        epoch_id="e1",
+    )
+    # pre-widening entries are now unusable: lookups must FAIL OPEN and
+    # still find the row (a stale entry would silently drop it)
+    rows = t.read_keys(spark, [5]).collect()
+    assert [r["doc_id"] for r in rows] == [5]
+    d = t.describe()
+    assert d["files_with_blooms"] == 0  # stale ktype not counted
+    rebuilt = t.build_bloom_index(spark)  # ktype mismatch == missing
+    assert rebuilt == d["n_data_files"]
+    rows = t.read_keys(spark, [5]).collect()
+    assert [r["doc_id"] for r in rows] == [5]
+    assert t.read_keys(spark, [1_000_000_000_000]).count() == 1

@@ -120,3 +120,23 @@ def test_debezium_log_replays_to_same_lake_state_as_airbyte_path(spark, tmp_path
     a = {r["doc_id"]: r["tokens"] for r in ta.read(spark).collect()}
     b = {r["doc_id"]: r["tokens"] for r in tb.read(spark).collect()}
     assert a == b == {"d1": [2, 2], "d2": [4], "d3": [7]}
+
+
+def test_lsn_prefers_source_commit_time_over_envelope_time(spark):
+    """The envelope's ts_ms is Kafka-Connect PROCESSING time — a
+    redelivered event gets a newer one for an older change. The
+    fallback chain must use source.ts_ms (db commit time) first and
+    the envelope only as the very last resort."""
+    rows = [
+        {"op": "c", "after": {"doc_id": "a", "tokens": None},
+         "source": {"table": "t", "ts_ms": 100}, "ts_ms": 999},
+        {"op": "c", "after": {"doc_id": "b", "tokens": None},
+         "source": {"table": "t"}, "ts_ms": 333},
+    ]
+    rec, _ = read_debezium_json(
+        spark,
+        spark.createDataFrame([(json.dumps(r),) for r in rows], "value string"),
+        DATA,
+    )
+    got = {r["data"]["doc_id"]: r["change_lsn"] for r in rec.collect()}
+    assert got == {"a": 100, "b": 333}

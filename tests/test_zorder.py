@@ -51,8 +51,16 @@ def test_zorder_rejects_bad_configs(spark):
         zorder_key([], bits=8)
     with pytest.raises(ValueError):
         zorder_key([(f"c{i}", 0.0, 1.0) for i in range(9)], bits=8)
-    with pytest.raises(ValueError):
-        zorder_key([("a", 0.0, 1.0), ("b", 0.0, 1.0)], bits=32)
+    # bits auto-shrink so bits*ncols fits a signed long: 8 columns at
+    # the default 8 bits must build (at 7 bits each), not raise
+    zorder_key([(f"c{i}", 0.0, 1.0) for i in range(8)], bits=8)
+    zorder_key([("a", 0.0, 1.0), ("b", 0.0, 1.0)], bits=32)
+
+
+def test_zorder_compact_without_columns_raises(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path / "zc", n=100)
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.compact(spark, min_files=1, cluster="zorder")
 
 
 def _mk(spark, path, n=8000):
