@@ -845,6 +845,110 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view maintenance from BOTH change feeds
+    (operators/join_view): a per-user latest-state fact table (the
+    _cdc_events LWW replay, 3 lsn-range epochs) LEFT JOINs a customer
+    dimension that itself evolves mid-replay (epoch 2 lowercases every
+    c_custkey%7==2 segment and deletes every %11==3 key). The view is
+    refreshed incrementally after each base epoch — fact changes
+    re-join only changed rows, dim changes fan out by join key — and
+    the final view must equal a full-recompute LEFT JOIN of the two
+    final states (the oracle). Dim deletes downgrade matching rows to
+    NULL segments; they never drop fact rows.
+
+    Reference frame: the reference lands streams as independent tables
+    and re-joins at query time (destination.go per-stream routing);
+    this maintains the join from the feeds so refresh cost scales with
+    the change batch, not the fact table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.operators.join_view import (
+        create_join_view,
+        refresh_join_view,
+    )
+
+    key = (sf_dir, "jv")
+    if key not in _REPLAY_CACHE:
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        step = max((hi - lo) // 3 + 1, 1)
+        root = tempfile.mkdtemp(prefix="engine-jv-")
+        fact = LakeTable(root + "/fact")
+        fact.create(
+            T.StructType(
+                [
+                    T.StructField("doc_key", T.LongType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("event_type", T.StringType(), True),
+                    T.StructField("value", T.DoubleType(), True),
+                ]
+            ),
+            ["doc_key"],
+            "change_lsn",
+            n_buckets=8,
+        )
+        dim = LakeTable(root + "/dim")
+        dim.create(
+            T.StructType(
+                [
+                    T.StructField("ck", T.LongType(), False),
+                    T.StructField("seg", T.StringType(), True),
+                    T.StructField("dv", T.LongType(), False),
+                ]
+            ),
+            ["ck"],
+            "dv",
+            n_buckets=8,
+        )
+        view = create_join_view(
+            fact, dim, root + "/view", "doc_key", {"mktsegment": "seg"}
+        )
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("long").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        dim.merge(
+            cust.select("ck", "seg", F.lit(1).alias("dv"), F.lit("I").alias("op")),
+            epoch_id="jd-0",
+        )
+
+        def _refresh():
+            refresh_join_view(
+                spark, fact, dim, view, "doc_key", {"mktsegment": "seg"}
+            )
+
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            fact.merge(batch, epoch_id=f"jf-{i}")
+            _refresh()
+            if i == 1:  # the dimension evolves mid-replay
+                upd = cust.where(
+                    (F.col("ck") % 7 == 2) & (F.col("ck") % 11 != 3)
+                ).select(
+                    "ck", F.lower("seg").alias("seg"),
+                    F.lit(2).alias("dv"), F.lit("U").alias("op"),
+                )
+                dele = cust.where(F.col("ck") % 11 == 3).select(
+                    "ck", F.lit(None).cast("string").alias("seg"),
+                    F.lit(2).alias("dv"), F.lit("D").alias("op"),
+                )
+                dim.merge(upd.unionByName(dele), epoch_id="jd-1")
+                _refresh()
+        _REPLAY_CACHE[key] = (view, None, None)
+    view = _REPLAY_CACHE[key][0]
+    return view.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"),
+        "event_type", "value", "mktsegment",
+    )
+
+
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2: Airbyte wire-envelope parse. NDJSON lines are constructed
     by string concatenation (identically in the oracle — to_json key
@@ -1755,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "asof_attribution": q_asof_attribution,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
+        "cdc_engine_join_view": q_cdc_engine_join_view,
         "block_dedup": q_block_dedup,
         "dedup_spans": q_dedup_spans,
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -3000,6 +3105,32 @@ FROM state
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "cdc_engine_join_view": """
+            -- the incrementally-maintained view must equal a full
+            -- LEFT JOIN of the two FINAL base states: fact = the LWW
+            -- fold of the event log; dim = customer after the epoch-2
+            -- evolution (%7==2 lowercased unless deleted, %11==3 gone)
+            WITH log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key
+                                           ORDER BY change_lsn DESC) AS rn
+              FROM log
+            ), final AS (
+              SELECT doc_key, change_lsn AS last_lsn, event_type, value
+              FROM ranked WHERE rn = 1 AND op <> 'D'
+            ), dim AS (
+              SELECT CAST(c_custkey AS BIGINT) AS ck,
+                     CASE WHEN c_custkey % 7 = 2 THEN lower(c_mktsegment)
+                          ELSE c_mktsegment END AS mktsegment
+              FROM customer WHERE c_custkey % 11 <> 3
+            )
+            SELECT f.doc_key, f.last_lsn, f.event_type, f.value, d.mktsegment
+            FROM final f LEFT JOIN dim d ON f.doc_key = d.ck
         """,
         "cdc_incremental_rollup": """
             -- the maintained aggregate must equal a direct aggregate
