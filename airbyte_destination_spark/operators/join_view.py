@@ -21,10 +21,20 @@ with the change batches:
 View semantics are LEFT JOIN: every live fact row appears exactly
 once; dim columns are NULL when the join key is absent (or deleted —
 a dim delete downgrades matching view rows to NULLs, it does not drop
-them). The fact's version column versions the view, so a dim-driven
-re-join of an unchanged fact row lands on a version TIE, which
-`LakeTable.merge` resolves batch-over-existing — exactly the "newer
-derived state wins" rule the refresh needs.
+them).
+
+The view table is deliberately created WITHOUT a version column. A
+joined row breaks the LWW invariant "one (key, version) is one row":
+a dim-driven re-join changes the payload of an unchanged fact row, so
+the same (fact key, fact version) legitimately carries different
+payloads over time. Versioning the view by the fact version would
+make its change feed silently MISS dim-driven updates (version-equal
+rows read as unchanged — caught by the chained-rollup test). Version-
+less, `LakeTable.merge` orders batch-over-existing — correct because
+refreshes are serialized through the consumer offsets, so arrival
+order IS derivation order — and `table_changes` falls back to
+payload-hash change detection, so chained consumers (a rollup
+maintained from the view's own feed) see every change.
 
 Exactly-once: the refresh polls both feeds through named consumers,
 merges one view batch stamped ``jv-<fact_v>-<dim_v>``, then acks both.
@@ -52,8 +62,6 @@ def _validate(fact: LakeTable, dim: LakeTable, fk: str, dim_cols: Dict[str, str]
     mf, md = fact.manifest(), dim.manifest()
     f_schema = T.StructType.fromJson(mf["schemas"][str(mf["schema_id"])])
     d_schema = T.StructType.fromJson(md["schemas"][str(md["schema_id"])])
-    if mf["version_col"] is None:
-        raise ValueError("join view requires a fact version column")
     if len(md["key_cols"]) != 1:
         raise ValueError(
             f"join view requires a single-column dim key, got {md['key_cols']}"
@@ -78,8 +86,9 @@ def create_join_view(
 ) -> LakeTable:
     """Create the (empty) view table: all fact columns plus one
     nullable column per ``dim_cols`` entry (out_name -> dim column),
-    keyed and versioned like the fact and bucketed on the fact key so
-    refresh merges co-partition with fact-keyed upserts."""
+    keyed like the fact — but VERSION-LESS (see module docstring) —
+    and bucketed on the fact key so refresh merges co-partition with
+    fact-keyed upserts."""
     mf, md, f_schema, d_schema = _validate(fact, dim, fk, dim_cols)
     fields = list(f_schema.fields)
     fields += [
@@ -90,7 +99,7 @@ def create_join_view(
     view.create(
         T.StructType(fields),
         key_cols=mf["key_cols"],
-        version_col=mf["version_col"],
+        version_col=None,
         n_buckets=n_buckets or mf["n_buckets"],
     )
     return view
@@ -142,7 +151,7 @@ def refresh_join_view(
     snapshot — one fact scan per refresh, fine for small facts.
     """
     mf, md, _, _ = _validate(fact, dim, fk, dim_cols)
-    fkeys, fver = mf["key_cols"], mf["version_col"]
+    fkeys = mf["key_cols"]
     dkey = md["key_cols"][0]
     cf, cd = _consumer_names(name)
 
@@ -162,9 +171,7 @@ def refresh_join_view(
     if f_changes is not None:
         live = f_changes.where(F.col("change_type") != "delete")
         ups_src = live.select(*fact_cols)
-        dels = f_changes.where(F.col("change_type") == "delete").select(
-            *fkeys, F.col(fver)
-        )
+        dels = f_changes.where(F.col("change_type") == "delete").select(*fkeys)
 
     if d_changes is not None:
         # any change_type: the dim key is the join key and is immutable
@@ -208,12 +215,11 @@ def refresh_join_view(
     )
     batch = ups
     if dels is not None:
-        null_cols = [c for c in ups.columns if c not in (*fkeys, fver, "op")]
+        null_cols = [c for c in ups.columns if c not in (*fkeys, "op")]
         ups_types = {f.name: f.dataType for f in ups.schema.fields}
         batch = batch.unionByName(
             dels.select(
                 *fkeys,
-                F.col(fver),
                 *[F.lit(None).cast(ups_types[c]).alias(c) for c in null_cols],
                 F.lit("D").alias("op"),
             )

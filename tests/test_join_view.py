@@ -187,6 +187,48 @@ def test_index_fanout_path_matches_semijoin(spark, tmp_path, tables):
     _check(spark, fact, dim, view)
 
 
+def test_rollup_chains_off_the_view_feed(spark, tables):
+    """Derived tables compose: a per-segment aggregate maintained from
+    the VIEW's own change feed (the view is a lake table, so it has
+    one) must track a direct aggregate over the view after every
+    refresh — including dim-driven segment moves, which surface as
+    -pre/+post contributions in the view's pre-image CDF."""
+    from airbyte_destination_spark.operators.incremental import (
+        maintain_rollup,
+        rollup_snapshot,
+    )
+
+    fact, dim, view = tables
+    agg = rollup_snapshot(
+        view.read(spark).limit(0), ["segment"], {"sum_fk": "fk"}
+    )
+
+    steps = [
+        (dim, [(10, "gold", 1, "I"), (20, "iron", 1, "I")], DS, "d-0"),
+        (fact, [(1, 10, "a", 1, "I"), (2, 20, "b", 2, "I"),
+                (3, 10, "c", 3, "I")], FS, "f-0"),
+        (fact, [(1, 20, "a2", 10, "U"), (3, None, None, 11, "D")], FS, "f-1"),
+        (dim, [(10, "pearl", 5, "U"), (20, None, 5, "D")], DS, "d-1"),
+    ]
+    for table, rows, schema, epoch in steps:
+        table.merge(spark.createDataFrame(rows, schema), epoch_id=epoch)
+        refresh_join_view(spark, fact, dim, view, "fk", {"segment": "seg"})
+        cdf, v_to = view.poll_changes(spark, "agg", pre_images=True)
+        if cdf is not None:
+            agg = maintain_rollup(agg, cdf, ["segment"], {"sum_fk": "fk"})
+            view.ack("agg", v_to)
+        got = sorted(
+            (r.segment, r.n_rows, r.sum_fk) for r in agg.collect()
+        )
+        want = sorted(
+            (r.segment, r.n_rows, r.sum_fk)
+            for r in rollup_snapshot(
+                view.read(spark), ["segment"], {"sum_fk": "fk"}
+            ).collect()
+        )
+        assert got == want, (epoch, got, want)
+
+
 def test_validation(spark, tmp_path, tables):
     fact, dim, view = tables
     with pytest.raises(ValueError, match="not in fact schema"):
