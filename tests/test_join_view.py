@@ -25,8 +25,8 @@ FS = "k long, fk long, val string, v long, op string"
 DS = "dk long, seg string, dv long, op string"
 
 
-@pytest.fixture()
-def tables(spark, tmp_path):
+@pytest.fixture(params=["cow", "mor"])
+def tables(spark, tmp_path, request):
     fact = LakeTable(str(tmp_path / "fact"))
     fact.create(
         T.StructType(
@@ -40,6 +40,7 @@ def tables(spark, tmp_path):
         ["k"],
         "v",
         n_buckets=4,
+        merge_strategy=request.param,
     )
     dim = LakeTable(str(tmp_path / "dim"))
     dim.create(
@@ -185,6 +186,44 @@ def test_index_fanout_path_matches_semijoin(spark, tmp_path, tables):
     # the failed attempt acked nothing: the semijoin path completes it
     assert refresh_join_view(spark, fact, dim, view, "fk", {"segment": "seg"})
     _check(spark, fact, dim, view)
+
+
+def test_fact_schema_evolution_flows_through(spark, tables):
+    """A column added to the fact mid-stream reaches the view on the
+    next refresh (merge-side schema evolution): pre-evolution view rows
+    read NULL in the new column, exactly like the fact itself."""
+    fact, dim, view = tables
+    dim.merge(spark.createDataFrame([(10, "gold", 1, "I")], DS), epoch_id="d-0")
+    fact.merge(
+        spark.createDataFrame([(1, 10, "a", 1, "I")], FS), epoch_id="f-0"
+    )
+    refresh_join_view(spark, fact, dim, view, "fk", {"segment": "seg"})
+    fact.merge(
+        spark.createDataFrame(
+            [(2, 10, "b", 2, "x2", "U")],
+            "k long, fk long, val string, v long, extra string, op string",
+        ),
+        epoch_id="f-1",
+    )
+    refresh_join_view(spark, fact, dim, view, "fk", {"segment": "seg"})
+    cols = sorted(view.read(spark).columns)
+    assert "extra" in cols
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in view.read(spark).collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            tuple(r[c] for c in cols)
+            for r in join_snapshot(
+                spark, fact, dim, "fk", {"segment": "seg"}
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    extras = {r.k: r.extra for r in view.read(spark).collect()}
+    assert extras == {1: None, 2: "x2"}
 
 
 def test_rollup_chains_off_the_view_feed(spark, tables):
