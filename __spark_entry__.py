@@ -845,6 +845,36 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive-aggregate IVM: a per-event_type MIN/MAX/count
+    aggregate computed at the FIRST epoch's snapshot is advanced to the
+    final version from the pre-image change feed. Inserts fold
+    algebraically (least/greatest); a removal reaching a group's
+    extremal marks ONLY that group dirty and re-aggregates it through a
+    dims-semijoin against the post-change snapshot — the textbook
+    distributive-vs-holistic IVM split, so refresh cost is O(change
+    batch) + O(dirty-group rows), never O(table). Must equal the direct
+    aggregate over the final LWW state (the oracle)."""
+    from airbyte_destination_spark.operators.incremental import (
+        maintain_rollup_minmax,
+        rollup_minmax_snapshot,
+    )
+
+    table, versions, _ = _engine_replay(spark, sf_dir, "cow")
+    base = rollup_minmax_snapshot(
+        table.read(spark, version=versions[0]), ["event_type"], "value"
+    )
+    cdf = table.table_changes(spark, v_from=versions[0], pre_images=True)
+    out = maintain_rollup_minmax(
+        base, cdf, table.read(spark), ["event_type"], "value"
+    )
+    return out.select(
+        "event_type", "n_rows",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 def q_cdc_engine_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized JOIN-view maintenance from BOTH change feeds
     (operators/join_view): a per-user latest-state fact table (the
@@ -1860,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "cdc_engine_join_view": q_cdc_engine_join_view,
+        "cdc_engine_minmax_rollup": q_cdc_engine_minmax_rollup,
         "block_dedup": q_block_dedup,
         "dedup_spans": q_dedup_spans,
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -3105,6 +3136,27 @@ FROM state
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "cdc_engine_minmax_rollup": """
+            -- the maintained MIN/MAX aggregate must equal a direct
+            -- aggregate over the final LWW state
+            WITH log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key
+                                           ORDER BY change_lsn DESC) AS rn
+              FROM log
+            ), final AS (
+              SELECT event_type, value FROM ranked WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM final GROUP BY event_type
         """,
         "cdc_engine_join_view": """
             -- the incrementally-maintained view must equal a full

@@ -87,6 +87,123 @@ def maintain_rollup(
     )
 
 
+def rollup_minmax_snapshot(
+    df: DataFrame, dims: Sequence[str], col: str
+) -> DataFrame:
+    """Full-scan aggregate in the min/max-maintained shape: dims,
+    n_rows, min_<col>, max_<col>."""
+    return df.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+    )
+
+
+def maintain_rollup_minmax(
+    snapshot_agg: DataFrame,
+    cdf: DataFrame,
+    base_state: DataFrame,
+    dims: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Advance a MIN/MAX aggregate (produced by
+    :func:`rollup_minmax_snapshot`) using the pre-image CDF.
+
+    MIN/MAX are not signed-additive: an insert can only EXTEND an
+    extremal (``least/greatest`` fold, no rescan), but removing a row
+    whose value ties the group's stored extremal leaves the true new
+    extremal unknown — the textbook non-distributive-aggregate IVM
+    case. The classic answer, implemented here: fold the clean groups
+    algebraically and RECOMPUTE only the dirty ones.
+
+    A group is dirty iff some removed (-pre/delete) value reaches its
+    post-fold candidate boundary (``minus_min <= candidate_min`` or
+    ``minus_max >= candidate_max``) — removals strictly inside the
+    (candidate_min, candidate_max) interval can never change either
+    extremal. Dirty groups are re-aggregated from ``base_state`` (the
+    POST-change snapshot, e.g. ``table.read(spark)``) through a
+    dims-semijoin, so the rescan touches only the dirty groups' rows:
+    refresh cost = O(change batch) + O(rows of extremal-dirty groups),
+    never O(table). For a base bucketed or secondary-indexed on dims
+    the semijoin additionally prunes at the file level.
+
+    Groups whose row count falls to zero disappear (their recompute
+    finds no rows). NULL values never enter min/max (Spark aggregate
+    semantics) and a removed NULL can't dirty a group — but every row
+    counts toward n_rows.
+    """
+    sign = (
+        F.when(F.col("change_type").isin(*_PLUS), F.lit(1))
+        .when(F.col("change_type").isin(*_MINUS), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "maintain_rollup_minmax needs a pre-image CDF "
+                        "(table_changes(pre_images=True)); got change_type="
+                    ),
+                    F.col("change_type"),
+                )
+            )
+        )
+    )
+    mn, mx = f"min_{col}", f"max_{col}"
+    dtype = dict(zip(cdf.schema.names, cdf.schema))[col].dataType
+    null_v = F.lit(None).cast(dtype)
+    is_plus = F.col("__sign") == 1
+    # union + ONE groupBy (like maintain_rollup) rather than a join on
+    # dims: groupBy groups NULL dimension values, a join would not.
+    # Stored extremals ride the plus slots (min over {stored, inserts}
+    # IS the candidate fold); minus values ride their own slots so the
+    # dirty test can compare them to the candidates afterwards.
+    stored = snapshot_agg.select(
+        *dims,
+        F.col("n_rows").cast("long").alias("__dn"),
+        F.col(mn).alias("__pmin"),
+        F.col(mx).alias("__pmax"),
+        null_v.alias("__mmin"),
+        null_v.alias("__mmax"),
+    )
+    changes = cdf.withColumn("__sign", sign).select(
+        *dims,
+        F.col("__sign").cast("long").alias("__dn"),
+        F.when(is_plus, F.col(col)).alias("__pmin"),
+        F.when(is_plus, F.col(col)).alias("__pmax"),
+        F.when(~is_plus, F.col(col)).alias("__mmin"),
+        F.when(~is_plus, F.col(col)).alias("__mmax"),
+    )
+    merged = (
+        stored.unionByName(changes)
+        .groupBy(*dims)
+        .agg(
+            F.sum("__dn").alias("n_rows"),
+            F.min("__pmin").alias("__cmin"),
+            F.max("__pmax").alias("__cmax"),
+            F.min("__mmin").alias("__mmin"),
+            F.max("__mmax").alias("__mmax"),
+        )
+        .select(
+            *dims,
+            "n_rows",
+            "__cmin",
+            "__cmax",
+            (
+                F.coalesce(F.col("__mmin") <= F.col("__cmin"), F.lit(False))
+                | F.coalesce(F.col("__mmax") >= F.col("__cmax"), F.lit(False))
+            ).alias("__dirty"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    clean = merged.where(~F.col("__dirty")).select(
+        *dims, "n_rows", F.col("__cmin").alias(mn), F.col("__cmax").alias(mx)
+    )
+    dirty_groups = merged.where(F.col("__dirty")).select(*dims)
+    recomputed = rollup_minmax_snapshot(
+        base_state.join(dirty_groups, list(dims), "leftsemi"), dims, col
+    )
+    return clean.unionByName(recomputed)
+
+
 class RollupSpec:
     """Declaration of a derived aggregate table maintained from a base
     table's change feed: GROUP BY ``dims``, one SUM column per

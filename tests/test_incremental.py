@@ -259,3 +259,84 @@ def test_stream_ingest_maintains_rollup(spark, tmp_path):
         ).collect()
     }
     assert maintained == direct and maintained
+
+
+def _minmax_state(df):
+    return {r.dim: (r.n_rows, r.min_v, r.max_v) for r in df.collect()}
+
+
+def test_minmax_maintained_equals_recompute(spark, table):
+    """MIN/MAX IVM: inserts fold algebraically; a removal reaching a
+    group's extremal marks it dirty and only those groups recompute
+    from the base. Scenario exercises: clean extremal-extending insert,
+    clean interior delete, dirty extremal delete, dimension move
+    dirtying the source group, NULL dimension group, NULL measure rows,
+    and a group dying to zero."""
+    from airbyte_destination_spark.operators.incremental import (
+        maintain_rollup_minmax,
+        rollup_minmax_snapshot,
+    )
+
+    v0 = table.merge(
+        _batch(
+            spark,
+            [
+                (1, 1, "a", 1.0, "U"),
+                (2, 1, "a", 5.0, "U"),
+                (3, 1, "a", 9.0, "U"),
+                (4, 1, "b", 2.0, "U"),
+                (5, 1, "b", 3.0, "U"),
+                (6, 1, None, 4.0, "U"),   # NULL dim group
+                (7, 1, "b", None, "U"),   # NULL measure row
+            ],
+        ),
+        epoch_id="m0",
+    ).version
+    table.merge(
+        _batch(
+            spark,
+            [
+                (3, 2, "a", 9.0, "D"),    # dirty: removes a's max
+                (8, 2, "a", 0.5, "U"),    # clean: extends a's min
+                (1, 2, "a", 1.0, "D"),    # removal masked by the 0.5 insert
+                (5, 2, "b", 10.0, "U"),   # clean: measure grows past max
+                (4, 2, "c", 2.0, "U"),    # dim move b -> c: dirties b's min
+                (6, 2, None, 4.0, "D"),   # NULL-dim group dies to zero
+                (7, 2, "b", None, "D"),   # NULL-measure removal: never dirty
+            ],
+        ),
+        epoch_id="m1",
+    )
+    base = rollup_minmax_snapshot(table.read(spark, version=v0), ["dim"], "v")
+    cdf = table.table_changes(spark, v_from=v0, pre_images=True)
+    out = maintain_rollup_minmax(base, cdf, table.read(spark), ["dim"], "v")
+    out = out.select(
+        "dim", "n_rows",
+        F.col("min_v").alias("min_v"), F.col("max_v").alias("max_v"),
+    )
+    direct = rollup_minmax_snapshot(table.read(spark), ["dim"], "v").select(
+        "dim", "n_rows",
+        F.col("min_v").alias("min_v"), F.col("max_v").alias("max_v"),
+    )
+    got, want = _minmax_state(out), _minmax_state(direct)
+    assert got == want
+    assert got["a"] == (2, 0.5, 5.0)   # recomputed after the max removal
+    assert got["b"] == (1, 10.0, 10.0) # min removed by the dim move
+    assert got["c"] == (1, 2.0, 2.0)
+    assert None not in got             # zero-count group dropped
+
+
+def test_minmax_plain_cdf_rejected(spark, table):
+    from airbyte_destination_spark.operators.incremental import (
+        maintain_rollup_minmax,
+        rollup_minmax_snapshot,
+    )
+
+    v0 = table.merge(_batch(spark, [(1, 1, "a", 1.0, "U")]), epoch_id="p0").version
+    table.merge(_batch(spark, [(1, 2, "a", 2.0, "U")]), epoch_id="p1")
+    base = rollup_minmax_snapshot(table.read(spark, version=v0), ["dim"], "v")
+    cdf = table.table_changes(spark, v_from=v0)  # no pre-images
+    with pytest.raises(Exception, match="pre-image"):
+        maintain_rollup_minmax(
+            base, cdf, table.read(spark), ["dim"], "v"
+        ).collect()
