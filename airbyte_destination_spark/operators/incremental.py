@@ -88,14 +88,19 @@ def maintain_rollup(
 
 
 def rollup_minmax_snapshot(
-    df: DataFrame, dims: Sequence[str], col: str
+    df: DataFrame,
+    dims: Sequence[str],
+    col: str,
+    measures: Dict[str, str] | None = None,
 ) -> DataFrame:
     """Full-scan aggregate in the min/max-maintained shape: dims,
-    n_rows, min_<col>, max_<col>."""
+    n_rows, min_<col>, max_<col>, plus one summed column per optional
+    ``measures`` entry (out_name -> source col)."""
     return df.groupBy(*dims).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(col).alias(f"min_{col}"),
         F.max(col).alias(f"max_{col}"),
+        *[F.sum(src).alias(out) for out, src in (measures or {}).items()],
     )
 
 
@@ -105,6 +110,7 @@ def maintain_rollup_minmax(
     base_state: DataFrame,
     dims: Sequence[str],
     col: str,
+    measures: Dict[str, str] | None = None,
 ) -> DataFrame:
     """Advance a MIN/MAX aggregate (produced by
     :func:`rollup_minmax_snapshot`) using the pre-image CDF.
@@ -131,7 +137,13 @@ def maintain_rollup_minmax(
     finds no rows). NULL values never enter min/max (Spark aggregate
     semantics) and a removed NULL can't dirty a group — but every row
     counts toward n_rows.
+
+    Optional additive ``measures`` (out_name -> source col) ride the
+    same union + groupBy as signed sums — one maintenance pass yields
+    the combined count/sum/min/max shape, dirty groups recompute all of
+    it together.
     """
+    measures = measures or {}
     sign = (
         F.when(F.col("change_type").isin(*_PLUS), F.lit(1))
         .when(F.col("change_type").isin(*_MINUS), F.lit(-1))
@@ -163,6 +175,7 @@ def maintain_rollup_minmax(
         F.col(mx).alias("__pmax"),
         null_v.alias("__mmin"),
         null_v.alias("__mmax"),
+        *[F.col(out) for out in measures],
     )
     changes = cdf.withColumn("__sign", sign).select(
         *dims,
@@ -171,6 +184,7 @@ def maintain_rollup_minmax(
         F.when(is_plus, F.col(col)).alias("__pmax"),
         F.when(~is_plus, F.col(col)).alias("__mmin"),
         F.when(~is_plus, F.col(col)).alias("__mmax"),
+        *[(F.col("__sign") * F.col(src)).alias(out) for out, src in measures.items()],
     )
     merged = (
         stored.unionByName(changes)
@@ -181,12 +195,14 @@ def maintain_rollup_minmax(
             F.max("__pmax").alias("__cmax"),
             F.min("__mmin").alias("__mmin"),
             F.max("__mmax").alias("__mmax"),
+            *[F.sum(out).alias(out) for out in measures],
         )
         .select(
             *dims,
             "n_rows",
             "__cmin",
             "__cmax",
+            *measures,
             (
                 F.coalesce(F.col("__mmin") <= F.col("__cmin"), F.lit(False))
                 | F.coalesce(F.col("__mmax") >= F.col("__cmax"), F.lit(False))
@@ -195,11 +211,12 @@ def maintain_rollup_minmax(
         .where(F.col("n_rows") > 0)
     )
     clean = merged.where(~F.col("__dirty")).select(
-        *dims, "n_rows", F.col("__cmin").alias(mn), F.col("__cmax").alias(mx)
+        *dims, "n_rows", F.col("__cmin").alias(mn), F.col("__cmax").alias(mx),
+        *measures,
     )
     dirty_groups = merged.where(F.col("__dirty")).select(*dims)
     recomputed = rollup_minmax_snapshot(
-        base_state.join(dirty_groups, list(dims), "leftsemi"), dims, col
+        base_state.join(dirty_groups, list(dims), "leftsemi"), dims, col, measures
     )
     return clean.unionByName(recomputed)
 
@@ -207,12 +224,28 @@ def maintain_rollup_minmax(
 class RollupSpec:
     """Declaration of a derived aggregate table maintained from a base
     table's change feed: GROUP BY ``dims``, one SUM column per
-    ``measures`` entry (out_name -> base column) plus n_rows."""
+    ``measures`` entry (out_name -> base column) plus n_rows; with
+    ``minmax`` set to a base column, min_<col>/max_<col> are maintained
+    too (dirty-group recompute path, see maintain_rollup_minmax)."""
 
-    def __init__(self, dims, measures, version_col: str = "_src_version"):
+    def __init__(
+        self,
+        dims,
+        measures,
+        version_col: str = "_src_version",
+        minmax: str | None = None,
+    ):
         self.dims = list(dims)
         self.measures = dict(measures)
         self.version_col = version_col
+        self.minmax = minmax
+
+    @property
+    def val_cols(self) -> list[str]:
+        cols = ["n_rows"]
+        if self.minmax is not None:
+            cols += [f"min_{self.minmax}", f"max_{self.minmax}"]
+        return cols + list(self.measures)
 
 
 def apply_with_rollup(
@@ -266,36 +299,50 @@ def apply_with_rollup(
     )
     affected = cdf.select(*spec.dims).distinct()
 
+    mm_cols = (
+        [] if spec.minmax is None
+        else [f"min_{spec.minmax}", f"max_{spec.minmax}"]
+    )
     if rollup.exists():
         base = (
             rollup.read(spark)
             .join(affected, spec.dims, "leftsemi")
-            .select(*spec.dims, "n_rows", *spec.measures)
+            .select(*spec.dims, "n_rows", *mm_cols, *spec.measures)
         )
     else:
         base = cdf.select(
             *spec.dims,
             F.lit(0).cast("long").alias("n_rows"),
+            *[F.col(spec.minmax).alias(c) for c in mm_cols],
             *[F.col(src).alias(out) for out, src in spec.measures.items()],
         ).limit(0)
 
-    updated = maintain_rollup(base, cdf, spec.dims, spec.measures)
+    if spec.minmax is None:
+        updated = maintain_rollup(base, cdf, spec.dims, spec.measures)
+    else:
+        # dirty-group recompute reads the POST-commit base snapshot —
+        # pinned to this epoch's version so a concurrent later epoch
+        # can't leak into the recomputed groups
+        updated = maintain_rollup_minmax(
+            base,
+            cdf,
+            main.read(spark, version=v_after),
+            spec.dims,
+            spec.minmax,
+            spec.measures,
+        )
     ups = updated.select(
         *spec.dims,
-        "n_rows",
-        *spec.measures,
+        *spec.val_cols,
         F.lit(v_after).alias(spec.version_col),
         F.lit("U").alias("op"),
     )
+    up_types = {f.name: f.dataType for f in updated.schema.fields}
     dels = (
         affected.join(updated.select(*spec.dims), spec.dims, "leftanti")
         .select(
             *spec.dims,
-            F.lit(None).cast("long").alias("n_rows"),
-            *[
-                F.lit(None).cast(dict(zip(updated.schema.names, updated.schema))[m].dataType).alias(m)
-                for m in spec.measures
-            ],
+            *[F.lit(None).cast(up_types[c]).alias(c) for c in spec.val_cols],
             F.lit(v_after).alias(spec.version_col),
             F.lit("D").alias("op"),
         )

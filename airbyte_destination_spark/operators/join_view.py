@@ -41,6 +41,14 @@ merges one view batch stamped ``jv-<fact_v>-<dim_v>``, then acks both.
 A crash between merge and ack re-polls the same window; the identical
 epoch id makes the replayed merge a no-op, after which the acks land
 (the same offset window always yields the same net changes).
+
+SINGLE REFRESHER per (view, name): because ordering is by arrival
+(batch-over-existing), two refreshers racing the same consumers can
+apply an older window's batch AFTER a superset window's — regressing
+joined payloads until the next change touches them. Run one maintainer
+per view (the same single-writer rule streaming engines apply to a
+sink); crash-and-restart of that one maintainer is what the epoch
+marker + ack protocol makes safe, not concurrent maintainers.
 """
 
 from __future__ import annotations

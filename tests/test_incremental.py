@@ -340,3 +340,105 @@ def test_minmax_plain_cdf_rejected(spark, table):
         maintain_rollup_minmax(
             base, cdf, table.read(spark), ["dim"], "v"
         ).collect()
+
+
+def test_minmax_with_measures_combined(spark, table):
+    """Additive measures ride the min/max maintenance pass: one fold
+    yields count + sum + min + max, and dirty-group recompute restores
+    all of them together."""
+    from airbyte_destination_spark.operators.incremental import (
+        maintain_rollup_minmax,
+        rollup_minmax_snapshot,
+    )
+
+    v0 = table.merge(
+        _batch(
+            spark,
+            [
+                (1, 1, "a", 1.0, "U"),
+                (2, 1, "a", 9.0, "U"),
+                (3, 1, "b", 2.0, "U"),
+                (4, 1, "b", 3.0, "U"),
+            ],
+        ),
+        epoch_id="mm0",
+    ).version
+    table.merge(
+        _batch(
+            spark,
+            [
+                (2, 2, "a", 9.0, "D"),   # dirty: removes a's max
+                (5, 2, "b", 7.0, "U"),   # clean: extends b's max
+            ],
+        ),
+        epoch_id="mm1",
+    )
+    meas = {"sv": "v"}
+    base = rollup_minmax_snapshot(
+        table.read(spark, version=v0), ["dim"], "v", meas
+    )
+    cdf = table.table_changes(spark, v_from=v0, pre_images=True)
+    out = {
+        r.dim: (r.n_rows, r.min_v, r.max_v, r.sv)
+        for r in maintain_rollup_minmax(
+            base, cdf, table.read(spark), ["dim"], "v", meas
+        ).collect()
+    }
+    direct = {
+        r.dim: (r.n_rows, r.min_v, r.max_v, r.sv)
+        for r in rollup_minmax_snapshot(
+            table.read(spark), ["dim"], "v", meas
+        ).collect()
+    }
+    assert out == direct
+    assert out["a"] == (1, 1.0, 1.0, 1.0)   # recomputed (dirty)
+    assert out["b"] == (3, 2.0, 7.0, 12.0)  # folded (clean)
+
+
+def test_apply_with_rollup_minmax_spec(spark, tmp_path):
+    """RollupSpec(minmax=...) through the exactly-once ingest rider:
+    the maintained count/sum/min/max table equals a recompute after
+    extremal-removing updates, and replays stay no-ops."""
+    from airbyte_destination_spark.operators.incremental import (
+        RollupSpec,
+        apply_with_rollup,
+        rollup_minmax_snapshot,
+    )
+
+    main = LakeTable(str(tmp_path / "main"))
+    roll = LakeTable(str(tmp_path / "roll"))
+    spec = RollupSpec(["dim"], {"sv": "v"}, minmax="v")
+    cfg = _cfg()
+    apply_with_rollup(
+        main, roll,
+        _ing_batch(
+            spark,
+            [(1, 1, "a", 1.0, "U"), (2, 1, "a", 9.0, "U"), (3, 1, "b", 2.0, "U")],
+        ),
+        "job-0", cfg, spec,
+    )
+    b1 = _ing_batch(
+        spark,
+        [
+            (2, 2, "a", 9.0, "D"),   # dirty: removes a's max
+            (3, 2, "c", 2.0, "U"),   # dim move: group b dies
+            (4, 2, "a", 0.5, "U"),   # clean: extends a's min
+        ],
+    )
+    apply_with_rollup(main, roll, b1, "job-1", cfg, spec)
+
+    def state(df):
+        return {
+            r.dim: (r.n_rows, r.min_v, r.max_v, r.sv)
+            for r in df.select("dim", "n_rows", "min_v", "max_v", "sv").collect()
+        }
+
+    maintained = state(roll.read(spark))
+    direct = state(rollup_minmax_snapshot(main.read(spark), ["dim"], "v", {"sv": "v"}))
+    assert maintained == direct
+    assert maintained["a"] == (2, 0.5, 1.0, 1.5)
+    assert "b" not in maintained
+    # replay: both epoch markers exist -> both merges no-op
+    v_main, v_roll = main.current_version(), roll.current_version()
+    apply_with_rollup(main, roll, b1, "job-1", cfg, spec)
+    assert (main.current_version(), roll.current_version()) == (v_main, v_roll)
