@@ -1567,6 +1567,7 @@ class LakeTable:
         sort_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
         mark_base: bool = False,
+        bounds_provider=None,
     ) -> dict[str, list[dict]]:
         """Write df (which must carry _BUCKET_COL) partitioned by bucket;
         return {bucket: [file entries]} with paths relative to root.
@@ -1585,7 +1586,24 @@ class LakeTable:
         the ingest hot path stays sort-free because a per-batch sort
         would tax merge throughput for files that compaction will
         rewrite anyway (the Iceberg/ClickHouse shape: append fast,
-        sort on merge)."""
+        sort on merge).
+
+        `bounds_provider` (optional): a zero-arg callable returning
+        {bucket_str: {col: (min, max)}} per-bucket column bounds that
+        were computed DISTRIBUTED (the caller's lineage aggregation),
+        used instead of driver-side footer reads for buckets that wrote
+        exactly one file and whose map covers every stat column —
+        the dominant fixed per-commit driver cost on the MOR hot path
+        (measured: ~0.27 s of 64 footer reads per epoch at local[8] vs
+        ~0 for dict lookups; at 10^10-event scale this is the Amdahl
+        serial term of every epoch). Provided bounds may be WIDER than
+        the file's true contents (they're aggregated over the
+        pre-reduce batch, a superset of the winners) — wider bounds
+        are still valid for pruning, just marginally less selective
+        until compaction rewrites the file with footer-exact bounds.
+        Multi-file buckets and uncovered columns fall back to footer
+        reads; provider errors propagate (they signal a failed lineage
+        job, which must abort the commit)."""
         nonce = uuid.uuid4().hex[:12]
         rel_snap = os.path.join("data", f"snap-{version_hint:08d}-{nonce}")
         out_dir = os.path.join(self.root, rel_snap)
@@ -1631,7 +1649,7 @@ class LakeTable:
                         # per bucket, eligible for the RO view
                         entry["base"] = True
                     new_files.setdefault(b, []).append(entry)
-                    entries.append(entry)
+                    entries.append((b, entry))
         # zone maps: first-key-column bounds (kmin/kmax — read_keys
         # prunes FILES with these on top of bucket pruning; selective
         # for MOR deltas whose batches cover narrow key ranges, CDC
@@ -1653,9 +1671,26 @@ class LakeTable:
             if stats:
                 entry["stats"] = {c: list(v) for c, v in stats.items()}
 
-        if entries:
-            with ThreadPoolExecutor(max_workers=min(8, len(entries))) as pool:
-                list(pool.map(_bind, entries))
+        provided: dict[str, dict] = {}
+        if entries and bounds_provider is not None:
+            provided = bounds_provider() or {}
+        pending: list[dict] = []
+        for b, entry in entries:
+            bmap = provided.get(b)
+            if (
+                bmap is not None
+                and len(new_files[b]) == 1
+                and all(c in bmap for c in stat_cols)
+            ):
+                entry["kmin"], entry["kmax"] = bmap[k0]
+                stats = {c: list(bmap[c]) for c in stat_cols[1:]}
+                if stats:
+                    entry["stats"] = stats
+            else:
+                pending.append(entry)
+        if pending:
+            with ThreadPoolExecutor(max_workers=min(8, len(pending))) as pool:
+                list(pool.map(_bind, pending))
         return new_files
 
     def _with_bucket(self, df: DataFrame, m: dict) -> DataFrame:
@@ -2335,8 +2370,35 @@ class LakeTable:
                     for r in collected
                 ]
 
-            lineage_job = lin_src.groupBy(_BUCKET_COL).agg(*lineage_agg)
             is_mor_merge = mode == "merge" and m.get("merge_strategy", "cow") == "mor"
+            # MOR rider: per-bucket (min, max) of the key + declared
+            # stats columns, aggregated in the SAME lineage job, replace
+            # the post-write parquet-footer reads when each bucket wrote
+            # one delta file (the MOR shape). The footer loop was the
+            # dominant fixed per-commit driver cost (~0.27 s/epoch at 64
+            # buckets, local[8]) — a pure serial term that depressed the
+            # N->4N paired efficiency. Bounds over the PRE-reduce batch
+            # are exact for the key (the reduce preserves the distinct
+            # key set) and a valid superset for other columns (winners
+            # are a subset of batch rows). Only JSON-scalar columns
+            # participate; anything else falls back to footer reads in
+            # _write_bucketed.
+            bound_cols: list[str] = []
+            if is_mor_merge:
+                _scalar = (
+                    T.StringType, T.LongType, T.IntegerType,
+                    T.ShortType, T.ByteType, T.DoubleType, T.FloatType,
+                )
+                lin_types = {f.name: f.dataType for f in lin_src.schema.fields}
+                k0 = key_cols[0]
+                for c in [k0] + [s for s in m.get("stats_cols", []) if s != k0]:
+                    if isinstance(lin_types.get(c), _scalar):
+                        lineage_agg += [
+                            F.min(c).alias(f"_bmin_{c}"),
+                            F.max(c).alias(f"_bmax_{c}"),
+                        ]
+                        bound_cols.append(c)
+            lineage_job = lin_src.groupBy(_BUCKET_COL).agg(*lineage_agg)
             if is_mor_merge:
                 # MOR never reads existing data and its bucket-aligned
                 # write ignores n_out, so nothing in the main job's PLAN
@@ -2407,9 +2469,30 @@ class LakeTable:
                 final = winners.withColumn(
                     _DELETED_COL, F.coalesce(F.col("op") == F.lit("D"), F.lit(False))
                 ).drop("op", *carry_cols)
+                def _lineage_bounds() -> dict:
+                    # invoked by _write_bucketed AFTER its write action:
+                    # the lineage job ran concurrently, so this join is
+                    # usually instant; its rows carry the per-bucket
+                    # bounds aggregated executor-side
+                    t.join()
+                    if "err" in holder:
+                        raise holder["err"]
+                    out: dict[str, dict] = {}
+                    for r in holder["rows"]:
+                        bmap = {}
+                        for c in bound_cols:
+                            lo, hi = r[f"_bmin_{c}"], r[f"_bmax_{c}"]
+                            if isinstance(lo, (str, int, float)) and isinstance(
+                                hi, (str, int, float)
+                            ):
+                                bmap[c] = (lo, hi)
+                        out[str(int(r[_BUCKET_COL]))] = bmap
+                    return out
+
                 try:
                     new_files = self._write_bucketed(
-                        final, m, base + 1, already_bucket_aligned=True
+                        final, m, base + 1, already_bucket_aligned=True,
+                        bounds_provider=_lineage_bounds if bound_cols else None,
                     )
                 finally:
                     # always reap the background lineage job — a failed

@@ -206,3 +206,41 @@ def test_read_optimized_view(spark, tmp_path):
     t.compact(spark, min_files=1)
     ro3 = {r["k"]: r["p"] for r in t.read(spark, read_optimized=True).collect()}
     assert ro3[1] == "NEWER"
+
+
+def test_mor_bounds_bound_from_lineage_not_footers(spark, table, monkeypatch):
+    """The MOR hot path binds per-file zone-map bounds from the lineage
+    job's per-bucket aggregates — ZERO driver-side footer reads (the
+    footer loop was the dominant fixed per-commit cost). Bounds must
+    still be valid (every key within [kmin, kmax]) and wider-than-file
+    is acceptable; COW-path maintenance (compact) keeps footer-exact
+    binding."""
+    from airbyte_destination_spark.lake import table as tmod
+
+    calls = []
+    orig = tmod._file_col_stats
+
+    def spy(path, cols):
+        calls.append(path)
+        return orig(path, cols)
+
+    monkeypatch.setattr(tmod, "_file_col_stats", spy)
+    table.merge(
+        spark.createDataFrame(
+            [("a", [1], 1, "I"), ("m", [2], 2, "I"), ("z", [3], 3, "I")],
+            BATCH_SCHEMA,
+        ),
+        epoch_id="e0",
+    )
+    assert calls == []  # no footer reads on the MOR merge
+    m = table.manifest()
+    ents = [e for fs in m["buckets"].values() for e in fs]
+    assert ents and all("kmin" in e and "kmax" in e for e in ents)
+    assert all(e["kmin"] <= e["kmax"] for e in ents)
+    # the bounds actually prune: a probe key below every kmin opens no file
+    assert table.read_keys(spark, ["0-below-all"]).count() == 0
+    assert {r.doc_id for r in table.read_keys(spark, ["m"]).collect()} == {"m"}
+    # compaction (maintenance rewrite, not the hot path) footer-binds
+    calls.clear()
+    table.compact(spark, min_files=1)
+    assert calls  # footer-exact bounds for folded files
