@@ -1069,6 +1069,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: Gopher/C4 document-quality rule set — word-count and
+    mean-word-length windows, alphabetic-word fraction, distinct-stopword
+    floor, top-word dominance, C4 brace/lorem page rules, combined keep
+    verdict. Zero-shuffle scan projection (functions/text.gopher_quality)."""
+    from airbyte_destination_spark.functions.text import gopher_quality
+
+    return gopher_quality(_docs_wide(spark, sf_dir))
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: brute-force cosine top-3 neighbors for query vectors
     (vec_id < 10) via the library path (broadcast query side, JVM
@@ -1859,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2659,6 +2670,35 @@ FROM state
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_pretokens,
                    CAST(length(text) AS INT) AS n_chars_exact
             FROM documents
+        """,
+        "gopher_quality": """
+            WITH w AS (
+              SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+            ), s AS (
+              SELECT doc_id, text, ws,
+                     len(ws) AS n_words,
+                     round((length(text) - len(ws) + 1)
+                           / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+                     round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                           / CAST(len(ws) AS DOUBLE), 6) AS frac_alpha_words,
+                     CAST(len(list_intersect(list_distinct(ws),
+                          ['the','a','of','and','to','in','is','that','it','for']))
+                          AS INTEGER) AS stop_distinct,
+                     round(list_max(list_transform(list_distinct(ws),
+                                    d -> len(list_filter(ws, x -> x = d))))
+                           / CAST(len(ws) AS DOUBLE), 6) AS frac_top_word,
+                     contains(text, '{') AS has_brace,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   stop_distinct, frac_top_word, has_brace, has_lorem,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND frac_alpha_words >= 0.8 AND stop_distinct >= 2
+                    AND frac_top_word <= 0.2
+                    AND NOT has_brace AND NOT has_lorem) AS keep
+            FROM s
         """,
         "quality_score": """
             SELECT doc_id,

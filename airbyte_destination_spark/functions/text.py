@@ -710,3 +710,69 @@ def lm_perplexity(
             "perplexity",
         )
     )
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style document quality rules as one codegen projection.
+
+    The rule set the Gopher paper (Rae et al. 2021, §A1.1) and C4
+    (Raffel et al. 2020, §2.2) apply before training — re-expressed as
+    pyspark.sql built-ins so the whole filter is a zero-shuffle scan
+    projection (the reference delegates corpus filtering to downstream
+    systems; this is the training-data-pipeline side the engine adds):
+
+      - word-count window (Gopher: 50..100k words)
+      - mean word length window (Gopher: 3..10 chars)
+      - fraction of words containing an alphabetic char (Gopher >=0.8)
+      - >=2 DISTINCT stopwords present (Gopher "stop word" rule)
+      - top-word dominance: occurrences of the most frequent word over
+        all words (repetition proxy; C4's boilerplate signal) <= 0.2
+      - C4 page rules: no '{' (code/markup), no 'lorem ipsum'
+
+    Every fractional signal is emitted (rounded to 6 decimals for
+    float-stable oracle comparison) plus the combined `keep` verdict, so
+    a curation pipeline can re-threshold without recomputing.
+
+    Scale shape: per-document array expressions only — no shuffle, no
+    UDF. The top-word count is O(distinct_words x words) per document,
+    fine for page-sized docs; book-length inputs should chunk first
+    (chunk_windows) or derive dominance from tokenize_freq_vocab's
+    explode+groupBy path instead.
+    """
+    words = words_expr(text_col)
+    n_words = F.size(words)
+    mean_wl = F.round((F.length(F.col(text_col)) - n_words + 1) / n_words, 6)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_distinct = F.size(F.array_intersect(F.array_distinct(words), stops))
+    top_word_n = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda d: F.size(F.filter(words, lambda w: w == d)),
+        )
+    )
+    frac_alpha = F.round(alpha / n_words, 6)
+    frac_top = F.round(top_word_n / n_words, 6)
+    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (frac_alpha >= 0.8)
+        & (stop_distinct >= 2)
+        & (frac_top <= 0.2)
+        & ~has_brace & ~has_lorem
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        stop_distinct.cast("int").alias("stop_distinct"),
+        frac_top.alias("frac_top_word"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"),
+    )

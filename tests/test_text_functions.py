@@ -483,3 +483,31 @@ def test_dedup_spans_removes_later_copies_one_exchange(spark):
     joined = [" ".join(blocks[i : i + 16]) for i in range(0, len(blocks), 16)]
     assert joined.count(blk) == 1
     assert got["d2"].text_dedup == "short doc" and got["d2"].n_dropped == 0
+
+
+def test_gopher_quality_rules(spark):
+    from airbyte_destination_spark.functions.text import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog of note and all"] * 5
+    )  # 60 words, >=2 distinct stopwords, alpha, no single word dominates
+    rows = [
+        (1, good),
+        (2, "short doc"),                       # fails word-count floor
+        (3, " ".join(["spam"] * 60)),           # top-word dominance + no stopwords
+        (4, good + " {"),                       # C4 brace rule
+        (5, good.replace("dog", "Lorem Ipsum")),# C4 lorem rule
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 2
+    assert out[3]["keep"] is False and out[3]["frac_top_word"] == 1.0
+    assert out[4]["keep"] is False and out[4]["has_brace"]
+    assert out[5]["keep"] is False and out[5]["has_lorem"]
+    assert out[1]["stop_distinct"] >= 2
+    assert 0 < out[1]["frac_top_word"] <= 0.2
