@@ -1840,6 +1840,46 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_docs_wide(spark, sf_dir), alpha=0.5)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics: ordered first-touch funnel view -> click -> purchase
+    over the event stream (chained id-keyed min-ts joins — per-stage
+    state is one row per surviving user, never event arrays; the
+    read-side funnel metric the reference's hosted API serves)."""
+    from airbyte_destination_spark.functions.metrics import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics: day-cohort retention grid (first-event-day cohorts ×
+    day offsets ≤14, active-user counts and rates) — one user-keyed
+    shuffle feeds both the cohort and activity sides."""
+    from airbyte_destination_spark.functions.metrics import retention
+
+    return retention(_t(spark, sf_dir, "events"), max_offset_days=14)
+
+
+def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics: zero-filled daily purchase counter + revenue sum —
+    the gap-fill contract of a hosted time-series endpoint (empty days
+    are explicit zeros, grid generated by sequence(), not the driver)."""
+    from airbyte_destination_spark.functions.metrics import timeseries_fill
+
+    return timeseries_fill(
+        _t(spark, sf_dir, "events"), where=F.col("event_type") == "purchase"
+    )
+
+
+def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: DSIR importance weights — mean per-token log-ratio
+    of the lang='en' target unigram model over the raw-corpus model
+    (add-0.5 smoothing). One word-keyed count aggregate serves both
+    models; the model joins back by SHUFFLE join (never broadcast)."""
+    from airbyte_destination_spark.functions.sampling import dsir_logratio
+
+    return dsir_logratio(_docs_wide(spark, sf_dir), F.col("lang") == "en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -1918,6 +1958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "contamination": q_contamination,
         "repetition_ratio": q_repetition_ratio,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "timeseries_fill": q_timeseries_fill,
+        "dsir_logratio": q_dsir_logratio,
     }
 
 
@@ -3517,5 +3561,97 @@ FROM state
             )
             SELECT node AS user_id, MIN(r) AS component
             FROM reach GROUP BY node
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            ), u AS (
+              SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', count(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', count(*) FROM s3
+            )
+            SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+                   round(n_users / first_value(n_users)
+                         OVER (ORDER BY step_idx), 6) AS conv_pct
+            FROM u
+        """,
+        "retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                       * 86400000 AS day
+              FROM events
+            ), f AS (
+              SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id
+            ), cn AS (
+              SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+              FROM f GROUP BY cohort
+            ), grid AS (
+              SELECT f.cohort,
+                     CAST((ud.day - f.cohort) / 86400000 AS INT) AS day_offset,
+                     CAST(count(*) AS BIGINT) AS n_active
+              FROM ud JOIN f USING (user_id)
+              WHERE (ud.day - f.cohort) / 86400000 <= 14
+              GROUP BY 1, 2
+            )
+            SELECT grid.cohort AS cohort_day_ms, day_offset, n_active,
+                   cohort_n, round(n_active / cohort_n, 6) AS retention_pct
+            FROM grid JOIN cn USING (cohort)
+        """,
+        "timeseries_fill": """
+            WITH agg AS (
+              SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                       * 86400000 AS day_ms,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 4) AS total
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), grid AS (
+              SELECT unnest(generate_series(
+                       (SELECT min(day_ms) FROM agg),
+                       (SELECT max(day_ms) FROM agg),
+                       86400000)) AS day_ms
+            )
+            SELECT g.day_ms,
+                   coalesce(n_events, 0) AS n_events,
+                   coalesce(total, 0.0) AS total
+            FROM grid g LEFT JOIN agg USING (day_ms)
+        """,
+        "dsir_logratio": r"""
+            WITH w AS (
+              SELECT doc_id, is_t, w FROM (
+                SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ), vocab AS (
+              SELECT w, count(*) AS c_r, sum(is_t) AS c_t FROM w GROUP BY w
+            ), tot AS (
+              SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS _v FROM vocab
+            ), scored AS (
+              SELECT doc_id, count(*) AS n_words,
+                     round(avg(ln((c_t + 0.5) / (n_t + 0.5 * _v))
+                             - ln((c_r + 0.5) / (n_r + 0.5 * _v))), 6)
+                       AS dsir_score
+              FROM w JOIN vocab USING (w) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+                   dsir_score
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored USING (doc_id)
         """,
     }

@@ -1,0 +1,193 @@
+"""Product-analytics metrics over the event stream.
+
+The reference connector feeds a hosted analytics API whose headline
+read-side products are funnels, retention cohorts, and zero-filled
+time-series counters (the reference delegates these to its warehouse;
+see README "Propel" framing — the ingest side is `destination.go`).
+This module re-expresses those three read-side metric shapes as
+native DataFrame plans over the same events table the engine ingests,
+so a user of the hosted product can run the equivalent metric straight
+on the lake table.
+
+Scale notes (the part that matters at 10^10 events):
+
+- ``funnel`` is k-1 chained min-aggregate joins, all keyed on the
+  entity id: each stage's state is ONE row per user still in the
+  funnel (ids + one timestamp), never the event payload, and each
+  stage strictly shrinks. No per-user event arrays are ever
+  collected (`collect_list` per user is the classic funnel OOM at
+  10^9-event users); no window over the raw stream.
+- ``retention`` reuses one user-keyed shuffle for both the cohort
+  assignment (min day) and the activity set (distinct user-day), then
+  aggregates a grid that is at most |cohorts| x |offsets| rows.
+- ``timeseries_fill`` aggregates first (bucket-sized result), then
+  LEFT-joins a `sequence()`-generated bucket grid — the grid is
+  span-sized, generated distributed from a 1-row bounds aggregate,
+  never a driver loop.
+
+All outputs use epoch-ms bucket keys and 6dp-rounded rates so the
+DuckDB oracle replays them bit-for-bit (idiom shared with
+rollup_daily / lm_perplexity).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DAY_MS = 86_400_000
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many entities performed
+    ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, and so on.
+
+    Semantics: an entity reaches step i+1 iff it has an event of that
+    type with timestamp strictly greater than the EARLIEST time it
+    reached step i (the standard first-touch funnel; re-entry windows
+    are a threshold on the same join). Returns one row per step:
+    (step_idx, step, n_users, conv_pct) with conv_pct relative to
+    step 1, rounded to 6dp.
+
+    Plan: stage i is `filter(type=step_i) join reached_{i-1} on id,
+    where ts > t, groupBy id agg min(ts)` — the join carries only
+    (id, t) on the small side and each stage's output shrinks
+    monotonically. The final k-row union is aggregated with a k-row
+    window (k = len(steps), a constant).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = df.select(
+        F.col(id_col).alias("_fid"), F.col(type_col).alias("_ft"), F.col(ts_col).alias("_fts")
+    )
+    reached: DataFrame | None = None
+    per_step: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        ev = base.where(F.col("_ft") == step)
+        if reached is None:
+            cur = ev.groupBy("_fid").agg(F.min("_fts").alias("_t"))
+        else:
+            cur = (
+                ev.join(reached, "_fid")
+                .where(F.col("_fts") > F.col("_t"))
+                .groupBy("_fid")
+                .agg(F.min("_fts").alias("_t"))
+            )
+        reached = cur
+        per_step.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col("n_users").cast("long").alias("n_users"),
+            )
+        )
+    out = per_step[0]
+    for p in per_step[1:]:
+        out = out.unionByName(p)
+    # k rows total: the ordered window over them is not a scale concern
+    w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        "conv_pct",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6),
+    )
+
+
+def retention(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 14,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the DAY of their first
+    event; for each (cohort_day, day_offset<=max) report how many of
+    the cohort were active that day and the retention rate.
+
+    Returns (cohort_day_ms, day_offset, n_active, cohort_n,
+    retention_pct) — offset 0 is the cohort day itself, so
+    retention_pct(0) == 1.0 by construction (a cheap invariant check).
+
+    Plan: one user-keyed aggregate for cohort day, one distinct over
+    (user, day) for the activity set, an id-keyed join between the
+    two (both sides are per-user/per-user-day reductions of the scan,
+    not raw events), and a grid-sized final aggregate.
+    """
+    day_ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) / _DAY_MS).cast(
+        "long"
+    ) * _DAY_MS
+    ud = df.select(F.col(id_col).alias("_rid"), day_ms.alias("_day")).distinct()
+    first = ud.groupBy("_rid").agg(F.min("_day").alias("_cohort"))
+    cohort_n = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_n")
+    )
+    grid = (
+        ud.join(first, "_rid")
+        .withColumn(
+            "day_offset",
+            ((F.col("_day") - F.col("_cohort")) / _DAY_MS).cast("int"),
+        )
+        .where(F.col("day_offset") <= max_offset_days)
+        .groupBy("_cohort", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        grid.join(cohort_n, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_day_ms"),
+            "day_offset",
+            "n_active",
+            "cohort_n",
+            F.round(F.col("n_active") / F.col("cohort_n"), 6).alias(
+                "retention_pct"
+            ),
+        )
+    )
+
+
+def timeseries_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    where=None,
+) -> DataFrame:
+    """Zero-filled daily time series of (count, sum(value)): every day
+    between the first and last observed event appears, empty buckets
+    as explicit zeros — the gap-fill contract of a hosted time-series
+    metric endpoint (a chart cannot interpolate over missing rows).
+
+    Returns (day_ms, n_events, total) with total rounded to 4dp.
+
+    Plan: the scan aggregates to bucket rows first; the day grid is
+    `sequence(min, max, step)` exploded from the 1-row bounds
+    aggregate of THAT bucket table (span-sized, distributed), then a
+    LEFT join back. At web scale the joined sides are |days| rows —
+    the raw stream is touched exactly once.
+    """
+    base = df if where is None else df.where(where)
+    day_ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) / _DAY_MS).cast(
+        "long"
+    ) * _DAY_MS
+    agg = base.groupBy(day_ms.alias("day_ms")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("total"),
+    )
+    grid = (
+        agg.agg(F.min("day_ms").alias("lo"), F.max("day_ms").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_DAY_MS).cast("long"))
+            ).alias("day_ms")
+        )
+    )
+    return grid.join(agg, "day_ms", "left").select(
+        "day_ms",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )

@@ -155,3 +155,73 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    with Importance Resampling"): score every document by the mean
+    per-token log-ratio of an in-domain TARGET unigram model over the
+    RAW-corpus unigram model, both add-alpha smoothed. Positive score
+    means the document looks like the target domain; sampling with
+    probability proportional to exp(score) is importance resampling.
+    ``target_pred`` is a boolean Column marking the target rows
+    (e.g. `F.col("lang") == "en"`); the raw model is the whole input.
+
+      lr(w) = ln((c_t(w)+a)/(N_t+a·V)) − ln((c_r(w)+a)/(N_r+a·V))
+
+    Plan shape (the tfidf/lm_perplexity lesson applied): ONE word-keyed
+    count aggregate serves both models (conditional sum for the target
+    side — the target corpus is a subset, so one pass suffices); the
+    per-word table joins back to the doc word stream with a plain
+    SHUFFLE join on the word — never broadcast, a web vocabulary is
+    10^8+ rows. Totals ride in as a 1-row cross join. Per-doc score is
+    round(avg(lr), 6) (same FP-jitter absorption as lm_perplexity, and
+    mean rather than sum keeps the score length-invariant).
+
+    Returns (doc_id, n_words, dsir_score); empty docs carry NULL score.
+    """
+    # _pos_words minus the position column, carrying the target flag
+    words = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_t"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    # one shuffle: raw count + conditional target count per word
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum("_is_t").alias("c_t"),
+    )
+    totals = vocab.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    lr = F.log(
+        (F.col("c_t") + F.lit(alpha)) / (F.col("n_t") + F.lit(alpha) * F.col("_v"))
+    ) - F.log(
+        (F.col("c_r") + F.lit(alpha)) / (F.col("n_r") + F.lit(alpha) * F.col("_v"))
+    )
+    scored = (
+        words.join(vocab.hint("shuffle_hash"), "w")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(lr), 6).alias("dsir_score"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            "dsir_score",
+        )
+    )

@@ -1,0 +1,128 @@
+"""Product-analytics metrics: funnel ordering, retention cohorts,
+time-series gap fill (functions/metrics.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from airbyte_destination_spark.functions.metrics import (
+    funnel,
+    retention,
+    timeseries_fill,
+)
+
+
+def _ts(d, h=0):
+    return datetime(2024, 1, d, h)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp, value double"
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, "view", _ts(1), 0.0),
+        (1, "click", _ts(2), 0.0),
+        (1, "purchase", _ts(3), 5.0),
+        # u2 clicks BEFORE viewing: click must not count; no purchase
+        (2, "click", _ts(1), 0.0),
+        (2, "view", _ts(2), 0.0),
+        # u3 views only
+        (3, "view", _ts(1), 0.0),
+        # u4 purchases without ever viewing: counts nowhere
+        (4, "purchase", _ts(1), 9.0),
+    ]
+    out = {
+        r["step"]: r.asDict()
+        for r in funnel(
+            _events(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1  # only u1; u2's click was too early
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conv_pct"] == 1.0
+    assert abs(out["purchase"]["conv_pct"] - 1 / 3) < 1e-6
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strictly-after semantics: click at the exact view instant is ambiguous
+    # ordering, not evidence of progression
+    rows = [(1, "view", _ts(1), 0.0), (1, "click", _ts(1), 0.0)]
+    out = {r["step"]: r["n_users"] for r in funnel(
+        _events(spark, rows), ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 0}
+
+
+def test_retention_offsets_and_rates(spark):
+    rows = [
+        # cohort day 1: u1 active d1,d2,d4; u2 active d1 only
+        (1, "view", _ts(1), 0.0),
+        (1, "view", _ts(2), 0.0),
+        (1, "view", _ts(4), 0.0),
+        (1, "view", _ts(1, h=5), 0.0),  # same-day dup must not double count
+        (2, "view", _ts(1), 0.0),
+        # cohort day 3: u3
+        (3, "view", _ts(3), 0.0),
+    ]
+    got = {
+        (r["cohort_day_ms"], r["day_offset"]): r.asDict()
+        for r in retention(_events(spark, rows)).collect()
+    }
+    d1 = int(datetime(2024, 1, 1).timestamp() * 1000)
+    d3 = d1 + 2 * 86400000
+    assert got[(d1, 0)]["n_active"] == 2 and got[(d1, 0)]["retention_pct"] == 1.0
+    assert got[(d1, 1)]["n_active"] == 1 and got[(d1, 1)]["retention_pct"] == 0.5
+    assert got[(d1, 3)]["n_active"] == 1
+    assert (d1, 2) not in got  # nobody active on day 3 from cohort 1
+    assert got[(d3, 0)]["cohort_n"] == 1
+
+
+def test_timeseries_fill_zero_buckets(spark):
+    rows = [
+        (1, "purchase", _ts(1), 2.0),
+        (1, "purchase", _ts(1, h=6), 3.5),
+        (2, "purchase", _ts(4), 1.0),
+        (2, "view", _ts(2), 99.0),  # filtered out
+    ]
+    out = {
+        r["day_ms"]: (r["n_events"], r["total"])
+        for r in timeseries_fill(
+            _events(spark, rows), where=F.col("event_type") == "purchase"
+        ).collect()
+    }
+    d1 = int(datetime(2024, 1, 1).timestamp() * 1000)
+    day = 86400000
+    assert len(out) == 4  # d1..d4 inclusive, gaps explicit
+    assert out[d1] == (2, 5.5)
+    assert out[d1 + day] == (0, 0.0)
+    assert out[d1 + 2 * day] == (0, 0.0)
+    assert out[d1 + 3 * day] == (1, 1.0)
+
+
+def test_dsir_score_prefers_target_like_docs(spark):
+    from airbyte_destination_spark.functions.sampling import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "alpha beta delta", "en"),
+            (3, "zeta eta theta", "de"),
+            (4, "alpha beta gamma", "de"),  # target-like text, raw lang
+            (5, "", "de"),  # empty: NULL score, still present
+        ],
+        "doc_id int, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_logratio(docs, F.col("lang") == "en").collect()
+    }
+    assert len(got) == 5 and got[5]["dsir_score"] is None
+    # docs made of target-frequent words outscore the non-target doc
+    assert got[4]["dsir_score"] > got[3]["dsir_score"]
+    assert got[1]["dsir_score"] == got[4]["dsir_score"]  # same text, same score
+    assert got[1]["n_words"] == 3

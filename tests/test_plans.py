@@ -315,3 +315,33 @@ def test_bloom_build_shuffles_ids_only(spark, tmp_path):
     plan = hashed.groupBy("f").count()._jdf.queryExecution().executedPlan().toString()
     # the scan feeding the exchange must not read the payload column
     assert "payload" not in plan, plan
+
+
+def test_dsir_vocab_join_not_broadcast(spark):
+    """dsir_logratio's per-word model table is vocabulary-sized — the
+    words->model join must be a shuffled hash join. The only broadcast
+    allowed in the plan is the 1-row totals cross join (a
+    BroadcastNestedLoopJoin over a scalar, like lm_perplexity's V)."""
+    from airbyte_destination_spark.functions.sampling import dsir_logratio
+    from airbyte_destination_spark.plans import executed_plan
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(dsir_logratio(docs, F.col("lang") == "en"))
+    # the WORD-keyed model join is pinned shuffled; the final doc_id
+    # left join is left to Catalyst (stats-sized, not hinted)
+    assert "ShuffledHashJoin [w" in plan, plan
+    assert "BroadcastHashJoin [w" not in plan, plan
+
+
+def test_funnel_no_cartesian_and_stage_joins_on_id(spark):
+    """funnel chains id-keyed joins whose small side is (id, ts) rows
+    of funnel survivors — no cartesian product, no per-user event
+    collection (no collect_list/sort_array aggregate in the plan)."""
+    from airbyte_destination_spark.functions.metrics import funnel
+    from airbyte_destination_spark.plans import executed_plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = executed_plan(funnel(ev, ["view", "click", "purchase"]))
+    assert "CartesianProduct" not in plan, plan
+    assert "collect_list" not in plan and "sort_array" not in plan, plan
