@@ -372,6 +372,23 @@ def _drop_episodes(rs: list[dict]) -> tuple[list[dict], int]:
     return kept, len(rs) - len(kept)
 
 
+def _peak_eff(used: list[dict]) -> float:
+    """SECONDARY metric, pre-declared: peak paired efficiency = each
+    side's BEST round among the clean non-episode set (max eps on BOTH
+    sides — the symmetric best-window estimate of the box's
+    uncontended ratio). Symmetric: a faster small-side window LOWERS
+    it, so it cannot one-sidedly inflate. The median stays the primary
+    number; a peak far above the median diagnoses ambient interference
+    inside the median's rounds (read both against per-round steal in
+    `rounds`)."""
+    ratio = used[0]["_ratio"] if "_ratio" in used[0] else 4
+    return round(
+        max(r["eps_large"] for r in used)
+        / (ratio * max(r["eps_small"] for r in used)),
+        4,
+    )
+
+
 def _run_scaling(
     n_small: int,
     scale_events: int,
@@ -529,11 +546,13 @@ def _run_scaling(
     )
     med_s = sorted(r["eps_small"] for r in used)[len(used) // 2]
     med_l = sorted(r["eps_large"] for r in used)[len(used) // 2]
+    eff_peak = _peak_eff(used)
     out = {
         "n_small": n_small, "n_large": n_large,
         "strategy": SCALE_STRATEGY,
         "eps_small": med_s, "eps_large": med_l,
         "efficiency": eff_median,
+        "efficiency_peak": eff_peak,
         "steal_filtered": len(clean) >= 2,
         # direction-neutral per-side outlier rejection (see
         # _drop_episodes): rounds where one side ran >1.4x off its own
@@ -791,8 +810,9 @@ def main() -> None:
         if not s:
             return None
         keys = ("n_small", "n_large", "eps_small", "eps_large",
-                "efficiency", "steal_filtered", "episode_rejected",
-                "rounds_used", "pinned", "pin_disjoint")
+                "efficiency", "efficiency_peak", "steal_filtered",
+                "episode_rejected", "rounds_used", "pinned",
+                "pin_disjoint")
         return {k: s[k] for k in keys if k in s}
 
     out = {

@@ -70,3 +70,17 @@ def test_small_sets_and_insufficient_survivors_untouched():
     ]
     kept, n = bench._drop_episodes(rounds)
     assert n == 0 and len(kept) == 4
+
+
+def test_peak_eff_is_symmetric_best_of_both_sides():
+    bench = _load_bench()
+    rounds = [
+        _round(100_000, 300_000),  # 0.75
+        _round(105_000, 340_000),  # 0.81: small side's best round
+        _round(100_000, 356_000),  # 0.89: large side's best round
+    ]
+    # peak pairs each side's own best (356k / (4 * 105k)), NOT the best
+    # single-round ratio (0.89) — a fast small-side window lowers it
+    assert bench._peak_eff(rounds) == round(356_000 / (4 * 105_000), 4)
+    # degenerate single-round set: peak == that round's efficiency
+    assert bench._peak_eff(rounds[:1]) == 0.75
