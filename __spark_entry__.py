@@ -1880,6 +1880,21 @@ def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logratio(_docs_wide(spark, sf_dir), F.col("lang") == "en")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: SemDeDup semantic dedup in embedding space —
+    kmeans cells (deterministic Lloyd's, same machinery as IVF),
+    within-cell cosine pairs above the corpus threshold, drop the
+    pair member closer to its centroid (keep the outlier). Every
+    vector surfaces with its keep verdict."""
+    from airbyte_destination_spark.functions.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # k scales with corpus size (paper: k ~ N/1000s) so cells stay
+    # bounded; 16 at the test SFs, matching the oracle's unrolled SQL
+    n_cells = max(16, emb.count() // 128)
+    return semdedup(emb, threshold=NDP_THRESHOLD, n_cells=n_cells)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -1962,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "timeseries_fill": q_timeseries_fill,
         "dsir_logratio": q_dsir_logratio,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2110,21 +2126,25 @@ def _cos_dd(x: str, y: str) -> str:
     )
 
 
-def _ivf_topk_oracle(iters: int = 2) -> str:
-    """Unrolls `kmeans_centroids`' fixed recurrence in SQL: seeds =
-    lowest-16 vectors, `iters` Lloyd steps of (nearest-cell assign,
-    per-dim mean), every centroid value rounded half-up to 6 dp with
-    the same floor(x*1e6+0.5)/1e6 expression the Spark driver uses —
-    centroids therefore match bit-for-bit and the probe/scan mechanics
-    reproduce the engine exactly."""
-    # cosine between a centroid double-list and a sample double-list
-    cos_cv = (
-        "list_sum(list_transform(range(1, 65), i -> c.cent[i] * v.emb[i]))"
-        " / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))"
-        " * sqrt(list_sum(list_transform(v.emb, x -> x * x))))"
-    )
-    r6 = "floor({} * 1000000 + 0.5) / 1000000"
-    avg64 = ", ".join(r6.format(f"avg(v.emb[{i}])") for i in range(1, 65))
+_R6_SQL = "floor({} * 1000000 + 0.5) / 1000000"
+# cosine between a centroid double-list (alias c) and a sample
+# double-list (alias v) — shared by every kmeans-derived oracle
+_COS_CV_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> c.cent[i] * v.emb[i]))"
+    " / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(v.emb, x -> x * x))))"
+)
+
+
+def _kmeans_assigned_prefix(iters: int = 2) -> str:
+    """Shared oracle prefix: unrolls `kmeans_centroids`' fixed
+    recurrence in SQL — seeds = lowest-16 vectors, `iters` Lloyd steps
+    of (nearest-cell assign, per-dim mean), every centroid value
+    rounded half-up to 6 dp with the same floor(x*1e6+0.5)/1e6
+    expression the Spark driver uses, so centroids match bit-for-bit.
+    Ends with `assigned(neighbor_id, cell)` = the full corpus assigned
+    to its nearest cent{iters} centroid; downstream CTEs append."""
+    avg64 = ", ".join(_R6_SQL.format(f"avg(v.emb[{i}])") for i in range(1, 65))
     steps = []
     for it in range(1, iters + 1):
         steps.append(f"""
@@ -2132,7 +2152,7 @@ assign{it} AS (
   SELECT vec_id, cell FROM (
     SELECT v.vec_id, c.cell,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {cos_cv} DESC, c.cell ASC) AS r
+                              ORDER BY {_COS_CV_SQL} DESC, c.cell ASC) AS r
     FROM s v, cent{it - 1} c
   ) WHERE r = 1
 ),
@@ -2143,7 +2163,7 @@ cent{it} AS (
     FROM assign{it} a JOIN s v USING (vec_id) GROUP BY a.cell
   ) n USING (cell)
 )""")
-    seed_r6 = r6.format("CAST(x AS DOUBLE)")
+    seed_r6 = _R6_SQL.format("CAST(x AS DOUBLE)")
     return f"""
 WITH s AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -2157,10 +2177,17 @@ assigned AS (
   SELECT vec_id AS neighbor_id, cell FROM (
     SELECT v.vec_id, c.cell,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {cos_cv} DESC, c.cell ASC) AS r
+                              ORDER BY {_COS_CV_SQL} DESC, c.cell ASC) AS r
     FROM s v, cent{iters} c
   ) WHERE r = 1
-),
+),"""
+
+
+def _ivf_topk_oracle(iters: int = 2) -> str:
+    """kmeans prefix (see _kmeans_assigned_prefix) + probe/scan
+    mechanics reproducing the engine exactly."""
+    cos_cv = _COS_CV_SQL
+    return _kmeans_assigned_prefix(iters) + f"""
 probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT v.vec_id, c.cell,
@@ -2186,6 +2213,42 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
 FROM ranked WHERE rank <= 5
+"""
+
+
+def _semdedup_oracle(threshold: float, iters: int = 2) -> str:
+    """SemDeDup over the kmeans prefix: per-vector centroid cosine,
+    within-cell pairwise cosine (both 6-dp half-up like the engine),
+    pairs >= threshold drop the member CLOSER to its centroid (ties
+    keep the lower id)."""
+    cent_cos = _R6_SQL.format(_COS_CV_SQL)
+    cos_ab = _R6_SQL.format(
+        "list_sum(list_transform(range(1, 65), i -> ea.emb[i] * eb.emb[i]))"
+        " / (sqrt(list_sum(list_transform(ea.emb, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(eb.emb, t -> t * t))))"
+    )
+    return _kmeans_assigned_prefix(iters) + f"""
+cc AS (
+  SELECT a.neighbor_id AS vec_id, a.cell, {cent_cos} AS cent_cos
+  FROM assigned a
+  JOIN s v ON v.vec_id = a.neighbor_id
+  JOIN cent{iters} c ON c.cell = a.cell
+),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.cent_cos AS ca, y.cent_cos AS cb,
+         {cos_ab} AS cos_ab
+  FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN s ea ON ea.vec_id = x.vec_id
+  JOIN s eb ON eb.vec_id = y.vec_id
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN a WHEN cb > ca THEN b
+                       ELSE greatest(a, b) END AS vec_id
+  FROM p WHERE cos_ab >= {threshold}
+)
+SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell, cc.cent_cos,
+       d.vec_id IS NULL AS keep
+FROM cc LEFT JOIN dropped d USING (vec_id)
 """
 
 
@@ -2939,6 +3002,7 @@ FROM state
         "ann_lsh_topk": _ann_topk_oracle(),
         "embedding_near_dup_pairs": _near_dup_oracle(),
         "ann_ivf_topk": _ivf_topk_oracle(),
+        "semdedup": _semdedup_oracle(NDP_THRESHOLD),
         "chunk_windows": """
             -- 32-word windows every 16 words; DuckDB list_slice end is
             -- INCLUSIVE, Spark slice takes a length

@@ -538,3 +538,102 @@ def embedding_near_dup_pairs(
     return scored.where(F.col("cos_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("cos_raw", 6).alias("cos_sim")
     )
+
+
+def _cell_cos_udf(cent_mat: list[list[float]], cell_ids: list[int]):
+    """Pandas UDF: cosine of each row's vector to its OWN assigned
+    cell's centroid, rounded half-up to 6 dp (the _round6 expression,
+    vectorized) — centroid matrix rides in the closure, so this is a
+    scan projection like _ranked_cells_udf."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cell_cos(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=float)
+        cm = np.asarray(cent_mat, dtype=np.float64)
+        idx = {c: i for i, c in enumerate(cell_ids)}
+        rows = cm[np.asarray([idx[int(c)] for c in cell])]
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        cos = (a * rows).sum(axis=1) / (
+            np.sqrt((a * a).sum(axis=1)) * np.sqrt((rows * rows).sum(axis=1))
+        )
+        return pd.Series(np.floor(cos * 1e6 + 0.5) / 1e6)
+
+    return _cell_cos
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in
+    embedding space. K-means partitions the corpus into cells; within
+    each cell every pair above the cosine threshold is a semantic
+    duplicate, and per dup pair the member CLOSER to its centroid is
+    dropped (the paper's keep-the-outlier rule: the far-from-centroid
+    example carries more information), ties keeping the lower id.
+
+    Returns one row per input vector: (vec_id, cell, cent_cos, keep)
+    — survivors AND dropped rows both surface, so a curation pipeline
+    routes rather than silently loses.
+
+    Scale shape: centroids come from `kmeans_centroids` (deterministic
+    6-dp Lloyd's, driver sees k rows); assignment and centroid-cosine
+    are Arrow scan projections against centroid literals — no shuffle,
+    no join. The pairwise stage is a self-join ON THE CELL — O(sum of
+    cell_size^2) comparisons, which is the SemDeDup design point: k is
+    chosen proportional to corpus size (the paper runs k=50k on LAION)
+    so cells stay O(corpus/k) and the quadratic term is bounded per
+    cell; callers at scale pass n_cells ~ n_vectors/128 (the driver
+    query does). Pair decisions use the 6-dp half-up-rounded cosine so
+    the keep verdict is engine-stable at the threshold boundary.
+    """
+    cell_ids, cent_mat = kmeans_centroids(
+        corpus, n_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    ranked = _ranked_cells_udf(cent_mat, cell_ids)
+    cc = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("nv")
+        )
+        .withColumn("cell", F.element_at(ranked(F.col("nv")), 1))
+        .withColumn(
+            "cent_cos", _cell_cos_udf(cent_mat, cell_ids)(F.col("nv"), F.col("cell"))
+        )
+    )
+    a = cc.select(
+        F.col("cell"), F.col("vec_id").alias("a"),
+        F.col("nv").alias("va"), F.col("cent_cos").alias("ca"),
+    )
+    b = cc.select(
+        F.col("cell"), F.col("vec_id").alias("b"),
+        F.col("nv").alias("vb"), F.col("cent_cos").alias("cb"),
+    )
+    cos_ab = _cos_pairs(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos_ab", F.floor(cos_ab * 1e6 + F.lit(0.5)) / 1e6)
+        .where(F.col("cos_ab") >= threshold)
+    )
+    dropped = pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("a"))
+        .when(F.col("cb") > F.col("ca"), F.col("b"))
+        .otherwise(F.greatest("a", "b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        cc.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "cent_cos",
+            F.col("_d").isNull().alias("keep"),
+        )
+    )

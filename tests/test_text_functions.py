@@ -511,3 +511,32 @@ def test_gopher_quality_rules(spark):
     assert out[5]["keep"] is False and out[5]["has_lorem"]
     assert out[1]["stop_distinct"] >= 2
     assert 0 < out[1]["frac_top_word"] <= 0.2
+
+
+def test_semdedup_drops_centroid_closer_member(spark):
+    from airbyte_destination_spark.functions.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed cell 1
+        (2, [100.0, 0.1, 0.0, 0.0]),  # near-parallel to v0: the dup pair
+        (3, [0.8, 0.6, 0.0, 0.0]),   # cos to v0 = 0.8 < threshold
+        (4, [0.0, 0.9, 0.3, 0.0]),   # cell 1, no partner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup(df, threshold=0.999, n_cells=2).collect()
+    }
+    assert len(got) == 5
+    pair = {0, 2}
+    dropped = {v for v, r in got.items() if not r["keep"]}
+    assert len(dropped) == 1 and dropped < pair
+    # the keep rule: the dropped member is the one CLOSER to its
+    # centroid (keep the outlier)
+    d = dropped.pop()
+    k = (pair - {d}).pop()
+    assert got[d]["cent_cos"] >= got[k]["cent_cos"]
+    assert got[d]["cell"] == got[k]["cell"]
+    for v in (1, 3, 4):
+        assert got[v]["keep"] is True
