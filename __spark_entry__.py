@@ -1895,6 +1895,27 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, threshold=NDP_THRESHOLD, n_cells=n_cells)
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: CCNet head/middle/tail perplexity bucketing —
+    corpus-trained bigram-LM scores routed by the corpus's own exact
+    perplexity quartiles (binary-fraction q so the interpolation is
+    bit-identical across engines); boundary row broadcast, assignment
+    is a scan projection."""
+    from airbyte_destination_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_docs_wide(spark, sf_dir), alpha=0.5)
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: the DSIR resampling step — keep each doc with
+    probability sigmoid(dsir_score) via the deterministic md5 coin;
+    probability 6dp-rounded before the comparison so the verdict is
+    engine-stable."""
+    from airbyte_destination_spark.functions.sampling import dsir_resample
+
+    return dsir_resample(_docs_wide(spark, sf_dir), F.col("lang") == "en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -1978,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_fill": q_timeseries_fill,
         "dsir_logratio": q_dsir_logratio,
         "semdedup": q_semdedup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "dsir_resample": q_dsir_resample,
     }
 
 
@@ -2521,6 +2544,70 @@ FROM live GROUP BY doc_key
 """
 
 
+_LM_PPL_SQL = r"""
+            WITH w AS (
+              SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ws
+                FROM documents
+              ), LATERAL (
+                SELECT unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {'pos': i, 'w': ws[i]})) AS x
+              ) u
+              WHERE u.x.w <> ''
+            ),
+            bi AS (
+              SELECT doc_id, w, w2 FROM (
+                SELECT doc_id, w,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM w
+              ) WHERE w2 IS NOT NULL
+            ),
+            uni AS (SELECT w, count(*) AS c1 FROM w GROUP BY w),
+            big AS (SELECT w, w2, count(*) AS c12 FROM bi GROUP BY w, w2),
+            v AS (SELECT count(*) AS _v FROM uni),
+            scored AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * _v))), 6)
+                       AS cross_entropy
+              FROM bi JOIN big USING (w, w2) JOIN uni USING (w) CROSS JOIN v
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   cross_entropy,
+                   round(exp(cross_entropy), 4) AS perplexity
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored USING (doc_id)
+        """
+
+_DSIR_SQL = r"""
+            WITH w AS (
+              SELECT doc_id, is_t, w FROM (
+                SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ), vocab AS (
+              SELECT w, count(*) AS c_r, sum(is_t) AS c_t FROM w GROUP BY w
+            ), tot AS (
+              SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS _v FROM vocab
+            ), scored AS (
+              SELECT doc_id, count(*) AS n_words,
+                     round(avg(ln((c_t + 0.5) / (n_t + 0.5 * _v))
+                             - ln((c_r + 0.5) / (n_r + 0.5 * _v))), 6)
+                       AS dsir_score
+              FROM w JOIN vocab USING (w) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+                   dsir_score
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored USING (doc_id)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_SQL,
@@ -3003,6 +3090,32 @@ FROM state
         "embedding_near_dup_pairs": _near_dup_oracle(),
         "ann_ivf_topk": _ivf_topk_oracle(),
         "semdedup": _semdedup_oracle(NDP_THRESHOLD),
+        "perplexity_buckets": f"""
+            WITH lm AS ({_LM_PPL_SQL}),
+            nn AS (SELECT perplexity FROM lm WHERE perplexity IS NOT NULL),
+            b AS (
+              SELECT round(quantile_cont(perplexity, 0.25), 6) AS p25,
+                     round(quantile_cont(perplexity, 0.75), 6) AS p75
+              FROM nn
+            )
+            SELECT doc_id, perplexity,
+                   CASE WHEN perplexity IS NULL THEN NULL
+                        WHEN perplexity <= p25 THEN 'head'
+                        WHEN perplexity <= p75 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM lm CROSS JOIN b
+        """,
+        "dsir_resample": f"""
+            WITH d AS ({_DSIR_SQL})
+            SELECT doc_id, dsir_score,
+                   round(1.0 / (1.0 + exp(-dsir_score)), 6) AS keep_prob,
+                   CASE WHEN dsir_score IS NULL THEN FALSE
+                        ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || ':dsir'), 1, 6))::BIGINT / 16777216.0
+                             < round(1.0 / (1.0 + exp(-dsir_score)), 6)
+                   END AS keep
+            FROM d
+        """,
         "chunk_windows": """
             -- 32-word windows every 16 words; DuckDB list_slice end is
             -- INCLUSIVE, Spark slice takes a length
@@ -3410,42 +3523,7 @@ FROM state
             WHERE b IS NOT NULL AND dist <= 10
             GROUP BY least(a, b), greatest(a, b)
         """,
-        "lm_perplexity": r"""
-            WITH w AS (
-              SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (
-                SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS ws
-                FROM documents
-              ), LATERAL (
-                SELECT unnest(list_transform(range(1, len(ws) + 1),
-                       i -> {'pos': i, 'w': ws[i]})) AS x
-              ) u
-              WHERE u.x.w <> ''
-            ),
-            bi AS (
-              SELECT doc_id, w, w2 FROM (
-                SELECT doc_id, w,
-                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-                FROM w
-              ) WHERE w2 IS NOT NULL
-            ),
-            uni AS (SELECT w, count(*) AS c1 FROM w GROUP BY w),
-            big AS (SELECT w, w2, count(*) AS c12 FROM bi GROUP BY w, w2),
-            v AS (SELECT count(*) AS _v FROM uni),
-            scored AS (
-              SELECT doc_id, count(*) AS n_bigrams,
-                     round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * _v))), 6)
-                       AS cross_entropy
-              FROM bi JOIN big USING (w, w2) JOIN uni USING (w) CROSS JOIN v
-              GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                   cross_entropy,
-                   round(exp(cross_entropy), 4) AS perplexity
-            FROM (SELECT DISTINCT doc_id FROM documents) d
-            LEFT JOIN scored USING (doc_id)
-        """,
+        "lm_perplexity": _LM_PPL_SQL,
         "block_dedup": r"""
             WITH ws AS (
               SELECT doc_id,
@@ -3693,29 +3771,5 @@ FROM state
                    coalesce(total, 0.0) AS total
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
-        "dsir_logratio": r"""
-            WITH w AS (
-              SELECT doc_id, is_t, w FROM (
-                SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
-                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-                FROM documents
-              ) WHERE w <> ''
-            ), vocab AS (
-              SELECT w, count(*) AS c_r, sum(is_t) AS c_t FROM w GROUP BY w
-            ), tot AS (
-              SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS _v FROM vocab
-            ), scored AS (
-              SELECT doc_id, count(*) AS n_words,
-                     round(avg(ln((c_t + 0.5) / (n_t + 0.5 * _v))
-                             - ln((c_r + 0.5) / (n_r + 0.5 * _v))), 6)
-                       AS dsir_score
-              FROM w JOIN vocab USING (w) CROSS JOIN tot
-              GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
-                   dsir_score
-            FROM (SELECT DISTINCT doc_id FROM documents) d
-            LEFT JOIN scored USING (doc_id)
-        """,
+        "dsir_logratio": _DSIR_SQL,
     }

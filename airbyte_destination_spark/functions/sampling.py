@@ -225,3 +225,41 @@ def dsir_logratio(
             "dsir_score",
         )
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_pred,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The resampling step completing DSIR: keep each document with
+    probability sigmoid(dsir_score) using the deterministic md5 coin
+    (hash_u01) — the same document gets the same verdict at any
+    parallelism, and the DuckDB oracle replays every decision.
+
+    keep_prob is rounded to 6 dp BEFORE the comparison: libm exp() may
+    differ in the last ulp across engines, and the u01 coin's grid is
+    2^-24 (~6e-8), so a 1e-6-rounded probability cannot flip a verdict
+    between engines unless exp() diverges by >5e-7 relative (it
+    doesn't). Docs with a NULL score (no tokens) are never kept.
+
+    Output: (doc_id, dsir_score, keep_prob, keep) — the score and coin
+    surface so a pipeline can re-threshold or re-temperature without
+    recomputing the models.
+    """
+    scored = dsir_logratio(
+        df, target_pred, id_col=id_col, text_col=text_col, alpha=alpha
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("dsir_score"))), 6)
+    u = hash_u01(F.col(id_col), salt)
+    return scored.select(
+        id_col,
+        "dsir_score",
+        prob.alias("keep_prob"),
+        F.when(F.col("dsir_score").isNull(), F.lit(False))
+        .otherwise(u < prob)
+        .alias("keep"),
+    )

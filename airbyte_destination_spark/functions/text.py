@@ -776,3 +776,46 @@ def gopher_quality(
         has_lorem.alias("has_lorem"),
         keep.alias("keep"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.4):
+    score every document with the corpus-trained bigram LM
+    (lm_perplexity) and route it to head / middle / tail by the
+    corpus's own perplexity quartiles — head = the most fluent
+    quarter, tail = the worst quarter, the bucket labels CCNet uses to
+    stage pretraining data quality.
+
+    Boundaries are EXACT quantile_cont at q=0.25/0.75 (binary
+    fractions, so the interpolation arithmetic is bit-identical across
+    engines) computed via stats.quantiles_exact — the
+    bounded-state histogram plan, never a global sort; the boundary
+    row is 1x2 and broadcast, so assignment stays a scan projection.
+    Docs with no bigram evidence carry a NULL bucket (a router must
+    see them, not lose them).
+
+    Returns (doc_id, perplexity, ppl_bucket).
+    """
+    from airbyte_destination_spark.functions.stats import quantiles_exact
+
+    ppl = lm_perplexity(df, id_col=id_col, text_col=text_col, alpha=alpha)
+    scored = ppl.where(F.col("perplexity").isNotNull()).withColumn(
+        "_g", F.lit(1)
+    )
+    bounds = quantiles_exact(scored, "perplexity", "_g", qs=(0.25, 0.75)).select(
+        "p25", "p75"
+    )
+    bucket = (
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+        .when(F.col("perplexity") <= F.col("p25"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("p75"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ppl.crossJoin(F.broadcast(bounds)).select(
+        id_col, "perplexity", bucket.alias("ppl_bucket")
+    )

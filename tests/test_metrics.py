@@ -126,3 +126,24 @@ def test_dsir_score_prefers_target_like_docs(spark):
     assert got[4]["dsir_score"] > got[3]["dsir_score"]
     assert got[1]["dsir_score"] == got[4]["dsir_score"]  # same text, same score
     assert got[1]["n_words"] == 3
+
+
+def test_dsir_resample_deterministic_and_null_safe(spark):
+    from airbyte_destination_spark.functions.sampling import dsir_resample
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en" if i % 2 else "de") for i in range(40)]
+        + [(999, "", "de")],
+        "doc_id int, text string, lang string",
+    )
+    out1 = {r["doc_id"]: r.asDict() for r in dsir_resample(
+        docs, F.col("lang") == "en").collect()}
+    out2 = {r["doc_id"]: r.asDict() for r in dsir_resample(
+        docs.repartition(7), F.col("lang") == "en").collect()}
+    assert out1 == out2  # verdicts independent of partitioning
+    assert out1[999]["keep"] is False and out1[999]["dsir_score"] is None
+    # identical text -> identical score/prob; verdicts differ only by coin
+    probs = {r["keep_prob"] for k, r in out1.items() if k != 999}
+    assert len(probs) == 1
+    kept = sum(r["keep"] for r in out1.values())
+    assert 0 < kept < 41  # the coin actually splits the corpus

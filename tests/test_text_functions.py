@@ -540,3 +540,26 @@ def test_semdedup_drops_centroid_closer_member(spark):
     assert got[d]["cell"] == got[k]["cell"]
     for v in (1, 3, 4):
         assert got[v]["keep"] is True
+
+
+def test_perplexity_buckets_quartiles_and_null_route(spark):
+    from airbyte_destination_spark.functions.text import perplexity_buckets
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 5} common words here {i % 3}") for i in range(20)]
+    rows.append((99, "solo"))  # 1 word -> no bigrams -> NULL bucket
+    out = perplexity_buckets(
+        spark.createDataFrame(rows, "doc_id int, text string")
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert len(got) == 21
+    assert got[99]["ppl_bucket"] is None and got[99]["perplexity"] is None
+    counts = {}
+    for r in out:
+        counts[r["ppl_bucket"]] = counts.get(r["ppl_bucket"], 0) + 1
+    # head <= 25% of scored docs (ties can spill), every scored doc routed
+    assert set(counts) <= {"head", "middle", "tail", None}
+    assert counts.get("head", 0) >= 1 and counts.get("tail", 0) >= 1
+    # bucket ordering is consistent with perplexity ordering
+    hp = max(r["perplexity"] for r in out if r["ppl_bucket"] == "head")
+    tp = min(r["perplexity"] for r in out if r["ppl_bucket"] == "tail")
+    assert hp <= tp
