@@ -1916,6 +1916,48 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(_docs_wide(spark, sf_dir), F.col("lang") == "en")
 
 
+def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel (applyInPandasWithState +
+    EventTimeTimeout) run to completion with availableNow: per-user
+    state machine over view -> click -> purchase with WATERMARK-ORDERED
+    buffered folding, so cross-batch reordering inside the watermark
+    cannot change a verdict vs the batch funnel. Events above the final
+    watermark (max ts - 30 min) stay buffered — the oracle truncates
+    the event stream at the same boundary."""
+    import tempfile
+
+    from airbyte_destination_spark.streaming.stateful import funnel_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    work = tempfile.mkdtemp(prefix="funnel-stream-")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100000")  # one data batch
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            "event_type",
+        )
+    )
+    q = (
+        funnel_stream(stream, ["view", "click", "purchase"])
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("funnel stream did not finish")
+    q.stop()
+    return spark.read.schema("user_id long, converted_ms long").parquet(
+        f"{work}/out"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -2001,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "perplexity_buckets": q_perplexity_buckets,
         "dsir_resample": q_dsir_resample,
+        "funnel_stream": q_funnel_stream,
     }
 
 
@@ -3104,6 +3147,29 @@ FROM state
                         WHEN perplexity <= p75 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM lm CROSS JOIN b
+        """,
+        "funnel_stream": """
+            -- the stream's final watermark is max(ts) - 30 min; events
+            -- above it stay buffered, so the oracle folds the funnel
+            -- over events AT OR BELOW that boundary only
+            WITH wm AS (
+              SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events
+            ), e AS (
+              SELECT user_id, event_type, epoch_ms(ts) AS ms
+              FROM events CROSS JOIN wm WHERE epoch_ms(ts) <= wm_ms
+            ), s1 AS (
+              SELECT user_id, min(ms) AS t FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(ms) AS t
+              FROM e JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ms > s1.t GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(ms) AS t
+              FROM e JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ms > s2.t GROUP BY e.user_id
+            )
+            SELECT user_id, t AS converted_ms FROM s3
         """,
         "dsir_resample": f"""
             WITH d AS ({_DSIR_SQL})

@@ -164,3 +164,108 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("converted_ms", T.LongType(), False),
+    ]
+)
+
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("step", T.IntegerType(), True),   # steps completed
+        T.StructField("t", T.LongType(), True),          # ts of last completed
+        T.StructField("done", T.IntegerType(), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_step", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def _funnel_fn_factory(n_steps: int):
+    """Per-user funnel state machine with WATERMARK-ORDERED processing:
+    incoming events buffer until the event-time watermark passes them,
+    then fold in event-time order — so cross-batch event reordering
+    inside the watermark cannot produce a different verdict than the
+    batch funnel (the CEP-engine discipline). Events above the final
+    watermark stay buffered, exactly the boundary the oracle models."""
+
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        step, t, done, buf_ts, buf_step = (
+            state.get if state.exists else (0, None, 0, [], [])
+        )
+        buf_ts = list(buf_ts or [])
+        buf_step = list(buf_step or [])
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf_ts.extend(int(x) for x in pdf["ts_ms"])
+                buf_step.extend(int(x) for x in pdf["step_idx"])
+        wm = state.getCurrentWatermarkMs()
+        if done:
+            state.update((step, t, 1, [], []))
+            return
+        # fold every buffered event at or below the watermark, in
+        # event-time order (stable tiebreak on step index so an equal-ts
+        # earlier step folds first — it still cannot advance a later
+        # step at the same ts because progression is strictly-after)
+        ripe = sorted(
+            ((ts, s) for ts, s in zip(buf_ts, buf_step) if ts <= wm)
+        )
+        rest = [(ts, s) for ts, s in zip(buf_ts, buf_step) if ts > wm]
+        for ts, s in ripe:
+            if s == step and (step == 0 or ts > t):
+                step += 1
+                t = ts
+                if step == n_steps:
+                    done = 1
+                    rest = []
+                    break
+        state.update(
+            (step, t, done, [x for x, _ in rest], [s for _, s in rest])
+        )
+        if rest:
+            # wake when the watermark can pass the oldest buffered event
+            state.setTimeoutTimestamp(max(min(x for x, _ in rest) + 1, wm + 1))
+        if done:
+            yield pd.DataFrame({"user_id": [user_id], "converted_ms": [t]})
+
+    return _fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "30 minutes",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered funnel: emit (user_id, converted_ms) the
+    moment a user completes every step of `steps` strictly in order
+    (first-touch semantics, identical to functions.metrics.funnel).
+
+    events: a readStream DataFrame with (user_id long, ts_ms long,
+    event_type string). Non-step events are filtered before the
+    shuffle; step names map to indices so state holds ints only.
+    State per user is the step cursor plus a buffer of events still
+    above the watermark — bounded by the user's event rate within one
+    watermark window, not stream length; converted users keep a
+    tombstone flag so re-entries never double-emit."""
+    idx = F.lit(None).cast("int")
+    for i, s in enumerate(steps):
+        idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx)
+    ev = (
+        events.withColumn("step_idx", idx)
+        .where(F.col("step_idx").isNotNull())
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "ts_ms", "step_idx")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn_factory(len(steps)),
+        FUNNEL_OUTPUT,
+        FUNNEL_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
