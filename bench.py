@@ -730,7 +730,16 @@ def main() -> None:
     from airbyte_destination_spark.streaming.pipeline import IngestConfig, apply_change_batch
 
     mor = None
-    if workdir is not None and not _over_budget():
+    # MOR is a headline metric (the at-scale strategy) and costs well
+    # under a minute at default sizes — give it a 1.2x overrun
+    # allowance instead of the plain budget gate, which skipped it
+    # whenever an extended scaling_low round-loop crossed 900s while
+    # the LESS informative ceiling-bound 8->32 phase still ran. The
+    # squeeze lands on 8->32 (which already self-shrinks) first.
+    mor_deadline = BENCH_BUDGET_SEC * float(
+        os.environ.get("SPARK_GRAFT_MOR_OVERRUN", "1.2")
+    )
+    if workdir is not None and time.time() - _T_START < mor_deadline:
         _quiesce()  # cdc subprocess teardown must not bleed in
         mor_work = _scratch("bench-mor-")
         mor_table = LakeTable(os.path.join(mor_work, "t"))
