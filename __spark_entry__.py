@@ -1958,6 +1958,29 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics: top-10 users by purchase revenue — one map-side-
+    combined dimension aggregate, then DISTRIBUTED top-k
+    (TakeOrderedAndProject), rank window over k rows only."""
+    from airbyte_destination_spark.functions.metrics import leaderboard
+
+    return leaderboard(
+        _t(spark, sf_dir, "events"), k=10,
+        where=F.col("event_type") == "purchase",
+    )
+
+
+def q_counter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics: this-week-vs-last-week purchase counter anchored on
+    the data's max day — two scan-fused conditional aggregates, one
+    row out, delta NULL when the previous period is empty."""
+    from airbyte_destination_spark.functions.metrics import counter_compare
+
+    return counter_compare(
+        _t(spark, sf_dir, "events"), where=F.col("event_type") == "purchase"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -2044,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "dsir_resample": q_dsir_resample,
         "funnel_stream": q_funnel_stream,
+        "leaderboard": q_leaderboard,
+        "counter_compare": q_counter_compare,
     }
 
 
@@ -3147,6 +3172,45 @@ FROM state
                         WHEN perplexity <= p75 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM lm CROSS JOIN b
+        """,
+        "leaderboard": """
+            WITH agg AS (
+              SELECT user_id AS dim, CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 4) AS total
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            ), top AS (
+              SELECT * FROM agg ORDER BY total DESC, dim ASC LIMIT 10
+            )
+            SELECT CAST(row_number() OVER (ORDER BY total DESC, dim ASC)
+                        AS INT) AS rank,
+                   dim AS user_id, n_events, total
+            FROM top
+        """,
+        "counter_compare": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                       * 86400000 AS d, value AS v
+              FROM events WHERE event_type = 'purchase'
+            ), mx AS (SELECT max(d) AS mx FROM d),
+            agg AS (
+              SELECT
+                CAST(sum(CASE WHEN d > mx - 604800000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cur_n,
+                round(sum(CASE WHEN d > mx - 604800000
+                               THEN v ELSE 0 END), 4) AS cur_total,
+                CAST(sum(CASE WHEN d <= mx - 604800000
+                               AND d > mx - 1209600000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS prev_n,
+                round(sum(CASE WHEN d <= mx - 604800000
+                               AND d > mx - 1209600000
+                               THEN v ELSE 0 END), 4) AS prev_total
+              FROM d CROSS JOIN mx
+            )
+            SELECT cur_n, cur_total, prev_n, prev_total,
+                   CASE WHEN prev_total <> 0
+                        THEN round((cur_total - prev_total) / prev_total, 6)
+                   END AS delta_pct
+            FROM agg
         """,
         "funnel_stream": """
             -- the stream's final watermark is max(ts) - 30 min; events

@@ -191,3 +191,89 @@ def timeseries_fill(
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         F.coalesce("total", F.lit(0.0)).alias("total"),
     )
+
+
+def leaderboard(
+    df: DataFrame,
+    dim_col: str = "user_id",
+    value_col: str = "value",
+    k: int = 10,
+    where=None,
+) -> DataFrame:
+    """Leaderboard metric: top-k dimension values by sum(value), with
+    rank. Returns (rank, dim, n_events, total) — total 4dp-rounded,
+    ties ranked by (total desc, dim asc) so results are reproducible.
+
+    Plan: one map-side-combined aggregate on the dimension, then
+    DISTRIBUTED top-k — `orderBy().limit(k)` plans as
+    TakeOrderedAndProject (each partition keeps its own k, the driver
+    merges k*partitions rows), never a single-partition sort of the
+    full dimension table; the rank window runs over k rows.
+    """
+    base = df if where is None else df.where(where)
+    agg = base.groupBy(F.col(dim_col).alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("total"),
+    )
+    top = agg.orderBy(F.col("total").desc(), F.col("dim").asc()).limit(k)
+    w = Window.orderBy(F.col("total").desc(), F.col("dim").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col("dim").alias(dim_col), "n_events", "total"
+    )
+
+
+def counter_compare(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    where=None,
+) -> DataFrame:
+    """Counter metric with a previous-period comparison: sum(value) and
+    event count over the LAST `window_days` days of the stream vs the
+    `window_days` immediately before, plus the relative delta — the
+    "this week vs last week" tile of a hosted counter endpoint.
+
+    The current window is (max_day - window, max_day] in whole days,
+    anchored on the data's own max day so the metric is deterministic
+    for a replayed log. Returns ONE row: (cur_n, cur_total, prev_n,
+    prev_total, delta_pct) — delta NULL when the previous period is
+    empty (a 0-division is a dashboard lie). Two scan-fused conditional
+    aggregates; no join, no shuffle beyond the single global aggregate.
+    """
+    base = df if where is None else df.where(where)
+    day_ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) / _DAY_MS).cast(
+        "long"
+    ) * _DAY_MS
+    span = window_days * _DAY_MS
+    withd = base.select(day_ms.alias("d"), F.col(value_col).alias("v"))
+    mx = withd.agg(F.max("d").alias("mx"))
+    j = withd.crossJoin(F.broadcast(mx))
+    cur = F.col("d") > F.col("mx") - span
+    prev = (F.col("d") <= F.col("mx") - span) & (
+        F.col("d") > F.col("mx") - 2 * span
+    )
+    out = j.agg(
+        F.sum(cur.cast("long")).alias("cur_n"),
+        F.round(F.sum(F.when(cur, F.col("v")).otherwise(0.0)), 4).alias(
+            "cur_total"
+        ),
+        F.sum(prev.cast("long")).alias("prev_n"),
+        F.round(F.sum(F.when(prev, F.col("v")).otherwise(0.0)), 4).alias(
+            "prev_total"
+        ),
+    )
+    return out.select(
+        "cur_n",
+        "cur_total",
+        "prev_n",
+        "prev_total",
+        F.when(
+            F.col("prev_total") != 0,
+            F.round(
+                (F.col("cur_total") - F.col("prev_total"))
+                / F.col("prev_total"),
+                6,
+            ),
+        ).alias("delta_pct"),
+    )

@@ -147,3 +147,54 @@ def test_dsir_resample_deterministic_and_null_safe(spark):
     assert len(probs) == 1
     kept = sum(r["keep"] for r in out1.values())
     assert 0 < kept < 41  # the coin actually splits the corpus
+
+
+def test_leaderboard_rank_and_ties(spark):
+    from airbyte_destination_spark.functions.metrics import leaderboard
+
+    rows = [
+        (1, "purchase", _ts(1), 10.0),
+        (1, "purchase", _ts(2), 5.0),
+        (2, "purchase", _ts(1), 15.0),  # ties user 1 on total
+        (3, "purchase", _ts(1), 20.0),
+        (4, "view", _ts(1), 99.0),      # filtered out
+        (5, "purchase", _ts(1), 1.0),
+    ]
+    out = leaderboard(
+        _events(spark, rows), k=3, where=F.col("event_type") == "purchase"
+    ).collect()
+    assert [(r["rank"], r["user_id"], r["total"]) for r in out] == [
+        (1, 3, 20.0),
+        (2, 1, 15.0),  # tie at 15.0 broken by lower user_id
+        (3, 2, 15.0),
+    ]
+    assert out[1]["n_events"] == 2
+
+
+def test_counter_compare_windows_and_null_delta(spark):
+    from airbyte_destination_spark.functions.metrics import counter_compare
+
+    rows = [
+        # current window: days 9..15 (max day 15, 7-day window)
+        (1, "purchase", _ts(15), 10.0),
+        (1, "purchase", _ts(9), 5.0),
+        # previous window: days 2..8
+        (2, "purchase", _ts(8), 5.0),
+        (2, "purchase", _ts(2), 5.0),
+        # outside both
+        (3, "purchase", _ts(1), 100.0),
+        (3, "view", _ts(15), 7.0),  # filtered
+    ]
+    r = counter_compare(
+        _events(spark, rows), where=F.col("event_type") == "purchase"
+    ).collect()[0]
+    assert (r["cur_n"], r["cur_total"]) == (2, 15.0)
+    assert (r["prev_n"], r["prev_total"]) == (2, 10.0)
+    assert r["delta_pct"] == 0.5
+
+    # empty previous period -> NULL delta, not a zero-division
+    r2 = counter_compare(
+        _events(spark, [(1, "purchase", _ts(3), 4.0)]),
+        where=F.col("event_type") == "purchase",
+    ).collect()[0]
+    assert r2["prev_n"] == 0 and r2["delta_pct"] is None
