@@ -1981,6 +1981,30 @@ def q_counter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of the change log: every non-delete change
+    opens a [valid_from, valid_to) version row, the key's next change
+    (update OR delete) closes it, open rows flag is_current. ONE keyed
+    window (hash exchange + in-partition sort), no log self-join —
+    operators/scd.py."""
+    from airbyte_destination_spark.operators.scd import scd2_history
+
+    return scd2_history(_cdc_events(spark, sf_dir), ["doc_key"])
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-20 documents for a 3-term query. The
+    query-term filter fuses into the word explode so tf/df aggregate
+    over |terms| keys; the one corpus-sized aggregate is per-doc
+    length; top-k plans as TakeOrderedAndProject
+    (functions/text.py bm25_topk)."""
+    from airbyte_destination_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["join", "vector", "scan"], k=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
@@ -2069,6 +2093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stream": q_funnel_stream,
         "leaderboard": q_leaderboard,
         "counter_compare": q_counter_compare,
+        "scd2_history": q_scd2_history,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3902,4 +3928,54 @@ FROM state
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
         "dsir_logratio": _DSIR_SQL,
+        "scd2_history": """
+            WITH log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D'
+                          ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), h AS (
+              SELECT *, lead(change_lsn) OVER (
+                       PARTITION BY doc_key ORDER BY change_lsn
+                     ) AS valid_to
+              FROM log
+            )
+            SELECT doc_key, change_lsn AS valid_from, valid_to,
+                   valid_to IS NULL AS is_current, event_type, value
+            FROM h WHERE op <> 'D'
+        """,
+        "bm25_topk": r"""
+            -- Okapi BM25, query = {join, scan, vector}, k1=1.2 b=0.75;
+            -- per-term contributions rounded to 6dp before the per-doc
+            -- sum (same cross-engine discipline as tfidf_topk)
+            WITH w AS (
+              SELECT doc_id, u.w AS w
+              FROM documents,
+                   LATERAL unnest(string_split_regex(lower(text), '\s+')) u(w)
+              WHERE u.w <> ''
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+            s AS (
+              SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     CAST(count(*) AS DOUBLE) AS n_docs
+              FROM dl
+            ),
+            q AS (
+              SELECT doc_id, w, count(*) AS tf FROM w
+              WHERE w IN ('join', 'scan', 'vector') GROUP BY doc_id, w
+            ),
+            idf AS (SELECT w, count(DISTINCT doc_id) AS df FROM q GROUP BY w),
+            per AS (
+              SELECT q.doc_id,
+                     round(ln(1 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                           * q.tf * 2.2
+                           / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                           6) AS c
+              FROM q JOIN dl USING (doc_id) JOIN idf USING (w) CROSS JOIN s
+            )
+            SELECT doc_id, round(sum(c), 6) AS bm25
+            FROM per GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
     }

@@ -819,3 +819,82 @@ def perplexity_buckets(
     return ppl.crossJoin(F.broadcast(bounds)).select(
         id_col, "perplexity", bucket.alias("ppl_bucket")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms.
+
+    score(d) = sum over query terms t of
+      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) — the Robertson/
+    Sparck-Jones form, always positive.
+
+    Scale shape: the query-term filter lands INSIDE the word-explode
+    projection, so tf and df aggregate over |terms| keys only — tiny;
+    the one corpus-sized aggregate is the per-doc length (doc-keyed,
+    map-side combined), and tf joins it doc-keyed. The |terms|-row idf
+    side is broadcast — bounded by the QUERY, not the corpus, so it is
+    the one justified broadcast in this family (contrast tfidf_topk,
+    whose docfreq is vocabulary-sized and must shuffle). avgdl/N ride
+    a 1-row cross join. Final top-k is orderBy().limit(k) =
+    TakeOrderedAndProject: per-partition k, driver merges k×partitions
+    rows, never a global sort.
+
+    Per-term contributions round to 6 dp before the per-doc sum and
+    ties order by doc id, so the top-k set is reproducible across
+    engines (same discipline as tfidf_topk/lm_perplexity).
+    """
+    terms = sorted(set(query_terms))
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scalars = doclen.agg(
+        # exact-int sum/count then one divide: avg() accumulates in
+        # partition order and could drift a ulp vs the oracle engine
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    qwords = words.where(F.col("w").isin(terms))
+    tf = qwords.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = qwords.groupBy("w").agg(F.countDistinct(id_col).alias("df"))
+    per_term = (
+        tf.join(doclen, id_col)
+        .crossJoin(scalars)
+        .join(F.broadcast(docfreq), "w")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

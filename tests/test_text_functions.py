@@ -563,3 +563,48 @@ def test_perplexity_buckets_quartiles_and_null_route(spark):
     hp = max(r["perplexity"] for r in out if r["ppl_bucket"] == "head")
     tp = min(r["perplexity"] for r in out if r["ppl_bucket"] == "tail")
     assert hp <= tp
+
+
+def test_bm25_topk_ranking_and_reference(spark):
+    """BM25 against a hand-computed reference on a 4-doc corpus."""
+    import math
+
+    from airbyte_destination_spark.functions.text import bm25_topk
+
+    docs = [
+        (1, "join join join hash"),          # heavy tf on one term
+        (2, "join scan vector"),             # hits all three terms, short
+        (3, "sort order group by window"),   # no hits
+        (4, "scan scan scan scan scan scan scan scan"),  # long, one term
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, ["join", "scan", "vector"], k=10).collect()}
+    assert 3 not in got  # no query term -> no row
+
+    # reference arithmetic (k1=1.2, b=0.75), per-term 6dp then sum
+    dls = {1: 4, 2: 3, 4: 8}
+    avgdl = (4 + 3 + 5 + 8) / 4.0
+    n = 4.0
+    tfs = {1: {"join": 3}, 2: {"join": 1, "scan": 1, "vector": 1}, 4: {"scan": 8}}
+    dfs = {"join": 2, "scan": 2, "vector": 1}
+    for d, terms in tfs.items():
+        exp = 0.0
+        for t, tf in terms.items():
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            exp += round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl)), 6)
+        assert abs(got[d] - round(exp, 6)) < 1e-9, (d, got[d], exp)
+    # doc 2 (all three terms, short) must outrank the single-term docs
+    assert got[2] > got[1] and got[2] > got[4]
+
+
+def test_bm25_topk_plans_take_ordered(spark):
+    from airbyte_destination_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "join scan vector join") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        bm25_topk(df, ["join", "scan"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global sort
