@@ -103,3 +103,126 @@ def scd2_apply(
         op_col=op_col,
         delete_op=delete_op,
     )
+
+
+# ----------------------------------------------------- materialized history
+
+_SCD2_CONSUMER = "__scd2"
+
+
+def create_history(base, history_root: str, n_buckets: int = 32):
+    """Create the materialized SCD2 history table for a lake table.
+
+    The history is itself a lake table — it inherits snapshots,
+    exactly-once epoch markers, zone maps and time travel — keyed
+    (base_key, valid_from) but BUCKETED on the base key alone, so
+    closing a key's open row and reading a key's full history both
+    prune to one bucket (`read_prefix`, the secondary-index layout).
+
+    Granularity: the windowed `scd2_history` operator derives
+    change-lsn-granular history from the raw log; this materialization
+    observes the table's COMMIT snapshots through `poll_changes`, so
+    `valid_from`/`valid_to` are commit versions and changes that
+    collapse inside one poll window (net CDF) yield one version row —
+    the Debezium-incremental-snapshot trade, documented not hidden.
+    `h_ver` (= valid_to once closed, else valid_from) is the LWW
+    version: the closed image of a row always outranks its open image.
+    """
+    from pyspark.sql import types as T
+
+    m = base.manifest()
+    if len(m["key_cols"]) != 1:
+        raise ValueError("materialized SCD2 supports single-column base keys")
+    key = m["key_cols"][0]
+    schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+    fields = [schema[key], T.StructField("valid_from", T.LongType(), False)]
+    fields += [f for f in schema.fields if f.name != key]
+    fields += [
+        T.StructField("valid_to", T.LongType(), True),
+        T.StructField("is_current", T.BooleanType(), False),
+        T.StructField("h_ver", T.LongType(), False),
+    ]
+    from airbyte_destination_spark.lake import LakeTable
+
+    hist = LakeTable(history_root)
+    hist.create(
+        T.StructType(fields),
+        key_cols=[key, "valid_from"],
+        version_col="h_ver",
+        n_buckets=n_buckets,
+        bucket_cols=[key],
+    )
+    return hist
+
+
+def refresh_history(spark, base, hist, max_point_keys: int = 100_000):
+    """Advance the materialized history to the base's current snapshot.
+
+    Rides the engine's own machinery end-to-end: `poll_changes
+    (pre_images=True)` supplies the net change window, inserts /
+    update-postimages open version rows at the window's end version,
+    deletes / update-preimages close the touched keys' OPEN rows —
+    fetched via the bucket-pruned `read_prefix` point path when the
+    closing-key set is small, falling back to a current-slice semijoin
+    scan past `max_point_keys` (the analytical-batch shape). The merge
+    lands under epoch `scd2-<v_to>` and the offset acks after, so a
+    lost ack re-polls the same window and the epoch marker skips the
+    re-application — exactly-once, same as the secondary index.
+
+    Returns the base version the history now reflects, or None when
+    already current. History begins at the first refresh: the
+    bootstrap poll opens every live key at that version.
+    """
+    m = base.manifest()
+    key = m["key_cols"][0]
+    changes, v_to = base.poll_changes(spark, _SCD2_CONSUMER, pre_images=True)
+    if changes is None:
+        return None
+    ct = F.col("change_type")
+    payload = [c for c in changes.columns if c not in (key, "change_type")]
+    opens = changes.where(ct.isin("insert", "update_postimage")).select(
+        F.col(key),
+        F.lit(v_to).cast("long").alias("valid_from"),
+        *payload,
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(v_to).cast("long").alias("h_ver"),
+        F.lit("U").alias("op"),
+    )
+    closing = changes.where(ct.isin("delete", "update_preimage")).select(key).distinct()
+    probe = closing.limit(max_point_keys + 1).collect()
+    if len(probe) <= max_point_keys:
+        open_rows = (
+            hist.read_prefix(spark, [r[0] for r in probe]).where(F.col("is_current"))
+            if probe
+            else None
+        )
+    else:  # analytical-scale window: one current-slice semijoin scan
+        open_rows = (
+            hist.read(spark).where(F.col("is_current")).join(closing, key, "left_semi")
+        )
+    batch = opens
+    if open_rows is not None:
+        closes = open_rows.select(
+            F.col(key),
+            "valid_from",
+            *payload,
+            F.lit(v_to).cast("long").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+            F.lit(v_to).cast("long").alias("h_ver"),
+            F.lit("U").alias("op"),
+        )
+        batch = opens.unionByName(closes)
+    hist.merge(batch, epoch_id=f"scd2-{v_to}")
+    base.ack(_SCD2_CONSUMER, v_to)
+    return v_to
+
+
+def history_as_of(spark, hist, version: int) -> DataFrame:
+    """Reconstruct the base table's state at an observed commit version
+    from the history alone: rows whose validity interval covers it.
+    Plain filtered scan — time travel without touching the base."""
+    return hist.read(spark).where(
+        (F.col("valid_from") <= version)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > version))
+    )
