@@ -1981,6 +1981,15 @@ def q_counter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets from ONE
+    scan — Expand ×4 before a single map-side-combined aggregate, so
+    the shuffle carries cells, not events (functions/metrics.py)."""
+    from airbyte_destination_spark.functions.metrics import cube_rollup
+
+    return cube_rollup(_t(spark, sf_dir, "events"))
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history of the change log: every non-delete change
     opens a [valid_from, valid_to) version row, the key's next change
@@ -2095,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_compare": q_counter_compare,
         "scd2_history": q_scd2_history,
         "bm25_topk": q_bm25_topk,
+        "cube_rollup": q_cube_rollup,
     }
 
 
@@ -3928,6 +3938,15 @@ FROM state
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
         "dsir_logratio": _DSIR_SQL,
+        "cube_rollup": """
+            SELECT event_type AS dim,
+                   CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                     * 86400000 AS day_ms,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total
+            FROM events
+            GROUP BY CUBE (dim, day_ms)
+        """,
         "scd2_history": """
             WITH log AS (
               SELECT user_id AS doc_key, event_id AS change_lsn,

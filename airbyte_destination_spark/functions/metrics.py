@@ -277,3 +277,38 @@ def counter_compare(
             ),
         ).alias("delta_pct"),
     )
+
+
+def cube_rollup(
+    df: DataFrame,
+    dim_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-dimensional rollup: one pass producing every grouping set
+    of (dimension, day) — per-cell, per-dimension, per-day, and grand
+    totals (the warehouse CUBE the reference delegates to ClickHouse's
+    grouping sets; SURVEY §2 lists grouping sets among the
+    out-of-repo relational ops).
+
+    Physical shape: Catalyst's `Expand` replicates each input row once
+    per grouping set BEFORE the one hash aggregate, and the aggregate
+    is map-side partially combined — so the shuffle carries at most
+    4 × |distinct cells| rows, not 4 × |events|. At 10^10 events the
+    cost is one scan + one 4-way-expanded partial agg; no second pass
+    per grouping set (the naive UNION ALL of four GROUP BYs scans the
+    table four times).
+
+    Aggregated-out dimensions surface as NULL (the SQL convention, and
+    the dimension itself is never NULL in the event stream, so NULL is
+    unambiguous here). Totals round to 4 dp for cross-engine equality.
+    """
+    day_ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) / _DAY_MS).cast(
+        "long"
+    ) * _DAY_MS
+    base = df.select(F.col(dim_col).alias("dim"), day_ms.alias("day_ms"),
+                     F.col(value_col).alias("v"))
+    return base.cube("dim", "day_ms").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("v"), 4).alias("total"),
+    )

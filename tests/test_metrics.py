@@ -198,3 +198,34 @@ def test_counter_compare_windows_and_null_delta(spark):
         where=F.col("event_type") == "purchase",
     ).collect()[0]
     assert r2["prev_n"] == 0 and r2["delta_pct"] is None
+
+
+def test_cube_rollup_grouping_sets_and_single_expand(spark):
+    from airbyte_destination_spark.functions.metrics import cube_rollup
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "view", 1.0),
+            (2, "2024-01-01 11:00:00", "click", 2.0),
+            (3, "2024-01-02 10:00:00", "view", 4.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cube_rollup(df)
+    rows = {(r.dim, r.day_ms): (r.n_events, r.total) for r in out.collect()}
+    d1 = 1704067200000  # 2024-01-01 UTC midnight epoch-ms
+    d2 = d1 + 86400000
+    assert rows[("view", d1)] == (1, 1.0)
+    assert rows[("view", None)] == (2, 5.0)     # per-dimension total
+    assert rows[(None, d1)] == (2, 3.0)         # per-day total
+    assert rows[(None, None)] == (3, 7.0)       # grand total
+    assert len(rows) == 3 + 2 + 2 + 1
+    # final AQE plan only (the string repeats the initial plan below it)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Expand" in plan
+    # one scan, one shuffle: Expand feeds a single partially-combined agg
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine ahead of the shuffle
