@@ -1981,6 +1981,68 @@ def q_counter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized SCD2 through the REAL engine: a fresh 3-epoch MOR
+    replay with a history-table refresh after every commit (its own
+    replay, not the memoized one — the interleaved refreshes ARE the
+    operator under test). valid_from/valid_to commit versions are
+    mapped to epoch ordinals 0/1/2 so the oracle — which recomputes
+    the three per-epoch LWW snapshots and collapses per-key runs of
+    unchanged versions into [open, close) rows — is engine-agnostic.
+    Exercises poll_changes bootstrap + net-CDF windows, the
+    bucket-pruned read_prefix close path, and h_ver LWW closure."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.operators.scd import (
+        create_history,
+        refresh_history,
+    )
+
+    log = _cdc_events(spark, sf_dir)
+    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    root = tempfile.mkdtemp(prefix="engine-scd2-")
+    table = LakeTable(root + "/t")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+        ["doc_key"],
+        "change_lsn",
+        n_buckets=8,
+        merge_strategy="mor",
+    )
+    hist = create_history(table, root + "/h", n_buckets=8)
+    step = max((hi - lo) // 3 + 1, 1)
+    versions = []
+    for i in range(3):
+        batch = log.where(
+            (F.col("change_lsn") >= lo + i * step)
+            & (F.col("change_lsn") < lo + (i + 1) * step)
+        )
+        table.merge(batch, epoch_id=f"replay-{i}")
+        versions.append(refresh_history(spark, table, hist))
+    vmap = F.create_map(
+        *[F.lit(x) for v, i in ((v, i) for i, v in enumerate(versions)) for x in (v, i)]
+    )
+    return hist.read(spark).select(
+        "doc_key",
+        vmap[F.col("valid_from")].alias("vf_epoch"),
+        vmap[F.col("valid_to")].alias("vt_epoch"),
+        "is_current",
+        "change_lsn",
+        "event_type",
+        "value",
+    )
+
+
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day): all four grouping sets from ONE
     scan — Expand ×4 before a single map-side-combined aggregate, so
@@ -2105,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "bm25_topk": q_bm25_topk,
         "cube_rollup": q_cube_rollup,
+        "cdc_engine_scd2_history": q_cdc_engine_scd2_history,
     }
 
 
@@ -3938,6 +4001,55 @@ FROM state
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
         "dsir_logratio": _DSIR_SQL,
+        "cdc_engine_scd2_history": """
+            -- three per-epoch LWW snapshots; per key, collapse runs of
+            -- consecutive epochs with the SAME winning version into one
+            -- [open, close) row; a run ending before epoch 2 was closed
+            -- by the next refresh (update or delete), a run reaching
+            -- epoch 2 is the open/current row
+            WITH bounds AS (
+              SELECT min(event_id) AS lo,
+                     CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+              FROM events
+            ), log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), states AS (
+              SELECT e, doc_key, change_lsn, event_type, value FROM (
+                SELECT l.*, g.e,
+                       row_number() OVER (PARTITION BY g.e, l.doc_key
+                                          ORDER BY l.change_lsn DESC) AS rn
+                FROM log l
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS e) g
+                CROSS JOIN bounds
+                WHERE l.change_lsn < bounds.lo + (g.e + 1) * bounds.step
+              ) WHERE rn = 1 AND op <> 'D'
+            ), runs AS (
+              SELECT *, CASE WHEN lag(change_lsn) OVER w IS NULL
+                               OR lag(change_lsn) OVER w <> change_lsn
+                               OR lag(e) OVER w <> e - 1
+                          THEN 1 ELSE 0 END AS new_run
+              FROM states WINDOW w AS (PARTITION BY doc_key ORDER BY e)
+            ), grp AS (
+              SELECT *, sum(new_run) OVER (PARTITION BY doc_key ORDER BY e)
+                          AS run_id
+              FROM runs
+            ), agg AS (
+              SELECT doc_key, run_id, min(e) AS vf, max(e) AS run_end,
+                     min(change_lsn) AS change_lsn,
+                     min(event_type) AS event_type, min(value) AS value
+              FROM grp GROUP BY doc_key, run_id
+            )
+            SELECT doc_key,
+                   CAST(vf AS INTEGER) AS vf_epoch,
+                   CAST(CASE WHEN run_end < 2 THEN run_end + 1 END
+                        AS INTEGER) AS vt_epoch,
+                   run_end = 2 AS is_current,
+                   change_lsn, event_type, value
+            FROM agg
+        """,
         "cube_rollup": """
             SELECT event_type AS dim,
                    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
