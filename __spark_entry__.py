@@ -1958,6 +1958,56 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join run to completion under
+    availableNow: every view within the 6 hours before a same-user
+    purchase. Both sides watermarked (state evictable on both join
+    buffers — the condition Spark requires to run this unbounded);
+    one data batch so no in-flight state is dropped and the result
+    equals the batch interval join the oracle computes
+    (streaming/joins.py)."""
+    import tempfile
+
+    from airbyte_destination_spark.streaming.joins import interval_join_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "100000")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    views = src().where(F.col("event_type") == "view").select(
+        "user_id", ms.alias("view_ms")
+    )
+    purchases = src().where(F.col("event_type") == "purchase").select(
+        "user_id", ms.alias("purchase_ms")
+    )
+    out = interval_join_stream(
+        views, purchases, "user_id", "view_ms", "purchase_ms",
+        lookback_ms=21_600_000,
+    )
+    work = tempfile.mkdtemp(prefix="ssjoin-")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("interval-join stream did not finish")
+    q.stop()
+    return spark.read.schema(
+        "user_id long, view_ms long, purchase_ms long"
+    ).parquet(f"{work}/out")
+
+
 def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics: top-10 users by purchase revenue — one map-side-
     combined dimension aggregate, then DISTRIBUTED top-k
@@ -2168,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "cube_rollup": q_cube_rollup,
         "cdc_engine_scd2_history": q_cdc_engine_scd2_history,
+        "stream_interval_join": q_stream_interval_join,
     }
 
 
@@ -4001,6 +4052,15 @@ FROM state
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
         "dsir_logratio": _DSIR_SQL,
+        "stream_interval_join": """
+            SELECT v.user_id,
+                   epoch_ms(v.ts) AS view_ms,
+                   epoch_ms(p.ts) AS purchase_ms
+            FROM events v JOIN events p ON v.user_id = p.user_id
+            WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+              AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 21600000
+              AND epoch_ms(v.ts) < epoch_ms(p.ts)
+        """,
         "cdc_engine_scd2_history": """
             -- three per-epoch LWW snapshots; per key, collapse runs of
             -- consecutive epochs with the SAME winning version into one
