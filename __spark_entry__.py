@@ -1958,6 +1958,16 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts widened to one column per event type.
+    The value list is declared, so the plan is one scan + one
+    day-keyed aggregate of count(CASE WHEN...) expressions — no
+    dimension-discovery collect job (functions/metrics.py)."""
+    from airbyte_destination_spark.functions.metrics import pivot_daily
+
+    return pivot_daily(_t(spark, sf_dir, "events"))
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join run to completion under
     availableNow: every view within the 6 hours before a same-user
@@ -2219,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": q_cube_rollup,
         "cdc_engine_scd2_history": q_cdc_engine_scd2_history,
         "stream_interval_join": q_stream_interval_join,
+        "pivot_daily": q_pivot_daily,
     }
 
 
@@ -4052,6 +4063,21 @@ FROM state
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
         "dsir_logratio": _DSIR_SQL,
+        "pivot_daily": """
+            SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                     * 86400000 AS day_ms,
+                   CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                        AS BIGINT) AS view,
+                   CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                        AS BIGINT) AS click,
+                   CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        AS BIGINT) AS purchase,
+                   CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+                        AS BIGINT) AS signup,
+                   CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                        AS BIGINT) AS error
+            FROM events GROUP BY 1
+        """,
         "stream_interval_join": """
             SELECT v.user_id,
                    epoch_ms(v.ts) AS view_ms,

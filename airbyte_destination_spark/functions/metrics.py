@@ -312,3 +312,33 @@ def cube_rollup(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("v"), 4).alias("total"),
     )
+
+
+def pivot_daily(
+    df: DataFrame,
+    dims: Sequence[str] = ("view", "click", "purchase", "signup", "error"),
+    dim_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily counts pivoted to one column per dimension value — the
+    wide export shape dashboards ask of an events table.
+
+    The pivot value list is EXPLICIT (and becomes the output schema):
+    an undeclared list means a dimension-discovery job (a distinct
+    collect a 10^9-value dimension turns into a driver OOM). The
+    columns compile directly to `count(CASE WHEN dim = v)` conditional
+    aggregates — ONE day-keyed exchange with map-side combine,
+    whole-stage codegen'd; the builtin `RelationalGroupedDataset.pivot`
+    plans TWO aggregates (pre-agg per (key, value) then PivotFirst),
+    i.e. a second exchange this shape doesn't need.
+    """
+    day_ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) / _DAY_MS).cast(
+        "long"
+    ) * _DAY_MS
+    base = df.select(day_ms.alias("day_ms"), F.col(dim_col).alias("dim"))
+    return base.groupBy("day_ms").agg(
+        *[
+            F.count(F.when(F.col("dim") == v, F.lit(1))).alias(v)
+            for v in dims
+        ]
+    )

@@ -229,3 +229,28 @@ def test_cube_rollup_grouping_sets_and_single_expand(spark):
     # one scan, one shuffle: Expand feeds a single partially-combined agg
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan  # map-side combine ahead of the shuffle
+
+
+def test_pivot_daily_wide_counts_single_exchange(spark):
+    from airbyte_destination_spark.functions.metrics import pivot_daily
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "view"),
+            ("2024-01-01 11:00:00", "view"),
+            ("2024-01-01 12:00:00", "click"),
+            ("2024-01-02 09:00:00", "purchase"),
+        ],
+        "ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = pivot_daily(df, dims=("view", "click", "purchase"))
+    rows = {r.day_ms: (r.view, r.click, r.purchase) for r in out.collect()}
+    d1 = 1704067200000
+    assert rows[d1] == (2, 1, 0)          # absent cell filled with 0
+    assert rows[d1 + 86400000] == (0, 0, 1)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # declared value list -> one day-keyed aggregate, no discovery job
+    assert plan.count("Exchange") == 1
