@@ -45,7 +45,12 @@ def _canon(v):
 
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in data)
+    # None-safe sort key (grouping-set rows carry NULL dimension keys);
+    # equality below still compares the actual canonical tuples
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in data),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
