@@ -1958,6 +1958,16 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth metric: DAU, first-seen users and cumulative distinct
+    users per day — one (user, day) distinct + one user-keyed min
+    aggregate; the unpartitioned running-sum window runs over the
+    |days|-row aggregate only (functions/metrics.py)."""
+    from airbyte_destination_spark.functions.metrics import user_growth
+
+    return user_growth(_t(spark, sf_dir, "events"))
+
+
 def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: daily event counts widened to one column per event type.
     The value list is declared, so the plan is one scan + one
@@ -2230,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_scd2_history": q_cdc_engine_scd2_history,
         "stream_interval_join": q_stream_interval_join,
         "pivot_daily": q_pivot_daily,
+        "user_growth": q_user_growth,
     }
 
 
@@ -4063,6 +4074,27 @@ FROM state
             FROM grid g LEFT JOIN agg USING (day_ms)
         """,
         "dsir_logratio": _DSIR_SQL,
+        "user_growth": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                       * 86400000 AS day_ms
+              FROM events
+            ), dau AS (
+              SELECT day_ms, CAST(count(*) AS BIGINT) AS dau
+              FROM ud GROUP BY 1
+            ), fst AS (
+              SELECT user_id, min(day_ms) AS day_ms FROM ud GROUP BY 1
+            ), nu AS (
+              SELECT day_ms, CAST(count(*) AS BIGINT) AS new_users
+              FROM fst GROUP BY 1
+            )
+            SELECT dau.day_ms, dau.dau,
+                   coalesce(nu.new_users, 0) AS new_users,
+                   CAST(sum(coalesce(nu.new_users, 0))
+                          OVER (ORDER BY dau.day_ms) AS BIGINT) AS cum_users
+            FROM dau LEFT JOIN nu USING (day_ms)
+        """,
         "pivot_daily": """
             SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
                      * 86400000 AS day_ms,

@@ -342,3 +342,31 @@ def pivot_daily(
             for v in dims
         ]
     )
+
+
+def user_growth(
+    df: DataFrame, id_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Growth metrics per day: active users (DAU), first-seen users,
+    and the cumulative distinct-user count.
+
+    One (user, day) distinct and one user-keyed min-aggregate carry
+    all the heavy lifting — both map-side combined, both shuffling at
+    most |users| rows. The running cumulative sum is a window WITHOUT
+    a partition key, which is only acceptable because its input is the
+    per-day aggregate (|days| rows, bucket-sized) — never run an
+    unpartitioned window over the raw stream. Exact distinct by
+    construction (the distinct IS the shuffle), not HLL.
+    """
+    day_ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) / _DAY_MS).cast(
+        "long"
+    ) * _DAY_MS
+    ud = df.select(F.col(id_col).alias("_id"), day_ms.alias("day_ms")).distinct()
+    dau = ud.groupBy("day_ms").agg(F.count(F.lit(1)).alias("dau"))
+    first = ud.groupBy("_id").agg(F.min("day_ms").alias("day_ms"))
+    new = first.groupBy("day_ms").agg(F.count(F.lit(1)).alias("new_users"))
+    j = dau.join(new, "day_ms", "left").na.fill(0, ["new_users"])
+    w = Window.orderBy("day_ms").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day_ms", "dau", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

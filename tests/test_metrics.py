@@ -254,3 +254,21 @@ def test_pivot_daily_wide_counts_single_exchange(spark):
     )
     # declared value list -> one day-keyed aggregate, no discovery job
     assert plan.count("Exchange") == 1
+
+
+def test_user_growth_dau_new_cumulative(spark):
+    from airbyte_destination_spark.functions.metrics import user_growth
+
+    rows = [
+        (1, "view", _ts(1), 0.0),
+        (1, "view", _ts(1, h=8), 0.0),  # same user+day: dau counts once
+        (2, "view", _ts(1), 0.0),
+        (1, "view", _ts(3), 0.0),       # returning, not new
+        (3, "view", _ts(3), 0.0),       # new on day 3
+    ]
+    out = {r.day_ms: (r.dau, r.new_users, r.cum_users) for r in user_growth(
+        _events(spark, rows)).collect()}
+    d1 = int(datetime(2024, 1, 1).timestamp() * 1000)
+    assert out[d1] == (2, 2, 2)
+    assert out[d1 + 2 * 86400000] == (2, 1, 3)
+    assert len(out) == 2  # day 2 had no events: no row (not a gap-fill metric)
