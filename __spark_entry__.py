@@ -1561,6 +1561,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: fixed-size weighted corpus sample (hash-rank
+    top-k race, u/w ascending) — exactly 200 docs favoring long ones;
+    TakeOrderedAndProject, no global sort, driver state O(k)."""
+    from airbyte_destination_spark.functions.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), k=200, weight_col="n_chars"
+    ).select("doc_id", "source", "race_key")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: concat-then-chunk sequence packing into fixed
     context windows, sharded by source (parallel windows, no global
@@ -2202,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "epoch_shuffle": q_epoch_shuffle,
         "mixture_sample": q_mixture_sample,
+        "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "asof_attribution": q_asof_attribution,
@@ -3610,6 +3622,19 @@ FROM state
                   < CASE source
                       {' '.join(f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))}
                       ELSE 0.0 END
+        """,
+        # same md5-u01 idiom; u is integer/2^24 (exact) and u/w is ONE
+        # IEEE division, so key values and the selected set match Spark
+        # bit-for-bit — no libm ln/pow whose last-ulp drift could flip
+        # the boundary rank
+        "weighted_sample": """
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 6))::BIGINT
+                       / 16777216.0 / CAST(n_chars AS DOUBLE) AS race_key
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY race_key, doc_id
+            LIMIT 200
         """,
         "pack_sequences": f"""
             WITH offs AS (

@@ -125,6 +125,46 @@ def pack_sequences(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+    key_col: str = "race_key",
+) -> DataFrame:
+    """Fixed-SIZE weighted sample (hash-rank top-k) — the corpus-budget
+    selector: "give me exactly k documents, favoring heavy weights",
+    e.g. a token-budgeted pretraining subset where w = doc length or an
+    importance weight. Complements `mixture_sample` (per-row keep RATE,
+    output size varies) and `dsir_resample` (Bernoulli on a score).
+
+    Efraimidis–Spirakis-style race, made deterministic and cross-engine
+    exact: each row gets key u/w (u = 24-bit md5 uniform from the row
+    id, exact integer/2^24) and the k SMALLEST keys win. u/w is the
+    first-order surrogate of the exponential race (-ln(u)/w ~ Exp(w),
+    inclusion P -> w_i/Σw as winning keys concentrate near 0): for the
+    ranks that matter (small u/w) the CDFs agree to O(t²), and unlike
+    ln/pow it uses only exactly-rounded IEEE ops — an integer-valued
+    numerator divided by the weight — so the DuckDB oracle reproduces
+    the selected SET and every key bit-for-bit (libm last-ulp drift in
+    ln() could otherwise flip the boundary rank). Ties (same u AND same
+    w) break on the id.
+
+    Scale shape: stateless projection + TakeOrderedAndProject — each
+    partition keeps a local k-heap and the driver merges k-sized heaps;
+    no global sort, no corpus shuffle, driver state O(k).
+    """
+    u = hash_u01(F.col(id_col), seed)
+    key = u / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+        .orderBy(key_col, id_col)
+        .limit(k)
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     n_shards: int,

@@ -153,3 +153,28 @@ def test_epoch_shuffle_deterministic_across_parallelism(spark):
         .collect()
     }
     assert c != a  # a new epoch is a new permutation
+
+
+def test_weighted_sample_fixed_size_weight_biased_deterministic(spark):
+    """Exactly k rows; heavier rows overrepresented vs their row share;
+    the selected set is identical at any input partitioning; no global
+    sort in the physical plan (TakeOrderedAndProject)."""
+    from airbyte_destination_spark.functions.sampling import weighted_sample
+    from airbyte_destination_spark.plans import executed_plan
+
+    docs = _docs(spark)
+    n = docs.count()
+    k = 120
+    picked = weighted_sample(docs, k=k, weight_col="n_chars").collect()
+    assert len(picked) == k
+    # long docs (top weight quartile) should exceed their 25% row share
+    q3 = docs.approxQuantile("n_chars", [0.75], 0.0)[0]
+    heavy = sum(1 for r in picked if r["n_chars"] >= q3)
+    assert heavy > 0.3 * k, f"heavy={heavy}/{k} (q3={q3}, n={n})"
+    again = weighted_sample(docs.repartition(17), k=k, weight_col="n_chars").collect()
+    assert {r["doc_id"] for r in picked} == {r["doc_id"] for r in again}
+    plan = executed_plan(
+        weighted_sample(docs, k=k, weight_col="n_chars").select("doc_id", "race_key")
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
