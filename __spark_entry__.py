@@ -299,6 +299,70 @@ def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def q_cdc_engine_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-resync through the engine (SQL MERGE's WHEN NOT MATCHED BY
+    SOURCE THEN DELETE / Debezium initial snapshot): replay only epochs
+    0-1, then snapshot_sync to the full-log LWW state — ONE key-keyed
+    full-outer diff join emits epoch 2's net effect as minimal I/U/D
+    rows (incl. deletes for keys whose last event is a tombstone), and
+    only those cross the merge (O(diff), never an O(table) rewrite).
+    The projection omits last_lsn on purpose: unchanged rows keep their
+    stored pre-sync lsn because the diff never touches them."""
+    key = (sf_dir, "snapsync")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+        from airbyte_destination_spark.streaming.pipeline import (
+            IngestConfig,
+            snapshot_sync,
+        )
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        step = max((hi - lo) // 3 + 1, 1)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-snapsync-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        for i in range(2):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            table.merge(batch, epoch_id=f"replay-{i}")
+        snapshot = (
+            log.groupBy("doc_key")
+            .agg(
+                F.max("change_lsn").alias("change_lsn"),
+                F.max_by(
+                    F.struct("op", "event_type", "value"), F.col("change_lsn")
+                ).alias("_w"),
+            )
+            .where(F.col("_w.op") != "D")
+            .select(
+                "doc_key",
+                "change_lsn",
+                F.col("_w.event_type").alias("event_type"),
+                F.col("_w.value").alias("value"),
+            )
+        )
+        cfg = IngestConfig(key_cols=["doc_key"], n_buckets=8, merge_strategy="mor")
+        snapshot_sync(table, snapshot, "resync-0", cfg)
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select("doc_key", "event_type", "value")
+
+
 def _cdc_partial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a PARTIAL-image change log (the Debezium/Paimon
     partial-update shape): an update carries NULL for every column it
@@ -2163,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
+        "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -2978,6 +3043,11 @@ SELECT 'change_lsn', count(*), count(*) - count(change_lsn),
 FROM state
 """,
         "cdc_engine_rebucket_final_state": _LWW_SQL,
+        # unchanged rows keep their stored pre-sync lsn, so the sync
+        # oracle is the LWW state minus the lsn column
+        "cdc_engine_snapshot_sync": (
+            f"SELECT doc_key, event_type, value FROM ({_LWW_SQL}) s"
+        ),
         "cdc_engine_time_travel": """
             -- LWW over the FIRST lsn-range batch only: the engine's
             -- replay splits [min, max] into 3 ranges of step

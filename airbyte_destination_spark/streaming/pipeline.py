@@ -273,6 +273,97 @@ def _apply_change_batch_inner(
     return stats
 
 
+def snapshot_sync(
+    table: LakeTable,
+    snapshot: DataFrame,
+    epoch_id: str,
+    cfg: IngestConfig | None = None,
+    delete_lsn: int | None = None,
+) -> MergeStats:
+    """Full-resync via snapshot diff — Debezium's initial/blocking
+    snapshot, or SQL MERGE's WHEN NOT MATCHED BY SOURCE THEN DELETE —
+    as an O(changed rows) operation: compute the MINIMAL change batch
+    that moves the table's current state to `snapshot` and apply it
+    through the normal exactly-once merge path. Never rewrites the
+    table: at 100 TB, a resync that changed 0.1% of rows costs 0.1% of
+    an overwrite (plus one diff join), and replayed epochs still no-op
+    via the epoch marker.
+
+    Diff = ONE key-keyed full-outer shuffle join between the snapshot
+    and the current state; change detection is a null-safe struct
+    equality over the snapshot's value columns (exact — no hash
+    collisions), computed as a projection on the join output. Columns
+    the snapshot adds (schema evolution) read as NULL on the current
+    side; current-side types are cast to the snapshot's (widened)
+    types so comparison is type-exact. Unchanged rows are dropped
+    BEFORE the merge, so the MOR write is O(diff), not O(table).
+
+    LWW contract: upserts keep the snapshot's own `version_col` value,
+    so a table row that is AHEAD of the snapshot (stored lsn higher)
+    correctly survives — a resync never regresses newer data. Deletes
+    carry `delete_lsn` (default: max snapshot lsn + 1, the right value
+    whenever the table only ever ingested lsns the snapshot has seen).
+    """
+    cfg = cfg or IngestConfig()
+    spark = snapshot.sparkSession
+    keys, ver = cfg.key_cols, cfg.version_col
+    if ver not in snapshot.columns:
+        raise ValueError(
+            f"snapshot must carry the version column {ver!r}; attach the "
+            "source's snapshot lsn/ts so LWW can order resyncs against "
+            "live changes"
+        )
+    if not table.exists():  # bootstrap: the whole snapshot is the diff
+        return apply_change_batch(
+            table, snapshot.withColumn("op", F.lit("I")), epoch_id, cfg
+        )
+    if table.is_epoch_applied(epoch_id):  # skip before paying the diff join
+        return MergeStats(epoch_id, table.current_version(), 0, 0, 0, skipped=True)
+
+    vals = [c for c in snapshot.columns if c not in (*keys, ver)]
+    snap_types = dict(snapshot.dtypes)
+    cur = table.read(spark)
+    cur_side = [
+        (F.col(c) if c in cur.columns else F.lit(None))
+        .cast(snap_types[c])
+        .alias("_c_" + c)
+        for c in vals
+    ]
+    c_ = cur.select(*keys, *cur_side, F.lit(True).alias("_cp"))
+    s_ = snapshot.select(
+        *keys,
+        F.col(ver).alias("_slsn"),
+        *[F.col(c).alias("_s_" + c) for c in vals],
+        F.lit(True).alias("_sp"),
+    )
+    j = s_.join(c_, list(keys), "full_outer")
+    same = F.struct(*[F.col("_s_" + c) for c in vals]).eqNullSafe(
+        F.struct(*[F.col("_c_" + c) for c in vals])
+    )
+    if delete_lsn is None:
+        mx = snapshot.agg(F.max(ver)).first()[0]
+        delete_lsn = (mx if mx is not None else 0) + 1
+    lsn_t = snap_types[ver]
+    ups = j.where(F.col("_sp").isNotNull() & (F.col("_cp").isNull() | ~same)).select(
+        *keys,
+        F.col("_slsn").alias(ver),
+        *[F.col("_s_" + c).alias(c) for c in vals],
+        F.when(F.col("_cp").isNull(), F.lit("I")).otherwise(F.lit("U")).alias("op"),
+    )
+    dels = j.where(F.col("_sp").isNull()).select(
+        *keys,
+        F.lit(delete_lsn).cast(lsn_t).alias(ver),
+        *[F.lit(None).cast(snap_types[c]).alias(c) for c in vals],
+        F.lit("D").alias("op"),
+    )
+    # materialize the (small) diff before the merge mutates the table:
+    # the merge job plans its own read of the same table, and under MOR
+    # a lazy diff would fold the delta stack a second time inside the
+    # write job
+    batch = ups.unionByName(dels).localCheckpoint(eager=True)
+    return apply_change_batch(table, batch, epoch_id, cfg)
+
+
 def run_ingest_batches(
     spark: SparkSession,
     batch_paths: list[str],
