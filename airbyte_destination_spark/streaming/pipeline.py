@@ -320,9 +320,33 @@ def snapshot_sync(
     if table.is_epoch_applied(epoch_id):  # skip before paying the diff join
         return MergeStats(epoch_id, table.current_version(), 0, 0, 0, skipped=True)
 
+    if delete_lsn is None:
+        mx = snapshot.agg(F.max(ver)).first()[0]
+        delete_lsn = (mx if mx is not None else 0) + 1
+    diff = _snapshot_diff(snapshot, table.read(spark), keys, ver, delete_lsn)
+    # materialize the (small) diff before the merge mutates the table:
+    # the merge job plans its own read of the same table, and under MOR
+    # a lazy diff would fold the delta stack a second time inside the
+    # write job
+    return apply_change_batch(
+        table, diff.localCheckpoint(eager=True), epoch_id, cfg
+    )
+
+
+def _snapshot_diff(
+    snapshot: DataFrame,
+    cur: DataFrame,
+    keys: list[str],
+    ver: str,
+    delete_lsn,
+) -> DataFrame:
+    """The minimal I/U/D change batch moving `cur` to `snapshot`: ONE
+    key-keyed full-outer join + a conditional projection + one filter —
+    NOT an I/U branch unioned with a D branch, which would plan the
+    join twice (exchange reuse saves the shuffle but the probe still
+    runs both times)."""
     vals = [c for c in snapshot.columns if c not in (*keys, ver)]
     snap_types = dict(snapshot.dtypes)
-    cur = table.read(spark)
     cur_side = [
         (F.col(c) if c in cur.columns else F.lit(None))
         .cast(snap_types[c])
@@ -340,28 +364,27 @@ def snapshot_sync(
     same = F.struct(*[F.col("_s_" + c) for c in vals]).eqNullSafe(
         F.struct(*[F.col("_c_" + c) for c in vals])
     )
-    if delete_lsn is None:
-        mx = snapshot.agg(F.max(ver)).first()[0]
-        delete_lsn = (mx if mx is not None else 0) + 1
-    lsn_t = snap_types[ver]
-    ups = j.where(F.col("_sp").isNotNull() & (F.col("_cp").isNull() | ~same)).select(
-        *keys,
-        F.col("_slsn").alias(ver),
-        *[F.col("_s_" + c).alias(c) for c in vals],
-        F.when(F.col("_cp").isNull(), F.lit("I")).otherwise(F.lit("U")).alias("op"),
+    op = (
+        F.when(F.col("_sp").isNull(), F.lit("D"))
+        .when(F.col("_cp").isNull(), F.lit("I"))
+        .when(~same, F.lit("U"))  # else NULL = unchanged, filtered below
     )
-    dels = j.where(F.col("_sp").isNull()).select(
+    is_d = F.col("_sp").isNull()
+    return j.select(
         *keys,
-        F.lit(delete_lsn).cast(lsn_t).alias(ver),
-        *[F.lit(None).cast(snap_types[c]).alias(c) for c in vals],
-        F.lit("D").alias("op"),
-    )
-    # materialize the (small) diff before the merge mutates the table:
-    # the merge job plans its own read of the same table, and under MOR
-    # a lazy diff would fold the delta stack a second time inside the
-    # write job
-    batch = ups.unionByName(dels).localCheckpoint(eager=True)
-    return apply_change_batch(table, batch, epoch_id, cfg)
+        F.when(is_d, F.lit(delete_lsn))
+        .otherwise(F.col("_slsn"))
+        .cast(snap_types[ver])
+        .alias(ver),
+        *[
+            F.when(is_d, F.lit(None))
+            .otherwise(F.col("_s_" + c))
+            .cast(snap_types[c])
+            .alias(c)
+            for c in vals
+        ],
+        op.alias("op"),
+    ).where(op.isNotNull())
 
 
 def run_ingest_batches(

@@ -345,3 +345,49 @@ def test_funnel_no_cartesian_and_stage_joins_on_id(spark):
     plan = executed_plan(funnel(ev, ["view", "click", "purchase"]))
     assert "CartesianProduct" not in plan, plan
     assert "collect_list" not in plan and "sort_array" not in plan, plan
+
+
+def test_snapshot_sync_diff_is_one_join_no_branch_duplication(spark, tmp_path):
+    """The resync diff must plan as exactly ONE key-keyed join with the
+    unchanged-row filter on its output — not an upsert branch unioned
+    with a delete branch (two probes over the same shuffle). With
+    broadcast off (both sides are table-scale at 100 TB, so that is
+    what Catalyst's stats would decide) it must degrade to a single
+    SortMergeJoin FullOuter."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.plans import executed_plan
+    from airbyte_destination_spark.streaming.pipeline import (
+        IngestConfig,
+        _snapshot_diff,
+        apply_change_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("change_lsn", T.LongType(), False),
+            T.StructField("kind", T.StringType(), True),
+        ]
+    )
+    cfg = IngestConfig(key_cols=["doc_id"], n_buckets=4)
+    table = LakeTable(str(tmp_path / "t"))
+    table.create(schema, ["doc_id"], "change_lsn", n_buckets=4)
+    rows = [(i, i, f"k{i}") for i in range(1, 9)]
+    batch = spark.createDataFrame(rows, schema).withColumn("op", F.lit("U"))
+    apply_change_batch(table, batch, "seed-0", cfg)
+
+    snapshot = spark.createDataFrame(rows, schema)
+    diff = _snapshot_diff(
+        snapshot, table.read(spark), ["doc_id"], "change_lsn", delete_lsn=99
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(diff)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "BroadcastHashJoin" not in plan and "Union" not in plan, plan
