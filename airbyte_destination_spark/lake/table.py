@@ -1783,30 +1783,55 @@ class LakeTable:
     def overwrite_where(
         self, spark: SparkSession, predicate: str, epoch_id: str | None = None
     ) -> MergeStats:
-        """DELETE FROM table WHERE predicate — rewrite of matching
-        buckets. Spark-side equivalent of the reference's DeletionJob
-        (destination.go:198-241), synchronous and transactional."""
+        """DELETE FROM table WHERE predicate — rewrite of MATCHING
+        buckets only. Spark-side equivalent of the reference's
+        DeletionJob (destination.go:198-241), synchronous and
+        transactional.
+
+        Scale shape: a match pre-pass finds the buckets that contain
+        any matching row (a column-pruned scan — Catalyst prunes it to
+        the predicate + key/version columns), and only those buckets
+        are re-resolved and rewritten; every other bucket keeps its
+        existing files untouched in the new manifest. A selective
+        retention delete on a 100 TB table therefore costs one pruned
+        read plus an O(matching-buckets) write — never an O(table)
+        rewrite. Matching buckets are written from FINAL state (MOR
+        deltas folded, tombstones compacted away — the reference's
+        DeletionJob deletes rows of the visible table)."""
         for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
             all_buckets = [int(b) for b in m["buckets"]]
-            # operate on the FINAL state (MOR deltas folded, tombstones
-            # compacted away) — the reference's DeletionJob deletes rows
-            # of the visible table
-            kept = self._resolve(spark, m, all_buckets, schema).where(
-                ~F.expr(predicate) | F.expr(predicate).isNull()
+            pred = F.expr(predicate)
+            dirty = sorted(
+                int(r[0])
+                for r in self._with_bucket(
+                    self._resolve(spark, m, all_buckets, schema), m
+                )
+                .where(pred)
+                .select(_BUCKET_COL)
+                .distinct()
+                .collect()
             )
-            kept = self._with_bucket(kept, m)
-            new_files = self._write_bucketed(kept, m, base + 1, mark_base=True)
-            m["buckets"] = new_files
+            if dirty:
+                kept = self._resolve(spark, m, dirty, schema).where(
+                    ~pred | pred.isNull()
+                )
+                kept = self._with_bucket(kept, m)
+                new_files = self._write_bucketed(kept, m, base + 1, mark_base=True)
+                # a dirty bucket whose every row matched writes no file
+                m["buckets"] = {
+                    **m["buckets"],
+                    **{str(b): new_files.get(str(b), []) for b in dirty},
+                }
             m["operation"] = f"delete_where({predicate})"
             m["epoch_id"] = epoch_id
             m["lineage"] = []
             try:
                 v = self._commit(m, base)
-                return MergeStats(epoch_id, v, 0, 0, len(all_buckets))
+                return MergeStats(epoch_id, v, 0, 0, len(dirty))
             except CommitConflict:
                 if attempt == _COMMIT_ATTEMPTS - 1:
                     raise

@@ -105,6 +105,47 @@ def test_overwrite_where(spark, table):
     assert [r.doc_id for r in rows] == ["b"]
 
 
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_overwrite_where_rewrites_only_matching_buckets(
+    spark, tmp_table_root, strategy
+):
+    """A selective delete must rewrite ONLY the buckets containing
+    matches: every other bucket keeps its exact file entries (at 100 TB
+    this is the difference between a retention delete and a full table
+    rewrite). A no-match predicate rewrites nothing."""
+    t = LakeTable(tmp_table_root)
+    t.create(
+        SCHEMA,
+        key_cols=["doc_id"],
+        version_col="change_lsn",
+        n_buckets=8,
+        merge_strategy=strategy,
+    )
+    rows = [(f"k{i}", [i], i, "I") for i in range(1, 33)]
+    t.merge(spark.createDataFrame(rows, BATCH_SCHEMA), epoch_id="e0")
+
+    def paths():
+        return {
+            b: [e["path"] for e in fs] for b, fs in t.manifest()["buckets"].items()
+        }
+
+    before = paths()
+    # delete one key: exactly that key's bucket is dirty
+    stats = t.overwrite_where(spark, "doc_id = 'k7'")
+    assert stats.buckets_touched == 1
+    after = paths()
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1, (changed, before, after)
+    state = {r.doc_id for r in t.read(spark).collect()}
+    assert state == {f"k{i}" for i in range(1, 33)} - {"k7"}
+
+    # no-match predicate: zero rewrites, files identical, rows intact
+    stats = t.overwrite_where(spark, "change_lsn > 1000")
+    assert stats.buckets_touched == 0
+    assert paths() == after
+    assert len(t.read(spark).collect()) == 31
+
+
 def test_missing_key_column_rejected(spark, table):
     bad = spark.createDataFrame([(1,)], "change_lsn long")
     with pytest.raises(ValueError, match="key column"):
