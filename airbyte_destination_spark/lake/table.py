@@ -1277,19 +1277,50 @@ class LakeTable:
         raise CommitConflict("unreachable")
 
     def purge_tombstones(self, spark: SparkSession) -> int:
-        """Maintenance compaction: rewrite all buckets without tombstone
-        rows. Safe once the source can no longer deliver events older
-        than the tombstones' versions (e.g. past the log's watermark)."""
+        """Maintenance compaction: rewrite the buckets that HOLD
+        tombstone rows without them; every other bucket keeps its files
+        untouched. Safe once the source can no longer deliver events
+        older than the tombstones' versions (e.g. past the log's
+        watermark).
+
+        Scale shape: the detection pre-pass scans only the raw
+        tombstone-flag column (Catalyst prunes the scan to it plus the
+        bucket key), so on a 100 TB table with deletes concentrated in
+        recent partitions the rewrite cost is O(buckets containing
+        tombstones), not O(table). A bucket with no tombstone row in
+        ANY of its raw files (a superseded-then-reinserted key still
+        leaves its old tombstone row in a file) is provably unchanged
+        by the purge and is skipped. Returns the current version
+        unchanged when no bucket holds a tombstone."""
         for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
             schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            all_buckets = [int(b) for b in m["buckets"]]
+            raw = self._read_buckets(spark, m, all_buckets, schema)
+            dirty = sorted(
+                int(r[0])
+                for r in self._with_bucket(
+                    raw.where(F.coalesce(F.col(_DELETED_COL), F.lit(False))), m
+                )
+                .select(_BUCKET_COL)
+                .distinct()
+                .collect()
+            )
+            if not dirty:
+                return base
             # _resolve folds MOR deltas and drops tombstone rows
-            live = self._resolve(spark, m, [int(b) for b in m["buckets"]], schema)
+            live = self._resolve(spark, m, dirty, schema)
             live = self._with_bucket(live, m)
-            new_files = self._write_bucketed(live, m, base + 1, sort_keys=True, mark_base=True)
-            m["buckets"] = new_files
+            new_files = self._write_bucketed(
+                live, m, base + 1, sort_keys=True, mark_base=True
+            )
+            # a bucket whose every key was deleted writes no file
+            m["buckets"] = {
+                **m["buckets"],
+                **{str(b): new_files.get(str(b), []) for b in dirty},
+            }
             m["operation"] = "purge_tombstones"
             m["epoch_id"] = None
             m["lineage"] = []

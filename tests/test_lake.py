@@ -65,6 +65,51 @@ def test_tombstone_blocks_late_older_update(spark, table):
     assert len(rows) == 1 and rows[0].tokens == [2]
 
 
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_purge_tombstones_rewrites_only_holding_buckets(
+    spark, tmp_table_root, strategy
+):
+    """Purge must rewrite ONLY buckets holding tombstone rows; clean
+    buckets keep their exact files, and a tombstone-free table is a
+    version-preserving no-op."""
+    t = LakeTable(tmp_table_root)
+    t.create(
+        SCHEMA,
+        key_cols=["doc_id"],
+        version_col="change_lsn",
+        n_buckets=8,
+        merge_strategy=strategy,
+    )
+    rows = [(f"k{i}", [i], i, "I") for i in range(1, 33)]
+    t.merge(spark.createDataFrame(rows, BATCH_SCHEMA), epoch_id="e0")
+
+    def paths():
+        return {
+            b: [e["path"] for e in fs] for b, fs in t.manifest()["buckets"].items()
+        }
+
+    # no tombstones anywhere: no-op, version unchanged
+    v0 = t.current_version()
+    assert t.purge_tombstones(spark) == v0
+    assert t.current_version() == v0
+
+    t.merge(
+        spark.createDataFrame([("k7", None, 100, "D")], BATCH_SCHEMA), epoch_id="e1"
+    )
+    before = paths()
+    t.purge_tombstones(spark)
+    after = paths()
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1, (changed, before, after)
+    state = {r.doc_id for r in t.read(spark).collect()}
+    assert state == {f"k{i}" for i in range(1, 33)} - {"k7"}
+    # purged: an older insert can now resurrect (documented trade;
+    # purge is only safe past the source watermark)
+    # and a second purge is a no-op again
+    v1 = t.current_version()
+    assert t.purge_tombstones(spark) == v1
+
+
 def test_epoch_replay_is_noop(spark, table):
     b = spark.createDataFrame([("a", [1], 1, "I")], BATCH_SCHEMA)
     s1 = table.merge(b, epoch_id="e")
