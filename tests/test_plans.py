@@ -391,3 +391,13 @@ def test_snapshot_sync_diff_is_one_join_no_branch_duplication(spark, tmp_path):
     assert plan.count("SortMergeJoin") == 1, plan
     assert "FullOuter" in plan, plan
     assert "BroadcastHashJoin" not in plan and "Union" not in plan, plan
+
+
+def test_pivot_daily_is_single_exchange(spark):
+    """pivot_daily compiles to conditional aggregates over ONE day-keyed
+    exchange — the builtin RelationalGroupedDataset.pivot plans two
+    aggregates/exchanges plus a value-discovery collect job."""
+    from airbyte_destination_spark.functions.metrics import pivot_daily
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert count_exchanges(pivot_daily(ev)) == 1
