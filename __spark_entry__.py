@@ -211,6 +211,65 @@ def q_microbatch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# transaction-boundary batching constants (txn ~= 7 events; the caps
+# are sized so BOTH the record and the byte floor bite at sf0.01)
+TXN_SPAN, TXN_RECORDS, TXN_BYTES = 7, 450, 6000
+
+
+def _txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events viewed as a change log carrying Debezium-style transaction
+    metadata: txn_id groups ~TXN_SPAN consecutive lsn's (transactions
+    are contiguous in commit order, the binlog contract)."""
+    return _cdc_events(spark, sf_dir).withColumn(
+        "txn_id", F.floor(F.col("change_lsn") / TXN_SPAN)
+    )
+
+
+def q_cdc_txn_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn-atomic micro-batching (O7 upgraded): assign every WHOLE
+    source transaction to an apply epoch by exclusive prefix sum over
+    txn summaries under both a record and a byte cap — no epoch ever
+    splits a transaction, so committed snapshots preserve the upstream
+    database's transactional read contract (streaming/txn.py)."""
+    from airbyte_destination_spark.streaming.txn import txn_epoch_plan
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("change_lsn"),
+        F.floor(F.col("event_id") / TXN_SPAN).alias("txn_id"),
+        (F.length("props") + 17).cast("long").alias("nb"),
+    )
+    return txn_epoch_plan(
+        log,
+        max_records=TXN_RECORDS,
+        max_bytes=TXN_BYTES,
+        bytes_expr=F.col("nb"),
+    )
+
+
+def q_cdc_engine_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn-atomic replay through the REAL lake engine: the change log is
+    cut into whole-transaction epochs (txn_epoch_plan), staged
+    partitioned-by-epoch in one distributed pass, and each epoch commits
+    atomically under the normal exactly-once markers. Final state must
+    equal the plain LWW oracle; intermediate-snapshot atomicity is
+    pinned in tests/test_txn.py."""
+    import tempfile
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig
+    from airbyte_destination_spark.streaming.txn import apply_txn_log
+
+    table = LakeTable(tempfile.mkdtemp(prefix="engine-txn-") + "/t")
+    cfg = IngestConfig(key_cols=["doc_key"], version_col="change_lsn", n_buckets=16)
+    apply_txn_log(
+        spark, _txn_log(spark, sf_dir), table, cfg, max_records=TXN_RECORDS
+    )
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 _REPLAY_CACHE: dict = {}
 
 
@@ -2246,6 +2305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_raw_id": q_enrich_raw_id,
         "route_stream_counts": q_route_stream_counts,
         "microbatch_bounds": q_microbatch_bounds,
+        "cdc_txn_epoch_plan": q_cdc_txn_epoch_plan,
+        "cdc_engine_txn_final_state": q_cdc_engine_txn_final_state,
         "envelope_parse": q_envelope_parse,
         "overwrite_delete_filter": q_overwrite_delete_filter,
         "dedup_exact": q_dedup_exact,
@@ -3138,6 +3199,36 @@ FROM state
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
         """,
+        "cdc_txn_epoch_plan": f"""
+            WITH t AS (
+              SELECT CAST(floor(event_id / {TXN_SPAN}) AS BIGINT) AS txn_id,
+                     count(*) AS n_records,
+                     CAST(sum(length(props) + 17) AS BIGINT) AS n_bytes,
+                     min(event_id) AS lsn_min, max(event_id) AS lsn_max
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT *,
+                coalesce(CAST(sum(n_records) OVER (
+                  ORDER BY lsn_min
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS BIGINT), 0) AS cr,
+                coalesce(CAST(sum(n_bytes) OVER (
+                  ORDER BY lsn_min
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS BIGINT), 0) AS cb
+              FROM t
+            ), e AS (
+              SELECT txn_id, n_records, n_bytes, lsn_min, lsn_max,
+                     greatest(CAST(floor(cr / {TXN_RECORDS}.0) AS BIGINT),
+                              CAST(floor(cb / {TXN_BYTES}.0) AS BIGINT)) AS raw
+              FROM c
+            )
+            SELECT txn_id,
+                   CAST(dense_rank() OVER (ORDER BY raw) - 1 AS BIGINT) AS epoch_id,
+                   n_records, n_bytes, lsn_min, lsn_max
+            FROM e
+        """,
+        "cdc_engine_txn_final_state": _LWW_SQL,
         "microbatch_bounds": f"""
             WITH b AS (
               SELECT event_id, length(props) + 1 AS nb,
