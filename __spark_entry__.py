@@ -1788,6 +1788,81 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: distributed BPE tokenizer training — learn the top
+    merges over the corpus's DISTINCT-WORD frequency table (the
+    SentencePiece/HF scalability lever: 10^7 distinct words stand in
+    for 10^12 corpus tokens). Per round: one word-keyed exchange shared
+    by every window + the rebuild, one map-side-combined pair count,
+    and a 1-row argmax collect (control-plane, like k-means). Greedy
+    left-to-right merging is the batch-expressible run-parity rule —
+    pinned against a pure-Python reference in tests, and against the
+    unrolled DuckDB window twin here."""
+    from airbyte_destination_spark.functions.text import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), N_BPE_MERGES)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of bpe_merges: one CTE chain per round with
+    the identical pair-count / argmax-tiebreak / run-parity-merge spec."""
+    parts = [
+        r"""
+        WITH wt AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+            FROM documents
+          ) WHERE regexp_full_match(word, '^[a-z0-9]+$')
+          GROUP BY word
+        ), seq1 AS (
+          SELECT word, cnt,
+                 generate_subscripts(string_split(word, ''), 1) AS pos,
+                 unnest(string_split(word, '')) AS tok
+          FROM wt
+        )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""
+        , p{r} AS (
+          SELECT word, cnt, pos, tok,
+                 lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM seq{r}
+        ), best{r} AS (
+          SELECT tok AS lhs, nxt AS rhs, sum(cnt) AS c
+          FROM p{r} WHERE nxt IS NOT NULL
+          GROUP BY 1, 2 ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+        ), m{r} AS (
+          SELECT p.*, (p.tok = b.lhs AND p.nxt = b.rhs) AS m
+          FROM p{r} p CROSS JOIN best{r} b
+        ), c{r} AS (
+          SELECT *, pos - sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY word ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM m{r}
+        ), k{r} AS (
+          SELECT *, m AND ((pos - min(pos) OVER (PARTITION BY word, grp, m)) % 2 = 0) AS keep
+          FROM c{r}
+        ), x{r} AS (
+          SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+          FROM k{r}
+        ), seq{r + 1} AS (
+          SELECT word, cnt,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                 CASE WHEN keep THEN tok || nxt ELSE tok END AS tok
+          FROM x{r} WHERE NOT consumed
+        )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n        " + union
+
+
 def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus tokenization against a frequency-ranked
     vocabulary trained on the corpus itself — emits the (doc_id,
@@ -2354,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detokenize_roundtrip": q_detokenize_roundtrip,
         "token_contamination": q_token_contamination,
         "tokenize_vocab": q_tokenize_vocab,
+        "bpe_merges": q_bpe_merges,
         "token_bigram_topk": q_token_bigram_topk,
         "graph_components_star": q_graph_components_star,
         "pii_scan": q_pii_scan,
@@ -4116,6 +4192,7 @@ FROM state
             JOIN pg USING (g)
             GROUP BY h.doc_id
         """,
+        "bpe_merges": _bpe_oracle_sql(N_BPE_MERGES),
         "tokenize_vocab": r"""
             WITH w AS (
               SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (

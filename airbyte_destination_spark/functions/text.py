@@ -898,3 +898,142 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bpe_word_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct-word frequency table for BPE training: (word, cnt).
+
+    The classic trainer's scalability lever (SentencePiece / HF
+    tokenizers): merge learning runs over DISTINCT words weighted by
+    corpus frequency, never over the raw token stream — at web scale
+    the word table is 10^7-ish rows against 10^12 corpus tokens. Words
+    are the repo's standard whitespace split, restricted to
+    `^[a-z0-9]+$` (BPE pre-tokenization; also keeps per-character
+    semantics byte-exact across engines — no grapheme/codepoint
+    ambiguity in the oracle)."""
+    w = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    return (
+        docs.select(w)
+        .where(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_merge_round(ex: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Apply ONE learned merge (lhs, rhs) to the exploded token stream
+    and re-assemble per-word token arrays.
+
+    Left-to-right non-overlapping merge, batch-expressible: adjacent
+    matches can only overlap inside runs of consecutive match
+    positions, and greedy left-to-right keeps exactly the EVEN offsets
+    within each run — a window-function parity rule, no sequential
+    scan. All windows share the per-word partitioning, so the whole
+    round is ONE exchange on `word` plus the re-aggregation."""
+    w = Window.partitionBy("word").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    step1 = ex.select(
+        "word",
+        "cnt",
+        "pos",
+        "tok",
+        F.lead("tok").over(w).alias("nxt"),
+    ).withColumn(
+        "m", (F.col("tok") == F.lit(lhs)) & (F.col("nxt") == F.lit(rhs))
+    )
+    # run id: pos - running-match-count is constant within a run of
+    # consecutive matches; (word, grp, m) isolates each run
+    step2 = step1.withColumn(
+        "grp", F.col("pos") - F.sum(F.col("m").cast("int")).over(cum)
+    )
+    step3 = step2.withColumn(
+        "runmin", F.min("pos").over(Window.partitionBy("word", "grp", "m"))
+    ).withColumn(
+        "keep", F.col("m") & (F.pmod(F.col("pos") - F.col("runmin"), 2) == 0)
+    )
+    step4 = step3.withColumn(
+        "consumed", F.coalesce(F.lag("keep").over(w), F.lit(False))
+    )
+    rebuilt = (
+        step4.where(~F.col("consumed"))
+        .select(
+            "word",
+            "cnt",
+            "pos",
+            F.when(F.col("keep"), F.concat("tok", "nxt"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .groupBy("word", "cnt")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+    )
+    return rebuilt.select(
+        "word", "cnt", F.posexplode("toks").alias("pos", "tok")
+    )
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the top `n_merges`
+    byte-pair merges over the corpus. Returns (merge_rank, lhs, rhs,
+    pair_count) in learning order.
+
+    Deterministic spec (mirrored exactly by the DuckDB oracle):
+    - pair counts weight every adjacent position by word frequency,
+      overlapping occurrences included ("aaa" counts (a,a) twice);
+    - best pair = max count, ties to the lexicographically smallest
+      (lhs, rhs) — exact integer counts and ASCII-only tokens, so the
+      argmax can never diverge across engines;
+    - merging is greedy left-to-right non-overlapping (the run-parity
+      rule in _bpe_merge_round).
+
+    Scale shape: each round is two shuffles over the DISTINCT-WORD
+    token stream (one `word`-keyed exchange shared by every window +
+    the rebuild, one (tok, nxt) pair-count aggregate with map-side
+    combine) and a 1-row argmax collect — control-plane, like the
+    k-means centroid loop. The corpus itself is read once, by
+    `bpe_word_table`. Lineage is truncated per round (localCheckpoint)
+    so the iterative plan stays flat — the CC-loop lesson."""
+    spark = docs.sparkSession
+    words = bpe_word_table(docs, text_col)
+    # initial sequence = the word's characters (ASCII by construction)
+    ex = words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            )
+        ).alias("pos", "tok"),
+    ).localCheckpoint(eager=True)
+
+    learned = []
+    for rank in range(1, n_merges + 1):
+        w = Window.partitionBy("word").orderBy("pos")
+        best = (
+            ex.select("cnt", "tok", F.lead("tok").over(w).alias("nxt"))
+            .where(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("tok").asc(), F.col("nxt").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # corpus exhausted: every word is a single token
+        lhs, rhs, c = best[0]["tok"], best[0]["nxt"], best[0]["c"]
+        learned.append((rank, lhs, rhs, int(c)))
+        ex = _bpe_merge_round(ex, lhs, rhs).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        learned, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )

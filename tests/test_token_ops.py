@@ -37,3 +37,80 @@ def test_token_contamination_known_overlap(spark):
     probes = spark.createDataFrame([(0,)], "doc_id long")
     got = {r.doc_id: r.n_hit_grams for r in token_contamination(toks, probes, n=8).collect()}
     assert got == {1: 1}
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE twin of the documented spec: overlap-inclusive
+    pair counts over the distinct-word frequency table, argmax with
+    lexicographic tiebreak, greedy left-to-right non-overlap merge."""
+    import collections
+    import re
+
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if re.fullmatch(r"[a-z0-9]+", w):
+                wc[w] += 1
+    seqs = {w: list(w) for w in wc}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += wc[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, c))
+        for w, s in seqs.items():
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            seqs[w] = new
+    return out
+
+
+def test_bpe_merges_matches_reference(spark):
+    from airbyte_destination_spark.functions.text import bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "banana bandana cabana",
+        "aaaa aaa the theme thesis",   # run-parity: aaaa -> (aa)(aa)
+        "low lower lowest newest widest",
+        "Banana BANANA the the the",   # case-folds into the same words
+        "emoji éclair skipped!!",  # non-[a-z0-9] words filtered out
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(docs, 8).orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_reference(texts, 8)
+    # the run-parity case is actually exercised: 'aa' must be learned
+    # and applied non-overlapping
+    assert ("a", "a") in {(l, r) for _, l, r, _ in got}
+
+
+def test_bpe_merges_exhausted_corpus_stops_early(spark):
+    from airbyte_destination_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "ab")], "doc_id int, text string"
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(docs, 5).orderBy("merge_rank").collect()
+    ]
+    # one merge exhausts every word; later rounds have no pairs
+    assert got == [(1, "a", "b", 4)]
