@@ -1806,6 +1806,39 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), N_BPE_MERGES)
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Merges learned at this sf — memoized so bpe_encode measures
+    ENCODING, not a second copy of training (bpe_merges measures
+    training; the _engine_replay precedent)."""
+    if sf_dir not in _BPE_CACHE:
+        from airbyte_destination_spark.functions.text import bpe_merges
+
+        _BPE_CACHE[sf_dir] = [
+            (r.lhs, r.rhs)
+            for r in bpe_merges(_t(spark, sf_dir, "documents"), N_BPE_MERGES)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+    return _BPE_CACHE[sf_dir]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: BPE encoding of the corpus with the merges just
+    learned on it — per merge one word-keyed exchange over the
+    DISTINCT-WORD table, then docs pick up their words' segmentations
+    via ONE shuffle join (never a broadcast of the corpus-sized
+    vocabulary) and reassemble in word order. Encoding the training
+    corpus reproduces the trainer's final segmentation (pytest-pinned),
+    so the oracle reuses the training chain's final-round state."""
+    from airbyte_destination_spark.functions.text import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, _bpe_trained(spark, sf_dir))
+
+
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Unrolled DuckDB twin of bpe_merges: one CTE chain per round with
     the identical pair-count / argmax-tiebreak / run-parity-merge spec."""
@@ -1861,6 +1894,34 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         for r in range(1, n_merges + 1)
     )
     return "".join(parts) + "\n        " + union
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of bpe_encode: the training chain's final-round word
+    segmentations joined back onto the documents' word streams."""
+    chain = _bpe_oracle_sql(n_merges)
+    chain = chain[: chain.index("SELECT 1 AS merge_rank")]
+    return (
+        chain
+        + rf"""
+        , wtoks AS (
+          SELECT word, list(tok ORDER BY pos) AS toks
+          FROM seq{n_merges + 1} GROUP BY word
+        ), dw AS (
+          SELECT doc_id,
+                 generate_subscripts(
+                   regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS wpos,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+          FROM documents
+        )
+        SELECT doc_id,
+               flatten(list(toks ORDER BY wpos)) AS bpe_tokens,
+               CAST(len(flatten(list(toks ORDER BY wpos))) AS INT) AS n_bpe
+        FROM dw JOIN wtoks USING (word)
+        WHERE regexp_full_match(word, '^[a-z0-9]+$')
+        GROUP BY doc_id
+    """
+    )
 
 
 def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_contamination": q_token_contamination,
         "tokenize_vocab": q_tokenize_vocab,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "token_bigram_topk": q_token_bigram_topk,
         "graph_components_star": q_graph_components_star,
         "pii_scan": q_pii_scan,
@@ -4193,6 +4255,7 @@ FROM state
             GROUP BY h.doc_id
         """,
         "bpe_merges": _bpe_oracle_sql(N_BPE_MERGES),
+        "bpe_encode": _bpe_encode_oracle_sql(N_BPE_MERGES),
         "tokenize_vocab": r"""
             WITH w AS (
               SELECT doc_id, u.x.pos AS pos, u.x.w AS w FROM (

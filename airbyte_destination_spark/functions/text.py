@@ -1037,3 +1037,68 @@ def bpe_merges(
     return spark.createDataFrame(
         learned, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a learned BPE merge list: (doc_id,
+    bpe_tokens array<string>, n_bpe).
+
+    Standard BPE application — each merge applied exhaustively in rank
+    order (the HF/SentencePiece contract), so encoding the training
+    corpus reproduces the trainer's final segmentation exactly. All
+    merge work runs over the DISTINCT-WORD table (`_bpe_merge_round`,
+    one word-keyed exchange per merge); documents then pick up their
+    words' segmentations through ONE shuffle join on `word` (never a
+    broadcast — the segmented vocabulary is corpus-sized, the tfidf
+    lesson) and reassemble in word order. Docs with no
+    `[a-z0-9]+` words drop out (inner join), mirroring the trainer's
+    pre-tokenization filter."""
+    words = bpe_word_table(docs, text_col)
+    ex = words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            )
+        ).alias("pos", "tok"),
+    ).localCheckpoint(eager=True)
+    for lhs, rhs in merges:
+        ex = _bpe_merge_round(ex, lhs, rhs).localCheckpoint(eager=True)
+    wtoks = ex.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("toks")
+    )
+
+    dw = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("wpos", "word"),
+    ).where(F.col("word").rlike("^[a-z0-9]+$"))
+    seq = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
+            lambda s: s["toks"],
+        )
+    )
+    return (
+        dw.join(wtoks, "word")
+        .groupBy(id_col)
+        .agg(
+            seq.alias("bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").cast("int").alias("n_bpe"),
+        )
+    )

@@ -114,3 +114,50 @@ def test_bpe_merges_exhausted_corpus_stops_early(spark):
     ]
     # one merge exhausts every word; later rounds have no pairs
     assert got == [(1, "a", "b", 4)]
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    from airbyte_destination_spark.functions.text import bpe_encode, bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "banana bandana cabana aaaa",
+        "low lower lowest  the THE",
+        "###",  # no valid words -> doc drops out of the encoding
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(docs, 6).orderBy("merge_rank").collect()
+    ]
+    enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(docs, merges).collect()}
+
+    # python twin: final segmentation after applying the merges in order
+    import re
+
+    def seg(w):
+        s = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = []
+        for w in re.split(r"\s+", t.strip().lower()):
+            if re.fullmatch(r"[a-z0-9]+", w):
+                toks.extend(seg(w))
+        if toks:
+            want[i] = toks
+    assert enc == want
+    assert 3 not in enc  # the no-valid-words doc dropped
