@@ -262,9 +262,12 @@ def q_cdc_engine_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = LakeTable(tempfile.mkdtemp(prefix="engine-txn-") + "/t")
     cfg = IngestConfig(key_cols=["doc_key"], version_col="change_lsn", n_buckets=16)
-    apply_txn_log(
-        spark, _txn_log(spark, sf_dir), table, cfg, max_records=TXN_RECORDS
-    )
+    log = _txn_log(spark, sf_dir)
+    # the final state is cap-independent (the plan query pins the exact
+    # cap arithmetic); scale the cap so the replay is ~8 atomic commits
+    # at every sf rather than O(sf) commits of constant size
+    cap = max(TXN_RECORDS, log.count() // 8)
+    apply_txn_log(spark, log, table, cfg, max_records=cap)
     return table.read(spark).select(
         "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
     )
