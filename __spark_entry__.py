@@ -273,6 +273,90 @@ def q_cdc_engine_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level ATOMIC multi-table commit (lake/txn_catalog.py):
+    3 epochs each land the base LWW table AND a derived per-type
+    aggregate rollup under ONE WAL-recorded transaction — stage both,
+    fsync one record, publish both, with crash roll-forward — then both
+    tables are read at the catalog SNAPSHOT (cross-table consistent
+    point). Result joins the rollup's event counts with the base final
+    state's per-type survivors; the oracle recomputes both from the
+    log, which only agrees if the snapshot versions are the consistent
+    pair."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.lake.txn_catalog import TxnCatalog
+
+    root = tempfile.mkdtemp(prefix="txncat-")
+    base = LakeTable(root + "/base")
+    base.create(
+        T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+        ["doc_key"],
+        "change_lsn",
+        n_buckets=16,
+    )
+    roll = LakeTable(root + "/roll")
+    roll.create(
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType(), False),
+                T.StructField("n_events", T.LongType(), True),
+                T.StructField("ver", T.LongType(), False),
+            ]
+        ),
+        ["event_type"],
+        "ver",
+        n_buckets=4,
+        agg_spec={"n_events": "sum"},
+    )
+    cat = TxnCatalog(root + "/cat")
+
+    log = _cdc_events(spark, sf_dir)
+    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    step = (hi - lo) // 3 + 1
+    for k in range(3):
+        cut = log.where(
+            (F.col("change_lsn") >= lo + k * step)
+            & (F.col("change_lsn") < lo + (k + 1) * step)
+        )
+        rb = cut.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.lit(k + 1).cast("long").alias("ver"),
+            F.lit("I").alias("op"),
+        )
+        cat.apply_epoch(
+            f"ep-{k}",
+            {"base": (base, cut), "roll": (roll, rb)},
+            merge_kwargs={"roll": {"reduce": "aggregate"}},
+        )
+
+    fc = (
+        cat.read(spark, "base")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_final"))
+    )
+    return (
+        cat.read(spark, "roll")
+        .select("event_type", "n_events")
+        .join(fc, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+        )
+    )
+
+
 _REPLAY_CACHE: dict = {}
 
 
@@ -2446,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microbatch_bounds": q_microbatch_bounds,
         "cdc_txn_epoch_plan": q_cdc_txn_epoch_plan,
         "cdc_engine_txn_final_state": q_cdc_engine_txn_final_state,
+        "cdc_engine_txn_catalog": q_cdc_engine_txn_catalog,
         "envelope_parse": q_envelope_parse,
         "overwrite_delete_filter": q_overwrite_delete_filter,
         "dedup_exact": q_dedup_exact,
@@ -3370,6 +3455,26 @@ FROM state
             FROM e
         """,
         "cdc_engine_txn_final_state": _LWW_SQL,
+        "cdc_engine_txn_catalog": """
+            WITH log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key
+                                           ORDER BY change_lsn DESC) AS rn
+              FROM log
+            ), fc AS (
+              SELECT event_type, count(*) AS n_final
+              FROM ranked WHERE rn = 1 AND op <> 'D' GROUP BY 1
+            ), ec AS (
+              SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+            )
+            SELECT ec.event_type, ec.n_events,
+                   CAST(coalesce(fc.n_final, 0) AS BIGINT) AS n_final
+            FROM ec LEFT JOIN fc USING (event_type)
+        """,
         "microbatch_bounds": f"""
             WITH b AS (
               SELECT event_id, length(props) + 1 AS nb,

@@ -24,3 +24,4 @@ from airbyte_destination_spark.lake.schema import (  # noqa: F401
     align_to_schema,
     merge_schemas,
 )
+from airbyte_destination_spark.lake.txn_catalog import TxnCatalog  # noqa: F401
