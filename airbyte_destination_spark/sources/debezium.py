@@ -60,8 +60,22 @@ def debezium_source_schema() -> T.StructType:
     )
 
 
+def debezium_transaction_schema() -> T.StructType:
+    """The `transaction` block Debezium attaches when
+    `provides.transaction.metadata=true`: the source transaction id and
+    the event's order within it — the public wire contract behind
+    whole-transaction-atomic apply (streaming/txn.py)."""
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("total_order", T.LongType(), True),
+            T.StructField("data_collection_order", T.LongType(), True),
+        ]
+    )
+
+
 def _event_schema(data_schema: T.StructType) -> T.StructType:
-    """One change event: before/after images + op + source."""
+    """One change event: before/after images + op + source + txn."""
     return T.StructType(
         [
             T.StructField("before", data_schema, True),
@@ -69,6 +83,7 @@ def _event_schema(data_schema: T.StructType) -> T.StructType:
             T.StructField("source", debezium_source_schema(), True),
             T.StructField("op", T.StringType(), True),
             T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("transaction", debezium_transaction_schema(), True),
         ]
     )
 
@@ -133,6 +148,7 @@ def read_debezium_json(
         pick("after").alias("after"),
         pick("source").alias("source"),
         pick("ts_ms").alias("ts_ms"),
+        pick("transaction").alias("transaction"),
     )
     op = (
         F.when(F.col("dbz_op").isin("c", "r"), F.lit("I"))
@@ -157,6 +173,12 @@ def read_debezium_json(
             F.col("source.ts_ms"), F.col("ts_ms"),
         ).alias("change_lsn"),
         F.coalesce(F.col("ts_ms"), F.col("source.ts_ms")).alias("emitted_at"),
+        # transaction id when the connector publishes txn metadata;
+        # NULL = auto-commit (a single-event transaction). Callers
+        # feeding apply_txn_log make those explicit with
+        # `coalesce(txn_id, concat('auto-', change_lsn))` so every
+        # event belongs to exactly one transaction.
+        F.col("transaction.id").alias("txn_id"),
         data.alias("data"),
     )
     ok_pred = F.col("op").isNotNull() & F.col("data").isNotNull()
@@ -172,13 +194,16 @@ def to_debezium_json(
     table: str = "t",
     db: str = "db",
     wrapped_pred=None,
+    txn_col: str | None = None,
 ) -> DataFrame:
     """Inverse adapter for tests/benchmarks: render an internal-shape
     change DataFrame (op I/U/D + data columns) as Debezium NDJSON
     lines. `wrapped_pred` (optional bool Column) selects per-row
     whether the event is Kafka-Connect-wrapped or unwrapped, so a
-    synthesized log exercises both parse paths."""
-    data_cols = [c for c in df.columns if c not in (op_col, lsn_col)]
+    synthesized log exercises both parse paths. `txn_col` (optional)
+    renders the `transaction` metadata block from that column
+    (NULL values render as auto-commit events with no block)."""
+    data_cols = [c for c in df.columns if c not in (op_col, lsn_col, txn_col)]
     image = F.struct(*[F.col(c) for c in data_cols])
     is_d = F.col(op_col) == "D"
     event = F.struct(
@@ -199,6 +224,20 @@ def to_debezium_json(
         .otherwise(F.lit("c"))
         .alias("op"),
         F.col(lsn_col).cast("long").alias("ts_ms"),
+        *(
+            [
+                F.when(
+                    F.col(txn_col).isNotNull(),
+                    F.struct(
+                        F.col(txn_col).cast("string").alias("id"),
+                        F.lit(None).cast("long").alias("total_order"),
+                        F.lit(None).cast("long").alias("data_collection_order"),
+                    ),
+                ).alias("transaction")
+            ]
+            if txn_col is not None
+            else []
+        ),
     )
     wrapped = F.to_json(F.struct(event.alias("payload")))
     flat = F.to_json(event)

@@ -140,3 +140,73 @@ def test_lsn_prefers_source_commit_time_over_envelope_time(spark):
     )
     got = {r["data"]["doc_id"]: r["change_lsn"] for r in rec.collect()}
     assert got == {"a": 100, "b": 333}
+
+
+def test_transaction_metadata_rides_into_txn_atomic_apply(spark, tmp_path):
+    """Debezium `transaction.id` metadata (provides.transaction.metadata)
+    parses into txn_id and drives whole-transaction-atomic apply:
+    NULL txn_id = auto-commit singleton, the plan keeps multi-event
+    transactions whole, and the final state equals the direct merge."""
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import IngestConfig
+    from airbyte_destination_spark.streaming.txn import apply_txn_log, txn_epoch_plan
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("change_lsn", T.LongType()),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("d1", [1], 1, "I", "tx-1"),
+            ("d2", [2], 2, "I", "tx-1"),       # tx-1 spans 2 events
+            ("d1", [3], 3, "U", None),         # auto-commit
+            ("d3", [4], 4, "I", "tx-2"),
+            ("d2", None, 5, "D", "tx-2"),      # tx-2 spans 2 events
+            ("d3", [6], 6, "U", None),
+        ],
+        "doc_id string, tokens array<int>, change_lsn long, op string, tid string",
+    )
+    lines = to_debezium_json(
+        changes, txn_col="tid", wrapped_pred=F.col("change_lsn") % 2 == 0
+    )
+    rec, bad = read_debezium_json(spark, lines, DATA)
+    assert bad.count() == 0
+    parsed = {r.change_lsn: r.txn_id for r in rec.collect()}
+    assert parsed == {1: "tx-1", 2: "tx-1", 3: None, 4: "tx-2", 5: "tx-2", 6: None}
+
+    log = rec.select(
+        "op",
+        "change_lsn",
+        F.col("data.doc_id").alias("doc_id"),
+        F.col("data.tokens").alias("tokens"),
+        F.coalesce(
+            F.col("txn_id"), F.concat(F.lit("auto-"), F.col("change_lsn"))
+        ).alias("txn_id"),
+    )
+    # every multi-event txn stays whole even under a 1-record cap
+    plan = txn_epoch_plan(log, max_records=1)
+    per_txn = {r.txn_id: r.n_records for r in plan.collect()}
+    assert per_txn["tx-1"] == 2 and per_txn["tx-2"] == 2
+    assert plan.count() == 4  # tx-1, auto-3, tx-2, auto-6
+
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(schema, ["doc_id"], "change_lsn", n_buckets=4)
+    stats = apply_txn_log(
+        spark,
+        log,
+        t,
+        # validate=False: this table has no n_tok column, so the
+        # token-array invariant check does not apply
+        IngestConfig(
+            key_cols=["doc_id"], version_col="change_lsn", n_buckets=4,
+            validate=False,
+        ),
+        max_records=1,
+        stage_dir=str(tmp_path / "s"),
+    )
+    assert len(stats) == 4  # one atomic commit per planned epoch
+    state = {r.doc_id: r.tokens for r in t.read(spark).collect()}
+    assert state == {"d1": [3], "d3": [6]}
