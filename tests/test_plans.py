@@ -401,3 +401,41 @@ def test_pivot_daily_is_single_exchange(spark):
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert count_exchanges(pivot_daily(ev)) == 1
+
+
+def test_bpe_merge_round_single_data_exchange(spark):
+    """One BPE merge round = ONE exchange over the word-keyed token
+    stream: every window and the rebuild aggregation share the per-word
+    hash partitioning (HashPartitioning(word) satisfies the
+    groupBy(word, cnt) clustering), so Catalyst reuses the exchange."""
+    from airbyte_destination_spark.functions.text import _bpe_merge_round
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ex = docs.select(
+        F.lower(F.col("text")).alias("word"),
+        F.lit(1).alias("cnt"),
+        F.posexplode(F.split(F.lower("text"), "")).alias("pos", "tok"),
+    )
+    assert count_exchanges(_bpe_merge_round(ex, "e", "t")) == 1
+
+
+def test_txn_epoch_plan_aggregates_before_the_window(spark):
+    """The planner's unpartitioned running-sum window must consume TXN
+    SUMMARIES (post-aggregate), never raw events: the single-partition
+    exchange sits above a partial-aggregated groupBy, so the narrow
+    stage carries one row per transaction."""
+    from airbyte_destination_spark.plans import executed_plan
+    from airbyte_destination_spark.streaming.txn import txn_epoch_plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("event_id").alias("change_lsn"),
+        F.floor(F.col("event_id") / 7).alias("txn_id"),
+    )
+    plan = executed_plan(txn_epoch_plan(ev, max_records=450))
+    # the SinglePartition exchange exists (the window) but a hash
+    # exchange + partial aggregate run first, on the event stream
+    assert "SinglePartition" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "partial_count" in plan or "partial_min" in plan, plan
