@@ -952,6 +952,164 @@ def q_cdc_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under duplicate delivery (O8 + the north-star
+    idempotent-epoch contract, destination.go:403-420's flush-before-
+    STATE-echo weakened guarantee strengthened to true exactly-once):
+    a fresh MOR replay where epoch 1 is delivered TWICE back-to-back
+    (crash after commit, before the checkpoint ack — the classic
+    foreachBatch re-delivery) and epoch 0 is re-delivered again at the
+    very end (a restart replaying from an old source offset). The
+    applied-epochs manifest marker makes both replays metadata-only
+    no-ops — the query raises if either actually applied — and the
+    final state must equal the plain LWW oracle, which by construction
+    has no idea duplicates ever existed."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    log = _cdc_events(spark, sf_dir)
+    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    step = max((hi - lo) // 3 + 1, 1)
+    table = LakeTable(tempfile.mkdtemp(prefix="engine-crash-") + "/t")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+        ["doc_key"],
+        "change_lsn",
+        n_buckets=8,
+        merge_strategy="mor",
+    )
+
+    def batch(i: int) -> DataFrame:
+        return log.where(
+            (F.col("change_lsn") >= lo + i * step)
+            & (F.col("change_lsn") < lo + (i + 1) * step)
+        )
+
+    # delivery schedule: 0, 1, 1(dup), 2, 0(late replay)
+    for i, dup in ((0, False), (1, False), (1, True), (2, False), (0, True)):
+        stats = table.merge(batch(i), epoch_id=f"replay-{i}")
+        if stats.skipped != dup:
+            raise AssertionError(
+                f"epoch replay-{i} dup={dup} applied={not stats.skipped}: "
+                "exactly-once marker failed"
+            )
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_cdc_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution mid-replay through the engine (O14,
+    destination.go:273-352's catalog-driven DDL re-expressed as
+    merge-time schema-merge): epochs 0-1 land without the `src`
+    column, epoch 2's batch carries it, and the merge evolves the
+    table schema in the same commit. Old snapshots' delta files keep
+    their original schema id; the read projects the missing column as
+    NULL through the MOR fold, so a key whose LWW winner predates the
+    evolution reads src IS NULL while epoch-2 winners carry theirs —
+    exactly what the oracle recomputes from the epoch boundary."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    log = _cdc_events(spark, sf_dir)
+    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    step = max((hi - lo) // 3 + 1, 1)
+    table = LakeTable(tempfile.mkdtemp(prefix="engine-evolve-") + "/t")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+        ["doc_key"],
+        "change_lsn",
+        n_buckets=8,
+        merge_strategy="mor",
+    )
+    for i in range(3):
+        batch = log.where(
+            (F.col("change_lsn") >= lo + i * step)
+            & (F.col("change_lsn") < lo + (i + 1) * step)
+        )
+        if i == 2:  # the catalog gained a column mid-stream
+            batch = batch.withColumn(
+                "src", F.concat(F.lit("u"), (F.col("doc_key") % 10).cast("string"))
+            )
+        table.merge(batch, epoch_id=f"replay-{i}")
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"),
+        "event_type", "value", "src",
+    )
+
+
+def q_cdc_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time ROLLBACK forking history (Iceberg
+    rollback_to_snapshot): replay all 3 epochs, roll back to the
+    epoch-1 snapshot (metadata-only — committed as a NEW version, the
+    undone snapshots stay readable), then apply a DIFFERENT epoch 2
+    that drops the tombstones. Rollback must re-admit the undone epoch
+    id (its marker reverts with the manifest) and the final state must
+    equal LWW over epochs 0-1 plus only the non-delete rows of epoch 2
+    — proof the fork actually replaced history rather than layering on
+    top of it."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    log = _cdc_events(spark, sf_dir)
+    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    step = max((hi - lo) // 3 + 1, 1)
+    table = LakeTable(tempfile.mkdtemp(prefix="engine-rollback-") + "/t")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+        ["doc_key"],
+        "change_lsn",
+        n_buckets=8,
+    )
+    versions = []
+    for i in range(3):
+        batch = log.where(
+            (F.col("change_lsn") >= lo + i * step)
+            & (F.col("change_lsn") < lo + (i + 1) * step)
+        )
+        versions.append(table.merge(batch, epoch_id=f"replay-{i}").version)
+    table.rollback(versions[1])
+    if table.is_epoch_applied("replay-2"):
+        raise AssertionError("rollback must re-admit the undone epoch")
+    fork = log.where(
+        (F.col("change_lsn") >= lo + 2 * step) & (F.col("op") != "D")
+    )
+    table.merge(fork, epoch_id="replay-2")
+    return table.read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage rows (partition_id, lsn_range, rows_applied)
     are emitted at every commit (the north-star metrics contract);
@@ -2523,6 +2681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_ro_view": q_cdc_engine_ro_view,
         "cdc_engine_analyze": q_cdc_engine_analyze,
         "cdc_engine_time_travel": q_cdc_engine_time_travel,
+        "cdc_engine_crash_replay": q_cdc_engine_crash_replay,
+        "cdc_engine_schema_evolution": q_cdc_engine_schema_evolution,
+        "cdc_engine_rollback": q_cdc_engine_rollback,
         "cdc_engine_changefeed": q_cdc_engine_changefeed,
         "cdc_engine_lineage": q_cdc_engine_lineage,
         "enrich_raw_id": q_enrich_raw_id,
@@ -3352,6 +3513,54 @@ FROM state
             ), ranked AS (
               SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
               FROM log
+            )
+            SELECT doc_key, change_lsn AS last_lsn, event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        # duplicate epoch deliveries are metadata no-ops, so the final
+        # state is the plain LWW fold — the oracle's ignorance of the
+        # duplicates IS the exactly-once assertion
+        "cdc_engine_crash_replay": _LWW_SQL,
+        "cdc_engine_schema_evolution": """
+            -- LWW final state where only epoch-2 winners (the range
+            -- that carried the evolved column) have src; older winners
+            -- read NULL through the schema-merged fold
+            WITH bounds AS (
+              SELECT min(event_id) AS lo,
+                     CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+              FROM events
+            ), log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+              FROM log
+            )
+            SELECT doc_key, change_lsn AS last_lsn, event_type, value,
+                   CASE WHEN change_lsn >= lo + 2 * step
+                        THEN 'u' || CAST(doc_key % 10 AS VARCHAR) END AS src
+            FROM ranked, bounds WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_engine_rollback": """
+            -- forked history: epochs 0-1 in full, epoch 2 with its
+            -- tombstones dropped (the rolled-back-and-replayed branch)
+            WITH bounds AS (
+              SELECT min(event_id) AS lo,
+                     CAST(floor((max(event_id) - min(event_id)) / 3) AS BIGINT) + 1 AS step
+              FROM events
+            ), log AS (
+              SELECT user_id AS doc_key, event_id AS change_lsn,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events
+            ), forked AS (
+              SELECT log.* FROM log, bounds
+              WHERE change_lsn < lo + 2 * step OR op <> 'D'
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+              FROM forked
             )
             SELECT doc_key, change_lsn AS last_lsn, event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'D'
