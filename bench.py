@@ -198,6 +198,43 @@ def _apply_job(master_cores: int, log_dir: str, n_buckets: int, out_file: str | 
                        "steal_pct": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2)})
     elapsed = time.time() - t_all
     n_events = sum(e["events"] for e in epochs)
+
+    # retry-until-clean: a steal storm can dirty EVERY epoch of the
+    # one-shot pass (observed: 12-17% steal across all 4 epochs ->
+    # events_per_sec_clean = null, and the raw number — 6x low — became
+    # the only evidence). Like the scaling phases' round loop, re-apply
+    # batches under FRESH epoch ids until >=2 epochs ran in <=3%-steal
+    # windows or the retry budget runs out. Retried COW epochs fold the
+    # full grown table (the cost profile of a LATE epoch), so their eps
+    # can only understate steady-state throughput — never inflate it.
+    max_retries = int(os.environ.get("SPARK_GRAFT_CDC_RETRIES", "6"))
+    retry_deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_CDC_RETRY_SEC", "120")
+    )
+    n_retries = 0
+    while (
+        dirs
+        and sum(1 for e in epochs if e["steal_pct"] <= 3.0) < 2
+        and n_retries < max_retries
+        and time.time() < retry_deadline
+    ):
+        d = dirs[n_retries % len(dirs)]
+        load = _loadavg()
+        st0, tt0 = _cpu_ticks()
+        t0 = time.time()
+        s = apply_change_batch(
+            table, spark.read.schema(schema).parquet(d),
+            f"retry{master_cores}-{n_retries}", cfg,
+        )
+        el = time.time() - t0
+        st1, tt1 = _cpu_ticks()
+        ev = sum(l["rows_applied"] for l in s.lineage)
+        epochs.append({"sec": round(el, 3), "events": ev,
+                       "eps": round(ev / el, 1), "loadavg_before": load,
+                       "steal_pct": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2),
+                       "retry": True})
+        n_retries += 1
+
     # steal-filtered view: sustained eps over epochs whose host steal
     # stayed <=3% — the same pre-declared filter the scaling phases
     # use. When a steal storm hits mid-phase (observed: 12% steal in
@@ -213,6 +250,7 @@ def _apply_job(master_cores: int, log_dir: str, n_buckets: int, out_file: str | 
             sum(e["events"] for e in clean) / sum(e["sec"] for e in clean), 1
         ) if clean else None,
         "epochs_clean": len(clean),
+        "retries": n_retries,
         "best_eps": max((e["eps"] for e in epochs), default=0.0),
         "busy_at_start": busy_at_start,
         "epochs": epochs,
@@ -739,32 +777,55 @@ def main() -> None:
     mor_deadline = BENCH_BUDGET_SEC * float(
         os.environ.get("SPARK_GRAFT_MOR_OVERRUN", "1.2")
     )
-    if workdir is not None and time.time() - _T_START < mor_deadline:
-        _quiesce()  # cdc subprocess teardown must not bleed in
-        mor_work = _scratch("bench-mor-")
-        mor_table = LakeTable(os.path.join(mor_work, "t"))
-        mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
+    # retry-until-clean (same rationale as _apply_job): a steal-storm
+    # attempt is re-run on a FRESH table while the overrun deadline
+    # holds; the reported number is the cleanest attempt (min steal,
+    # then max eps), with every attempt's evidence kept in the detail.
+    mor_attempts: list[dict] = []
+    if workdir is not None:
         mor_dirs = sorted(str(p) for p in Path(f"{workdir}/log").glob("batch-*"))
-        st0, tt0 = _cpu_ticks()
-        t0 = time.time()
-        for i, d in enumerate(mor_dirs):
-            apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
-        mor_apply = time.time() - t0
-        t0 = time.time()
-        mor_table.compact(spark)
-        mor_compact = time.time() - t0
-        st1, tt1 = _cpu_ticks()
-        mor = {
-            "events": BENCH_EVENTS,
-            "apply_sec": round(mor_apply, 3),
-            "compact_sec": round(mor_compact, 3),
-            "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
-            "events_per_sec_with_compact": round(
-                BENCH_EVENTS / (mor_apply + mor_compact), 1
-            ),
-            "steal_pct": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2),
-        }
-        shutil.rmtree(mor_work, ignore_errors=True)
+        max_mor_attempts = int(os.environ.get("SPARK_GRAFT_MOR_RETRIES", "3"))
+        while (
+            time.time() - _T_START < mor_deadline
+            and len(mor_attempts) < max_mor_attempts
+        ):
+            _quiesce()  # cdc subprocess teardown must not bleed in
+            mor_work = _scratch("bench-mor-")
+            mor_table = LakeTable(os.path.join(mor_work, "t"))
+            mor_cfg = IngestConfig(n_buckets=64, merge_strategy="mor")
+            st0, tt0 = _cpu_ticks()
+            t0 = time.time()
+            for i, d in enumerate(mor_dirs):
+                apply_change_batch(mor_table, spark.read.parquet(d), f"m{i}", mor_cfg)
+            mor_apply = time.time() - t0
+            t0 = time.time()
+            mor_table.compact(spark)
+            mor_compact = time.time() - t0
+            st1, tt1 = _cpu_ticks()
+            mor_attempts.append({
+                "events": BENCH_EVENTS,
+                "apply_sec": round(mor_apply, 3),
+                "compact_sec": round(mor_compact, 3),
+                "events_per_sec_apply": round(BENCH_EVENTS / mor_apply, 1),
+                "events_per_sec_with_compact": round(
+                    BENCH_EVENTS / (mor_apply + mor_compact), 1
+                ),
+                "steal_pct": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2),
+            })
+            shutil.rmtree(mor_work, ignore_errors=True)
+            if mor_attempts[-1]["steal_pct"] <= 3.0:
+                break
+        if mor_attempts:
+            mor = dict(min(
+                mor_attempts,
+                key=lambda r: (r["steal_pct"] > 3.0, -r["events_per_sec_apply"]),
+            ))
+            mor["attempts"] = len(mor_attempts)
+            if len(mor_attempts) > 1:
+                mor["attempts_detail"] = [
+                    {"apply_sec": a["apply_sec"], "steal_pct": a["steal_pct"]}
+                    for a in mor_attempts
+                ]
     if workdir is not None:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
@@ -839,10 +900,13 @@ def main() -> None:
             # divergence = the host, not the plan
             "events_per_sec_clean": cdc.get("events_per_sec_clean"),
             "epochs_clean": cdc.get("epochs_clean"),
+            "retries": cdc.get("retries"),
         },
         "cdc_mor": None if mor is None else {
             "events_per_sec_apply": mor["events_per_sec_apply"],
             "events_per_sec_with_compact": mor["events_per_sec_with_compact"],
+            "steal_pct": mor["steal_pct"],
+            "attempts": mor.get("attempts"),
         },
         "scaling": _compact(scaling),
         "scaling_low": _compact(scaling_low),
