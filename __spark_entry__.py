@@ -509,6 +509,42 @@ def q_cdc_engine_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _REPLAY_CACHE[key].read(spark).select("doc_key", "event_type", "value")
 
 
+def q_cdc_engine_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked incremental-snapshot bootstrap (streaming/bootstrap.py —
+    the DBLog / Debezium-incremental-snapshot algorithm): the change
+    log's first quartile is gone to retention, so the table is stood up
+    from 4 hash-range chunk images (each read as-of the log position
+    already applied) interleaved with the surviving log tail. The
+    version-ordered LWW merge makes the interleave commutative, so the
+    final state must equal FULL-history replay — keys whose entire
+    history was trimmed are recovered from chunks alone, keys deleted
+    before the horizon stay absent, and the oracle is the plain
+    full-log LWW state. Each chunk/range is its own exactly-once
+    epoch, so a crashed bootstrap resumes without rework."""
+    key = (sf_dir, "bootstrap")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from airbyte_destination_spark.lake import LakeTable
+        from airbyte_destination_spark.streaming.bootstrap import (
+            bootstrap_ingest,
+            log_prefix_chunk_reader,
+        )
+        from airbyte_destination_spark.streaming.pipeline import IngestConfig
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        horizon = lo + (hi - lo) // 4  # retention trimmed the first quartile
+        live = log.where(F.col("change_lsn") > horizon)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-bootstrap-") + "/t")
+        cfg = IngestConfig(key_cols=["doc_key"], n_buckets=8, merge_strategy="mor")
+        bootstrap_ingest(table, live, log_prefix_chunk_reader(log), cfg, n_chunks=4)
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def _cdc_partial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a PARTIAL-image change log (the Debezium/Paimon
     partial-update shape): an update carries NULL for every column it
@@ -2668,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
+        "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3468,6 +3505,9 @@ WHERE rn = 1 AND op <> 'D'
         "cdc_lww_salted": _LWW_SQL,
         "cdc_engine_cow_final_state": _LWW_SQL,
         "cdc_engine_mor_final_state": _LWW_SQL,
+        # bootstrap must reconstruct the full-history LWW state even
+        # though it only ever saw the post-horizon log tail + chunks
+        "cdc_engine_bootstrap": _LWW_SQL,
         "cdc_engine_ro_view": _LWW_SQL,
         "cdc_engine_analyze": """
 -- exact table statistics over the LWW final state, one row per long column
