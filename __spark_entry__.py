@@ -545,6 +545,70 @@ def q_cdc_engine_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events viewed as a change log of PRE-TOKENIZED SEQUENCES (the
+    input_hint payload: doc_key, tokens array<int>) whose updates are
+    realistic EDITS of the previous version rather than fresh arrays:
+    every version of a doc shares a per-doc 64-token base array, keeps
+    a hash-chosen prefix (0-32) and suffix (0-16) of it aligned to the
+    base's start/end, and rewrites the middle with lsn-salted tokens.
+    All hashing is the md5-slice idiom so DuckDB rebuilds the identical
+    arrays bit-for-bit. Deletes (purchases) carry a NULL array."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.col("user_id").cast("string")
+    lsn = F.col("event_id").cast("string")
+
+    def h24(*parts) -> F.Column:
+        return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 6), 16, 10).cast("long")
+
+    def base_tok(i) -> F.Column:
+        return (h24(doc, F.lit(":tok:"), i.cast("string")) % 50000).cast("int")
+
+    n = (F.lit(8) + h24(doc, F.lit(":"), lsn, F.lit(":n")) % 57).cast("int")
+    p = F.least(h24(doc, F.lit(":"), lsn, F.lit(":p")) % 33, n.cast("long")).cast("int")
+    s = F.least(h24(doc, F.lit(":"), lsn, F.lit(":s")) % 17, (n - p).cast("long")).cast(
+        "int"
+    )
+    tokens = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i <= p, base_tok(i))
+        .when(i > n - s, base_tok(F.lit(64) - n + i))
+        .otherwise(
+            (h24(doc, F.lit(":"), lsn, F.lit(":e:"), i.cast("string")) % 50000).cast(
+                "int"
+            )
+        ),
+    )
+    is_u = F.col("event_type") != "purchase"
+    return ev.select(
+        F.col("user_id").alias("doc_key"),
+        F.col("event_id").alias("change_lsn"),
+        F.when(is_u, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        F.when(is_u, tokens).alias("tokens"),
+    )
+
+
+def q_token_delta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level delta profile (operators/token_delta.py): for each
+    consecutive version pair of a tokenized doc, the longest common
+    prefix/suffix and the token counts the edit added/removed — the
+    planning statistic for delta-encoding the token store instead of
+    shipping full row images (the reference ships full images,
+    destination.go RECORD handling). ONE key-partitioned shuffle (the
+    lag window, same partitioning the merge stage uses), then per-row
+    O(len) JVM higher-order functions; no Python, no self-join. Pairs
+    crossing a delete are excluded — a tombstone resets history."""
+    from airbyte_destination_spark.operators.token_delta import token_delta
+
+    return token_delta(
+        _token_change_log(spark, sf_dir),
+        key_col="doc_key",
+        lsn_col="change_lsn",
+        tokens_col="tokens",
+        op_col="op",
+    )
+
+
 def _cdc_partial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a PARTIAL-image change log (the Debezium/Paimon
     partial-update shape): an update carries NULL for every column it
@@ -2705,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
+        "token_delta_profile": q_token_delta_profile,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3508,6 +3573,65 @@ WHERE rn = 1 AND op <> 'D'
         # bootstrap must reconstruct the full-history LWW state even
         # though it only ever saw the post-horizon log tail + chunks
         "cdc_engine_bootstrap": _LWW_SQL,
+        # token-sequence change log rebuilt bit-for-bit via the md5-slice
+        # idiom, then an EMPIRICAL longest-common-prefix/suffix per
+        # consecutive version pair (first mismatching index over the
+        # zipped arrays — same semantics as the Spark aggregate fold)
+        "token_delta_profile": """
+WITH ev AS (
+  SELECT user_id AS doc_key,
+         CAST(user_id AS VARCHAR) AS doc,
+         event_id AS lsn,
+         CAST(event_id AS VARCHAR) AS lsns,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), dims AS (
+  SELECT *,
+    CAST(8 + ('0x' || substr(md5(doc || ':' || lsns || ':n'), 1, 6))::BIGINT % 57 AS INT) AS n,
+    CAST(least(('0x' || substr(md5(doc || ':' || lsns || ':p'), 1, 6))::BIGINT % 33, n) AS INT) AS p,
+    CAST(least(('0x' || substr(md5(doc || ':' || lsns || ':s'), 1, 6))::BIGINT % 17, n - p) AS INT) AS s
+  FROM ev
+), gen AS (
+  SELECT doc_key, lsn, op,
+    CASE WHEN op = 'D' THEN NULL ELSE
+      list_transform(range(1, n + 1), i -> CAST(CASE
+        WHEN i <= p
+          THEN ('0x' || substr(md5(doc || ':tok:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 50000
+        WHEN i > n - s
+          THEN ('0x' || substr(md5(doc || ':tok:' || CAST(64 - n + i AS VARCHAR)), 1, 6))::BIGINT % 50000
+        ELSE ('0x' || substr(md5(doc || ':' || lsns || ':e:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 50000
+      END AS INT))
+    END AS tokens
+  FROM dims
+), pairs AS (
+  SELECT doc_key, lsn, op, tokens,
+         lag(tokens) OVER w AS prev,
+         lag(op) OVER w AS prev_op
+  FROM gen
+  WINDOW w AS (PARTITION BY doc_key ORDER BY lsn)
+), d AS (
+  SELECT doc_key, lsn,
+         CAST(len(prev) AS INT) AS len_prev,
+         CAST(len(tokens) AS INT) AS len_cur,
+         CAST(coalesce(
+           list_filter(range(1, greatest(len(prev), len(tokens)) + 1),
+                       i -> prev[i] IS DISTINCT FROM tokens[i])[1] - 1,
+           least(len(prev), len(tokens))) AS INT) AS prefix_len,
+         CAST(coalesce(
+           list_filter(range(1, greatest(len(prev), len(tokens)) + 1),
+                       i -> list_reverse(prev)[i] IS DISTINCT FROM list_reverse(tokens)[i])[1] - 1,
+           least(len(prev), len(tokens))) AS INT) AS suf_raw
+  FROM pairs
+  WHERE op <> 'D' AND prev_op IS NOT NULL AND prev_op <> 'D' AND prev IS NOT NULL
+)
+SELECT doc_key, lsn, len_prev, len_cur, prefix_len,
+       least(suf_raw, least(len_prev, len_cur) - prefix_len) AS suffix_len,
+       len_cur - prefix_len
+         - least(suf_raw, least(len_prev, len_cur) - prefix_len) AS added,
+       len_prev - prefix_len
+         - least(suf_raw, least(len_prev, len_cur) - prefix_len) AS removed
+FROM d
+""",
         "cdc_engine_ro_view": _LWW_SQL,
         "cdc_engine_analyze": """
 -- exact table statistics over the LWW final state, one row per long column
