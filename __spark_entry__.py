@@ -609,6 +609,58 @@ def q_token_delta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_delta_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_destination_spark.operators.token_delta import delta_encode
+
+    return delta_encode(
+        _token_change_log(spark, sf_dir),
+        key_col="doc_key",
+        lsn_col="change_lsn",
+        tokens_col="tokens",
+        op_col="op",
+        full_every=16,
+    )
+
+
+def q_token_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encode the token change log (full image only at history
+    resets and every 16th version — binlog-snapshot/keyframe cadence),
+    then reconstruct the LATEST image per key by folding each key's
+    chain since its last checkpoint (operators/token_delta.py:
+    delta_reconstruct). Must equal the direct LWW latest image row for
+    row and token for token — the input_hint's per-row invariant.
+    Scale shape: the checkpoint prune is a key-co-partitioned agg+join,
+    the fold is one collect_list of ≤16 structs per key in JVM codegen;
+    nothing is ever O(history) per key."""
+    from airbyte_destination_spark.operators.token_delta import delta_reconstruct
+
+    return delta_reconstruct(
+        _token_delta_encoded(spark, sf_dir), key_col="doc_key", lsn_col="change_lsn"
+    )
+
+
+def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped-token accounting for the delta-encoded log: how many
+    tokens cross the wire under (prefix_len, suffix_len, middle)
+    encoding vs full row images. Pure aggregate over the encoded
+    stream (counts by kind + two sums) — the stat a CDC planner uses
+    to decide whether delta shipping pays at 10^10 events/day."""
+    enc = _token_delta_encoded(spark, sf_dir)
+    is_d = F.col("kind") == "D"
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count(F.when(F.col("kind") == "F", 1)).alias("full_images"),
+        F.count(F.when(F.col("kind") == "d", 1)).alias("delta_images"),
+        F.count(F.when(is_d, 1)).alias("tombstones"),
+        F.sum(
+            F.when(is_d, 0).otherwise(
+                F.size("middle") + F.col("prefix_len") + F.col("suffix_len")
+            )
+        ).alias("tokens_full"),
+        F.sum(F.when(is_d, 0).otherwise(F.size("middle"))).alias("tokens_shipped"),
+    )
+
+
 def _cdc_partial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a PARTIAL-image change log (the Debezium/Paimon
     partial-update shape): an update carries NULL for every column it
@@ -2770,6 +2822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
+        "token_delta_roundtrip": q_token_delta_roundtrip,
+        "token_delta_compression": q_token_delta_compression,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3317,6 +3371,59 @@ WHERE ct.doc_id IS NULL AND dp.doc_id IS NULL
 """
 
 
+# shared CTE chain for the token_delta_* oracles: rebuild the
+# _token_change_log construction bit-for-bit (md5-slice idiom), then
+# the lag pairs and the empirical per-pair affix lengths. Unused CTEs
+# are pruned by DuckDB, so every consumer appends its own final SELECT.
+_TOKEN_GEN_SQL = """
+WITH ev AS (
+  SELECT user_id AS doc_key,
+         CAST(user_id AS VARCHAR) AS doc,
+         event_id AS lsn,
+         CAST(event_id AS VARCHAR) AS lsns,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), dims AS (
+  SELECT *,
+    CAST(8 + ('0x' || substr(md5(doc || ':' || lsns || ':n'), 1, 6))::BIGINT % 57 AS INT) AS n,
+    CAST(least(('0x' || substr(md5(doc || ':' || lsns || ':p'), 1, 6))::BIGINT % 33, n) AS INT) AS p,
+    CAST(least(('0x' || substr(md5(doc || ':' || lsns || ':s'), 1, 6))::BIGINT % 17, n - p) AS INT) AS s
+  FROM ev
+), gen AS (
+  SELECT doc_key, lsn, op,
+    CASE WHEN op = 'D' THEN NULL ELSE
+      list_transform(range(1, n + 1), i -> CAST(CASE
+        WHEN i <= p
+          THEN ('0x' || substr(md5(doc || ':tok:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 50000
+        WHEN i > n - s
+          THEN ('0x' || substr(md5(doc || ':tok:' || CAST(64 - n + i AS VARCHAR)), 1, 6))::BIGINT % 50000
+        ELSE ('0x' || substr(md5(doc || ':' || lsns || ':e:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 50000
+      END AS INT))
+    END AS tokens
+  FROM dims
+), pairs AS (
+  SELECT doc_key, lsn, op, tokens,
+         lag(tokens) OVER w AS prev,
+         lag(op) OVER w AS prev_op
+  FROM gen
+  WINDOW w AS (PARTITION BY doc_key ORDER BY lsn)
+), d AS (
+  SELECT doc_key, lsn,
+         CAST(len(prev) AS INT) AS len_prev,
+         CAST(len(tokens) AS INT) AS len_cur,
+         CAST(coalesce(
+           list_filter(range(1, greatest(len(prev), len(tokens)) + 1),
+                       i -> prev[i] IS DISTINCT FROM tokens[i])[1] - 1,
+           least(len(prev), len(tokens))) AS INT) AS prefix_len,
+         CAST(coalesce(
+           list_filter(range(1, greatest(len(prev), len(tokens)) + 1),
+                       i -> list_reverse(prev)[i] IS DISTINCT FROM list_reverse(tokens)[i])[1] - 1,
+           least(len(prev), len(tokens))) AS INT) AS suf_raw
+  FROM pairs
+  WHERE op <> 'D' AND prev_op IS NOT NULL AND prev_op <> 'D' AND prev IS NOT NULL
+)
+"""
+
 _LWW_SQL = """
 WITH log AS (
   SELECT user_id AS doc_key, event_id AS change_lsn,
@@ -3577,53 +3684,8 @@ WHERE rn = 1 AND op <> 'D'
         # idiom, then an EMPIRICAL longest-common-prefix/suffix per
         # consecutive version pair (first mismatching index over the
         # zipped arrays — same semantics as the Spark aggregate fold)
-        "token_delta_profile": """
-WITH ev AS (
-  SELECT user_id AS doc_key,
-         CAST(user_id AS VARCHAR) AS doc,
-         event_id AS lsn,
-         CAST(event_id AS VARCHAR) AS lsns,
-         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
-  FROM events
-), dims AS (
-  SELECT *,
-    CAST(8 + ('0x' || substr(md5(doc || ':' || lsns || ':n'), 1, 6))::BIGINT % 57 AS INT) AS n,
-    CAST(least(('0x' || substr(md5(doc || ':' || lsns || ':p'), 1, 6))::BIGINT % 33, n) AS INT) AS p,
-    CAST(least(('0x' || substr(md5(doc || ':' || lsns || ':s'), 1, 6))::BIGINT % 17, n - p) AS INT) AS s
-  FROM ev
-), gen AS (
-  SELECT doc_key, lsn, op,
-    CASE WHEN op = 'D' THEN NULL ELSE
-      list_transform(range(1, n + 1), i -> CAST(CASE
-        WHEN i <= p
-          THEN ('0x' || substr(md5(doc || ':tok:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 50000
-        WHEN i > n - s
-          THEN ('0x' || substr(md5(doc || ':tok:' || CAST(64 - n + i AS VARCHAR)), 1, 6))::BIGINT % 50000
-        ELSE ('0x' || substr(md5(doc || ':' || lsns || ':e:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 50000
-      END AS INT))
-    END AS tokens
-  FROM dims
-), pairs AS (
-  SELECT doc_key, lsn, op, tokens,
-         lag(tokens) OVER w AS prev,
-         lag(op) OVER w AS prev_op
-  FROM gen
-  WINDOW w AS (PARTITION BY doc_key ORDER BY lsn)
-), d AS (
-  SELECT doc_key, lsn,
-         CAST(len(prev) AS INT) AS len_prev,
-         CAST(len(tokens) AS INT) AS len_cur,
-         CAST(coalesce(
-           list_filter(range(1, greatest(len(prev), len(tokens)) + 1),
-                       i -> prev[i] IS DISTINCT FROM tokens[i])[1] - 1,
-           least(len(prev), len(tokens))) AS INT) AS prefix_len,
-         CAST(coalesce(
-           list_filter(range(1, greatest(len(prev), len(tokens)) + 1),
-                       i -> list_reverse(prev)[i] IS DISTINCT FROM list_reverse(tokens)[i])[1] - 1,
-           least(len(prev), len(tokens))) AS INT) AS suf_raw
-  FROM pairs
-  WHERE op <> 'D' AND prev_op IS NOT NULL AND prev_op <> 'D' AND prev IS NOT NULL
-)
+        "token_delta_profile": _TOKEN_GEN_SQL
+        + """
 SELECT doc_key, lsn, len_prev, len_cur, prefix_len,
        least(suf_raw, least(len_prev, len_cur) - prefix_len) AS suffix_len,
        len_cur - prefix_len
@@ -3631,6 +3693,48 @@ SELECT doc_key, lsn, len_prev, len_cur, prefix_len,
        len_prev - prefix_len
          - least(suf_raw, least(len_prev, len_cur) - prefix_len) AS removed
 FROM d
+""",
+        # roundtrip invariant: delta-encode then reconstruct must equal
+        # the direct latest image per surviving key (token-array
+        # equality — the input_hint's per-row invariant)
+        "token_delta_roundtrip": _TOKEN_GEN_SQL
+        + """
+SELECT doc_key,
+       max(lsn) AS last_lsn,
+       max_by(tokens, lsn) AS tokens,
+       CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok
+FROM gen
+GROUP BY doc_key
+HAVING max_by(op, lsn) <> 'D'
+""",
+        # encode cadence + shipped-token accounting mirrored in SQL:
+        # kind from (tombstone | history reset | every-16th checkpoint),
+        # shipped = full length for checkpoints, middle length for deltas
+        "token_delta_compression": _TOKEN_GEN_SQL
+        + """
+, enc AS (
+  SELECT p2.*,
+         CASE WHEN op = 'D' THEN 'D'
+              WHEN prev_op IS NULL OR prev_op = 'D' OR prev IS NULL
+                   OR (rn - 1) % 16 = 0 THEN 'F'
+              ELSE 'd' END AS kind,
+         coalesce(d.prefix_len, 0) AS pl,
+         coalesce(least(d.suf_raw, least(d.len_prev, d.len_cur) - d.prefix_len), 0) AS sl
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY lsn) AS rn
+        FROM pairs) p2
+  LEFT JOIN d USING (doc_key, lsn)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(*) FILTER (kind = 'F') AS BIGINT) AS full_images,
+       CAST(count(*) FILTER (kind = 'd') AS BIGINT) AS delta_images,
+       CAST(count(*) FILTER (kind = 'D') AS BIGINT) AS tombstones,
+       CAST(sum(CASE WHEN kind = 'D' THEN 0 ELSE len(tokens) END) AS BIGINT)
+         AS tokens_full,
+       CAST(sum(CASE WHEN kind = 'D' THEN 0
+                     WHEN kind = 'F' THEN len(tokens)
+                     ELSE len(tokens) - pl - sl END) AS BIGINT)
+         AS tokens_shipped
+FROM enc
 """,
         "cdc_engine_ro_view": _LWW_SQL,
         "cdc_engine_analyze": """

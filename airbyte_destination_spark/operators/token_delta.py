@@ -97,3 +97,134 @@ def token_delta(
             "removed"
         ),
     )
+
+
+def delta_encode(
+    log: DataFrame,
+    key_col: str = "doc_id",
+    lsn_col: str = "change_lsn",
+    tokens_col: str = "tokens",
+    op_col: str = "op",
+    full_every: int = 16,
+) -> DataFrame:
+    """Delta-encode a token-sequence change log: each version ships as
+    (kind, prefix_len, suffix_len, middle) instead of its full array.
+
+    kind 'F' (full image, middle = whole array) is emitted for a key's
+    first version, the first version after a delete (a tombstone resets
+    history, nothing to diff against), and every `full_every`-th
+    version — the checkpoint cadence that BOUNDS how long a reconstruct
+    chain can get, exactly like binlog periodic snapshots / video
+    keyframes. kind 'D' is a tombstone; everything else is kind 'd'
+    with middle = tokens[prefix_len+1 .. len-suffix_len] against the
+    previous version.
+
+    Same single key-partitioned window as token_delta (one shuffle, the
+    merge stage's partitioning); the affix computation is the same
+    codegen zip_with/aggregate fold. Lossless by construction —
+    delta_reconstruct inverts it; see test_token_delta.py roundtrips.
+    """
+    w = Window.partitionBy(key_col).orderBy(lsn_col)
+    df = log.withColumn("_prev", F.lag(tokens_col).over(w)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    if op_col in log.columns:
+        df = df.withColumn("_prev_op", F.lag(op_col).over(w))
+        is_del = F.col(op_col) == "D"
+        reset = F.col("_prev_op").isNull() | (F.col("_prev_op") == "D")
+    else:
+        is_del = F.lit(False)
+        reset = F.lit(False)
+
+    prev, cur = F.col("_prev"), F.col(tokens_col)
+    is_full = (
+        reset
+        | prev.isNull()
+        | ((F.col("_rn") - 1) % F.lit(full_every) == 0)
+    )
+    prefix = F.when(is_full, F.lit(0)).otherwise(_common_run(prev, cur))
+    suf_raw = F.when(is_full, F.lit(0)).otherwise(
+        _common_run(F.reverse(prev), F.reverse(cur))
+    )
+    suffix = F.least(suf_raw, F.least(F.size(prev), F.size(cur)) - prefix)
+    kind = F.when(is_del, F.lit("D")).when(is_full, F.lit("F")).otherwise(F.lit("d"))
+    # middle must be sliced with literal-safe bounds: slice() start of 0
+    # is invalid, so full/delete rows short-circuit before slicing
+    middle = (
+        F.when(is_del, F.lit(None).cast(log.schema[tokens_col].dataType))
+        .when(is_full, cur)
+        .otherwise(
+            F.slice(cur, prefix + 1, F.size(cur) - prefix - suffix)
+        )
+    )
+    return df.select(
+        key_col,
+        lsn_col,
+        kind.alias("kind"),
+        F.when(is_del | is_full, F.lit(0)).otherwise(prefix).alias("prefix_len"),
+        F.when(is_del | is_full, F.lit(0)).otherwise(suffix).alias("suffix_len"),
+        middle.alias("middle"),
+    )
+
+
+def delta_reconstruct(
+    encoded: DataFrame,
+    key_col: str = "doc_id",
+    lsn_col: str = "change_lsn",
+) -> DataFrame:
+    """Invert delta_encode: the LATEST full token array per key.
+
+    Reads only each key's suffix chain since its last 'F' checkpoint —
+    a key-partitioned max aggregate plus a key-co-partitioned join
+    prune (both sides hash on the key, AQE reuses the exchange), so
+    per-key fold state is bounded by `full_every`, not history length.
+    The fold itself is one sort_array(collect_list(...)) + F.aggregate
+    over at most full_every structs — JVM codegen, no Python, no
+    per-version shuffle. Keys whose last op is a tombstone are absent,
+    matching the LWW merge's final state.
+    """
+    last_full = (
+        encoded.where(F.col("kind") == "F")
+        .groupBy(key_col)
+        .agg(F.max(lsn_col).alias("_last_full_lsn"))
+    )
+    tail = encoded.join(last_full, key_col).where(
+        F.col(lsn_col) >= F.col("_last_full_lsn")
+    )
+    chain = tail.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(lsn_col).alias("lsn"),
+                    F.col("kind").alias("kind"),
+                    F.col("prefix_len").alias("p"),
+                    F.col("suffix_len").alias("s"),
+                    F.col("middle").alias("mid"),
+                )
+            )
+        ).alias("_chain"),
+        F.max(lsn_col).alias("last_lsn"),
+    )
+    elem_type = [f.dataType for f in encoded.schema.fields if f.name == "middle"][0]
+
+    def _apply(state, d):
+        pre = F.slice(state, F.lit(1), d["p"])
+        suf = F.when(
+            d["s"] > 0, F.slice(state, -d["s"], d["s"])
+        ).otherwise(F.array().cast(elem_type))
+        return (
+            F.when(d["kind"] == "F", d["mid"])
+            .when(d["kind"] == "D", F.lit(None).cast(elem_type))
+            .otherwise(F.concat(pre, d["mid"], suf))
+        )
+
+    out = chain.select(
+        key_col,
+        "last_lsn",
+        F.aggregate(
+            F.col("_chain"), F.lit(None).cast(elem_type), _apply
+        ).alias("tokens"),
+    )
+    return out.where(F.col("tokens").isNotNull()).select(
+        key_col, "last_lsn", "tokens", F.size("tokens").alias("n_tok")
+    )
