@@ -639,6 +639,25 @@ def q_token_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_histogram_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram histogram maintained incrementally from the
+    change log (operators/token_delta.token_histogram): each version
+    contributes only its SIGNED EDIT (±middle tokens, common affixes
+    cancelled), folded by one token-keyed map-side-combined sum. Must
+    equal the histogram over the final LWW images without ever
+    materializing them — the vocab/mixture drift monitor a training
+    pipeline runs per ingest epoch at 10^10 events."""
+    from airbyte_destination_spark.operators.token_delta import token_histogram
+
+    return token_histogram(
+        _token_change_log(spark, sf_dir),
+        key_col="doc_key",
+        lsn_col="change_lsn",
+        tokens_col="tokens",
+        op_col="op",
+    )
+
+
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-token accounting for the delta-encoded log: how many
     tokens cross the wire under (prefix_len, suffix_len, middle)
@@ -2824,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_delta_profile": q_token_delta_profile,
         "token_delta_roundtrip": q_token_delta_roundtrip,
         "token_delta_compression": q_token_delta_compression,
+        "token_histogram_ivm": q_token_histogram_ivm,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3706,6 +3726,20 @@ SELECT doc_key,
 FROM gen
 GROUP BY doc_key
 HAVING max_by(op, lsn) <> 'D'
+""",
+        # the incrementally-maintained histogram must equal the direct
+        # unigram count over the final LWW images
+        "token_histogram_ivm": _TOKEN_GEN_SQL
+        + """
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(tokens) AS token
+  FROM (
+    SELECT max_by(tokens, lsn) AS tokens
+    FROM gen GROUP BY doc_key HAVING max_by(op, lsn) <> 'D'
+  )
+)
+GROUP BY token
 """,
         # encode cadence + shipped-token accounting mirrored in SQL:
         # kind from (tombstone | history reset | every-16th checkpoint),

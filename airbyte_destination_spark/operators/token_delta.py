@@ -99,6 +99,92 @@ def token_delta(
     )
 
 
+def signed_token_deltas(
+    log: DataFrame,
+    key_col: str = "doc_id",
+    lsn_col: str = "change_lsn",
+    tokens_col: str = "tokens",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per version: the tokens it ADDS and REMOVES from the corpus
+    multiset, with common prefix/suffix cancelled.
+
+    prev = pre ++ mid_prev ++ suf and cur = pre ++ mid_cur ++ suf share
+    `pre` and `suf` exactly (that's what the affix lengths mean), so
+    the multiset delta -prev +cur collapses to -mid_prev +mid_cur:
+    an update's contribution is proportional to its EDIT size, not its
+    document size. History resets add the whole new image; tombstones
+    remove the whole previous one. Same single key-partitioned window
+    as token_delta.
+    """
+    w = Window.partitionBy(key_col).orderBy(lsn_col)
+    df = log.withColumn("_prev", F.lag(tokens_col).over(w))
+    if op_col in log.columns:
+        df = df.withColumn("_prev_op", F.lag(op_col).over(w))
+        is_del = F.col(op_col) == "D"
+        prev_live = F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "D")
+    else:
+        is_del = F.lit(False)
+        prev_live = F.col("_prev").isNotNull()
+
+    elem_type = log.schema[tokens_col].dataType
+    empty = F.array().cast(elem_type)
+    prev = F.when(prev_live, F.col("_prev")).otherwise(empty)
+    cur = F.when(is_del, empty).otherwise(F.coalesce(F.col(tokens_col), empty))
+    prefix = _common_run(prev, cur)
+    suffix = F.least(
+        _common_run(F.reverse(prev), F.reverse(cur)),
+        F.least(F.size(prev), F.size(cur)) - prefix,
+    )
+
+    def mid(arr):
+        n = F.size(arr) - prefix - suffix
+        return F.when(n > 0, F.slice(arr, prefix + 1, n)).otherwise(empty)
+
+    return df.select(
+        key_col,
+        F.col(lsn_col).alias("lsn"),
+        mid(cur).alias("added"),
+        mid(prev).alias("removed"),
+    )
+
+
+def token_histogram(
+    log: DataFrame,
+    key_col: str = "doc_id",
+    lsn_col: str = "change_lsn",
+    tokens_col: str = "tokens",
+    op_col: str = "op",
+) -> DataFrame:
+    """Corpus unigram histogram maintained INCREMENTALLY from the
+    change log: fold every version's signed edit (±middle tokens only,
+    see signed_token_deltas) into token counts. Equals the histogram
+    over the final LWW images — without ever materializing them.
+
+    Scale shape: one key window (shared with the merge stage's
+    partitioning) + one token-keyed sum with map-side combine. The
+    exploded volume is the total EDIT volume of the log, which delta
+    cancellation makes far smaller than total document volume — the
+    statistic a vocab/mixture monitor needs per ingest epoch at 10^10
+    events without rescanning the table.
+    """
+    d = signed_token_deltas(log, key_col, lsn_col, tokens_col, op_col)
+    signed = F.concat(
+        F.transform(
+            "added", lambda t: F.struct(t.alias("token"), F.lit(1).alias("w"))
+        ),
+        F.transform(
+            "removed", lambda t: F.struct(t.alias("token"), F.lit(-1).alias("w"))
+        ),
+    )
+    return (
+        d.select(F.explode(signed).alias("e"))
+        .groupBy(F.col("e.token").alias("token"))
+        .agg(F.sum("e.w").alias("cnt"))
+        .where(F.col("cnt") != 0)
+    )
+
+
 def delta_encode(
     log: DataFrame,
     key_col: str = "doc_id",

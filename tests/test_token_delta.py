@@ -97,7 +97,41 @@ def test_first_version_per_key_excluded(spark):
 from airbyte_destination_spark.operators.token_delta import (  # noqa: E402
     delta_encode,
     delta_reconstruct,
+    signed_token_deltas,
+    token_histogram,
 )
+
+
+def test_signed_deltas_ship_only_the_edit(spark):
+    rows = [
+        ("a", 1, "U", [1, 2, 3, 4]),        # insert: +whole image
+        ("a", 2, "U", [1, 2, 9, 9, 3, 4]),  # mid insert: +[9,9] only
+        ("a", 3, "D", None),                # delete: -whole previous image
+        ("a", 4, "U", [5]),                 # re-insert after tombstone
+    ]
+    df = signed_token_deltas(spark.createDataFrame(rows, SCHEMA), key_col="doc_id")
+    got = {r["lsn"]: (r["added"], r["removed"]) for r in df.collect()}
+    assert got == {
+        1: ([1, 2, 3, 4], []),
+        2: ([9, 9], []),
+        3: ([], [1, 2, 9, 9, 3, 4]),
+        4: ([5], []),
+    }
+
+
+def test_token_histogram_matches_final_images(spark):
+    rows = [
+        ("a", 1, "U", [1, 1, 2]),
+        ("a", 2, "U", [1, 2, 3]),       # -1, +3
+        ("b", 1, "U", [2, 2]),
+        ("b", 2, "D", None),            # b gone entirely
+        ("c", 1, "U", [3, 1, 3]),
+        ("c", 2, "U", [3, 1, 3]),       # no-op resend: zero contribution
+    ]
+    df = token_histogram(spark.createDataFrame(rows, SCHEMA), key_col="doc_id")
+    got = {r["token"]: r["cnt"] for r in df.collect()}
+    # final images: a=[1,2,3], c=[3,1,3]
+    assert got == {1: 2, 2: 1, 3: 3}
 
 
 def _encode(spark, rows, **kw):
