@@ -658,6 +658,42 @@ def q_token_histogram_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_engine_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online resumable backfill (lake/table.py backfill): the token
+    change log is replayed into a lake table WITHOUT n_tok, the schema
+    then evolves and historical buckets are populated with
+    size(tokens) in epoch-marked groups of 2 — paced (max_groups=1,
+    reader observes a consistent mid-campaign state) and then resumed,
+    proving the restart skips completed groups. Final state must equal
+    the LWW latest images with their true token counts."""
+    key = (sf_dir, "backfill")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _token_change_log(spark, sf_dir)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-backfill-") + "/t")
+        table.create(
+            T.StructType([f for f in log.schema.fields if f.name != "op"]),
+            ["doc_key"],
+            "change_lsn",
+            n_buckets=8,
+        )
+        table.merge(log, epoch_id="seed")
+        first = table.backfill(
+            spark, {"n_tok": "size(tokens)"}, buckets_per_commit=2, max_groups=1
+        )
+        assert not first["complete"]
+        # interrupted campaign resumes: completed groups are skipped
+        rest = table.backfill(spark, {"n_tok": "size(tokens)"}, buckets_per_commit=2)
+        assert rest["complete"] and rest["groups_skipped"] == first["groups_done"]
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "n_tok", "tokens"
+    )
+
+
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-token accounting for the delta-encoded log: how many
     tokens cross the wire under (prefix_len, suffix_len, middle)
@@ -2844,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_delta_roundtrip": q_token_delta_roundtrip,
         "token_delta_compression": q_token_delta_compression,
         "token_histogram_ivm": q_token_histogram_ivm,
+        "cdc_engine_backfill": q_cdc_engine_backfill,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3723,6 +3760,18 @@ SELECT doc_key,
        max(lsn) AS last_lsn,
        max_by(tokens, lsn) AS tokens,
        CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok
+FROM gen
+GROUP BY doc_key
+HAVING max_by(op, lsn) <> 'D'
+""",
+        # after the paced-and-resumed backfill campaign, every surviving
+        # row carries its true token count next to its latest image
+        "cdc_engine_backfill": _TOKEN_GEN_SQL
+        + """
+SELECT doc_key,
+       max(lsn) AS last_lsn,
+       CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok,
+       max_by(tokens, lsn) AS tokens
 FROM gen
 GROUP BY doc_key
 HAVING max_by(op, lsn) <> 'D'

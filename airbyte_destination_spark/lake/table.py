@@ -1869,6 +1869,155 @@ class LakeTable:
                 _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
+    def backfill(
+        self,
+        spark: SparkSession,
+        exprs: dict[str, str],
+        where: str | None = None,
+        epoch_prefix: str = "backfill",
+        buckets_per_commit: int = 8,
+        max_groups: int | None = None,
+    ) -> dict:
+        """Online, resumable, bucket-scoped column backfill: set each
+        output column to its SQL expression over the row's current
+        columns — adding new columns (with an upfront metadata-only
+        schema-evolution commit) or recomputing existing ones.
+
+        The production scenario behind it: a schema evolution lands
+        (say `n_tok` added to a 10^10-row tokenized-sequences table)
+        and historical rows must be populated WITHOUT a table-wide
+        atomic rewrite or an ingest pause. So:
+
+        * buckets are rewritten in groups of `buckets_per_commit`,
+          each group its own epoch-marked commit — a crashed or
+          interrupted backfill resumes by skipping applied epochs,
+          exactly the ingest path's exactly-once contract;
+        * readers stay online throughout: not-yet-backfilled rows
+          read as schema-aligned NULLs (new column) or old values
+          (recompute), never as errors, and every commit is atomic;
+        * `where` scopes the rewrite to matching rows, and buckets
+          with no matching row keep their files untouched (same
+          match pre-pass as overwrite_where — a selective backfill
+          is O(matching buckets), never O(table));
+        * `max_groups` paces the work across maintenance windows
+          (run k groups now, resume later) — at 100 TB a backfill is
+          an operational campaign, not one job;
+        * concurrent ingest is safe: each group commit re-reads the
+          manifest and retries on CommitConflict, and a bucket is
+          rewritten from its FINAL resolved state (MOR deltas folded,
+          tombstones dropped — the same contract as compact()).
+
+        Returns {"groups_done", "groups_skipped", "buckets_rewritten",
+        "schema_evolved", "complete"}.
+        """
+        # phase 0: metadata-only schema evolution so readers and
+        # concurrent writers see the target schema before any rewrite
+        cur_schema = self.schema()
+        target = (
+            spark.createDataFrame([], cur_schema)
+            .withColumns({c: F.expr(e) for c, e in exprs.items()})
+            .schema
+        )
+        evolved = False
+        schema_epoch = f"{epoch_prefix}-schema"
+        if target != cur_schema and not self.is_epoch_applied(schema_epoch):
+            for attempt in range(_COMMIT_ATTEMPTS):
+                self._recover_orphan()
+                base = self.current_version()
+                m = self.manifest(base)
+                self._evolve_if_needed(m, target)
+                m["operation"] = f"backfill_schema({sorted(exprs)})"
+                m["epoch_id"] = schema_epoch
+                m["applied_epochs"][schema_epoch] = base + 1
+                m["lineage"] = []
+                try:
+                    self._commit(m, base)
+                    evolved = True
+                    break
+                except CommitConflict:
+                    if attempt == _COMMIT_ATTEMPTS - 1:
+                        raise
+                    _conflict_backoff(attempt)
+
+        pred = F.expr(where) if where is not None else None
+        done = skipped = rewritten = 0
+        groups_total = 0
+        all_buckets = sorted(int(b) for b in self.manifest()["buckets"])
+        groups = [
+            all_buckets[i : i + buckets_per_commit]
+            for i in range(0, len(all_buckets), buckets_per_commit)
+        ]
+        for group in groups:
+            groups_total += 1
+            epoch = f"{epoch_prefix}-buckets-{group[0]}-{group[-1]}"
+            if self.is_epoch_applied(epoch):
+                skipped += 1
+                continue
+            if max_groups is not None and done >= max_groups:
+                return {
+                    "groups_done": done,
+                    "groups_skipped": skipped,
+                    "buckets_rewritten": rewritten,
+                    "schema_evolved": evolved,
+                    "complete": False,
+                }
+            for attempt in range(_COMMIT_ATTEMPTS):
+                self._recover_orphan()
+                base = self.current_version()
+                m = self.manifest(base)
+                schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+                state = self._resolve(spark, m, group, schema)
+                dirty = group
+                if pred is not None:
+                    dirty = sorted(
+                        int(r[0])
+                        for r in self._with_bucket(state, m)
+                        .where(pred)
+                        .select(_BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    )
+                    state = self._resolve(spark, m, dirty, schema)
+                if dirty:
+                    out = state.withColumns(
+                        {
+                            c: F.expr(e)
+                            if pred is None
+                            else F.when(pred, F.expr(e)).otherwise(
+                                F.col(c) if c in state.columns else F.lit(None)
+                            )
+                            for c, e in exprs.items()
+                        }
+                    )
+                    out = align_to_schema(out, schema)
+                    new_files = self._write_bucketed(
+                        self._with_bucket(out, m), m, base + 1, mark_base=True
+                    )
+                    m["buckets"] = {
+                        **m["buckets"],
+                        **{str(b): new_files.get(str(b), []) for b in dirty},
+                    }
+                m["operation"] = f"backfill({sorted(exprs)}, buckets={group})"
+                m["epoch_id"] = epoch
+                m["applied_epochs"][epoch] = base + 1
+                m["lineage"] = []
+                try:
+                    self._commit(m, base)
+                    done += 1
+                    rewritten += len(dirty)
+                    break
+                except CommitConflict:
+                    if attempt == _COMMIT_ATTEMPTS - 1:
+                        raise
+                    _conflict_backoff(attempt)
+        return {
+            "groups_done": done,
+            "groups_skipped": skipped,
+            "buckets_rewritten": rewritten,
+            "schema_evolved": evolved,
+            "complete": True,
+        }
+
     # -------------------------------------------------- observability
 
     def analyze(self, spark: SparkSession, columns: list[str] | None = None) -> dict:
