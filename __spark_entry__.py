@@ -597,13 +597,28 @@ def _token_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n, p, s = F.col("_n"), F.col("_p"), F.col("_s")
 
-        def base_tok(i) -> F.Column:
-            return (h24(doc, F.lit(":tok:"), i.cast("string")) % 50000).cast("int")
-
+        # the 64-token per-doc base array depends only on (doc, i):
+        # compute it once per DOC on a distinct-key dimension and join
+        # it back (tiny side, AQE broadcasts), instead of one md5 per
+        # kept affix element per EVENT
+        base_dim = (
+            ev.select(F.col("user_id").alias("doc_key")).distinct()
+            .withColumn("_doc", F.col("doc_key").cast("string"))
+            .select(
+                "doc_key",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (
+                        h24(F.col("_doc"), F.lit(":tok:"), i.cast("string")) % 50000
+                    ).cast("int"),
+                ).alias("_base"),
+            )
+        )
+        base = base.join(base_dim, "doc_key")
         tokens = F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.when(i <= p, base_tok(i))
-            .when(i > n - s, base_tok(F.lit(64) - n + i))
+            lambda i: F.when(i <= p, F.element_at("_base", i))
+            .when(i > n - s, F.element_at("_base", F.lit(64) - n + i))
             .otherwise(
                 (
                     h24(doc, F.lit(":"), lsn, F.lit(":e:"), i.cast("string")) % 50000
