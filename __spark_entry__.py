@@ -743,6 +743,25 @@ def q_cdc_engine_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-user sketch per event_type
+    (functions/sketch.py) — COUNT(DISTINCT) as the hosted analytics
+    product serves it at 10^10 rows: the aggregation state is 256
+    max-registers per group (map-side combined, mergeable across
+    partitions/epochs/tables), never the value set. The md5-slice hash
+    and the bucket-ordered harmonic fold make the oracle reproduce
+    registers AND the float estimate bit-for-bit; the exact distinct
+    rides along to expose the (documented ~6.5% std error) accuracy."""
+    from airbyte_destination_spark.functions.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-token accounting for the delta-encoded log: how many
     tokens cross the wire under (prefix_len, suffix_len, middle)
@@ -2930,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_delta_compression": q_token_delta_compression,
         "token_histogram_ivm": q_token_histogram_ivm,
         "cdc_engine_backfill": q_cdc_engine_backfill,
+        "hll_distinct": q_hll_distinct,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3812,6 +3832,53 @@ SELECT doc_key,
 FROM gen
 GROUP BY doc_key
 HAVING max_by(op, lsn) <> 'D'
+""",
+        # HLL twin: identical md5-slice registers, identical
+        # bucket-ordered harmonic fold -> the DOUBLE estimate matches
+        # bit-for-bit (every term an exact dyadic 2^-r; the one
+        # engine-divergent op, libm ln small-range correction, is
+        # deliberately absent from the raw estimator)
+        "hll_distinct": """
+WITH h AS (
+  SELECT event_type,
+         md5(CAST(user_id AS VARCHAR) || ':hll') AS hx
+  FROM events
+), rr AS (
+  SELECT event_type,
+         CAST(('0x' || substr(hx, 1, 2))::BIGINT AS INT) AS bucket,
+         regexp_replace(substr(hx, 3, 16), '^0+', '') AS rem
+  FROM h
+), rk AS (
+  SELECT event_type, bucket,
+         CAST(CASE WHEN rem = '' THEN 65
+              ELSE (16 - length(rem)) * 4 +
+                   CASE WHEN substr(rem, 1, 1) = '1' THEN 3
+                        WHEN substr(rem, 1, 1) IN ('2','3') THEN 2
+                        WHEN substr(rem, 1, 1) IN ('4','5','6','7') THEN 1
+                        ELSE 0 END + 1
+         END AS INT) AS rank
+  FROM rr
+), regs AS (
+  SELECT event_type, bucket, max(rank) AS r
+  FROM rk GROUP BY 1, 2
+), e AS (
+  SELECT event_type,
+         CAST(256 - count(*) AS INT) AS n_zero_registers,
+         list_reduce(list(pow(2.0, -r) ORDER BY bucket), (a, b) -> a + b)
+           + CAST(256 - count(*) AS DOUBLE) AS z
+  FROM regs GROUP BY 1
+)
+SELECT e.event_type, e.n_zero_registers,
+       (0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256 / e.z AS hll_estimate,
+       CASE WHEN e.n_zero_registers > 0
+            THEN round(256.0 * ln(256.0 / CAST(e.n_zero_registers AS DOUBLE)), 4)
+       END AS lc_estimate,
+       x.exact_distinct
+FROM e
+JOIN (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+) x USING (event_type)
 """,
         # after the paced-and-resumed backfill campaign, every surviving
         # row carries its true token count next to its latest image
