@@ -1909,6 +1909,11 @@ class LakeTable:
 
         Returns {"groups_done", "groups_skipped", "buckets_rewritten",
         "schema_evolved", "complete"}.
+
+        Epoch ids derive from `epoch_prefix` alone, so re-running with
+        the SAME prefix resumes that campaign; a genuinely NEW campaign
+        over the same table must use a distinct prefix or it will be
+        skipped as already applied.
         """
         # phase 0: metadata-only schema evolution so readers and
         # concurrent writers see the target schema before any rewrite
