@@ -762,6 +762,105 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+def _final_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort, tok) stream over the FINAL LWW images of the token
+    change log — one row per token instance surviving replay, with an
+    even/odd doc_key cohort for the set-algebra sketches. ~50k token
+    vocabulary (the input_hint payload domain), so the sketches
+    genuinely estimate rather than degenerate to exact counts."""
+    log = _token_change_log(spark, sf_dir)
+    final = (
+        log.groupBy("doc_key")
+        .agg(
+            F.expr("max_by(op, change_lsn)").alias("_op"),
+            F.expr("max_by(tokens, change_lsn)").alias("tokens"),
+        )
+        .where(F.col("_op") != "D")
+    )
+    cohort = F.when((F.col("doc_key") % 2) == 0, F.lit("even")).otherwise(
+        F.lit("odd")
+    )
+    return final.select(
+        cohort.alias("cohort"), F.explode("tokens").alias("tok")
+    )
+
+
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency upper bounds for the corpus's heavy-hitter
+    tokens (functions/sketch.py cms_state/cms_estimate) — the
+    point-frequency question a training pipeline asks per ingest epoch
+    (vocab drift, stop-token detection) without a per-key exact count
+    over a 10^5+ vocabulary: the sketch state is a fixed 4 x 4096
+    counter grid (ONE scan of the full change-log token stream — every
+    version's tokens, the stream the ingest pipeline actually sees —
+    map-side combined, sum-mergeable across epochs — pinned in
+    tests/test_sketch.py), and a probe costs a 4-row min over the
+    grid. The exact frequency rides along to expose the (one-sided:
+    est >= true, always) collision error; probes here are the true
+    top-30 so the oracle is self-contained — in production they come
+    from a prior epoch's heavy hitters or a watchlist. All-integer
+    state and estimates, so the DuckDB oracle matches exactly."""
+    from airbyte_destination_spark.functions.sketch import (
+        cms_estimate,
+        cms_state,
+    )
+
+    log = _token_change_log(spark, sf_dir)
+    toks = log.where(F.col("op") != "D").select(
+        F.explode("tokens").alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_freq"))
+    probes = exact.orderBy(F.col("exact_freq").desc(), F.col("tok")).limit(30)
+    state = cms_state(toks, "tok", [])
+    est = cms_estimate(state, probes.select("tok"), "tok", [])
+    return (
+        probes.join(est, "tok")
+        .select("tok", "exact_freq", F.col("cms_est").cast("long").alias("cms_est"))
+        .orderBy(F.col("exact_freq").desc(), F.col("tok"))
+    )
+
+
+def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set algebra across corpus shards
+    (functions/sketch.py kmv_sketch/kmv_overlap): estimated distinct
+    token vocabulary of the even- and odd-doc_key halves of the final
+    LWW state, of their union, of their intersection, and the Jaccard
+    — the cross-shard-overlap question HLL cannot answer (HLL unions
+    but never intersects). Each shard's state is its k=256 smallest
+    distinct 60-bit token hashes (two-phase min-k, no full-group sort;
+    min-k-mergeable across epochs — pinned in tests/test_sketch.py),
+    and the set algebra runs over <= 2k rows however large the corpus.
+    Estimates are single IEEE ops on exactly-representable ints in a
+    pinned order, so the DuckDB oracle matches the doubles
+    bit-for-bit; exact intersection/union ride along to expose the
+    ~1/sqrt(k) error."""
+    from airbyte_destination_spark.functions.sketch import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    toks = _final_token_stream(spark, sf_dir)
+    # the sketch IS the index: <= 2x256 rows, and kmv_overlap reads
+    # each side three times (union, common, per-set estimate) — cache
+    # it so the token stream is sketched once, not three times
+    sk = kmv_sketch(toks, "tok", ["cohort"]).cache()
+    ska = sk.where(F.col("cohort") == "even").select("h", "pos")
+    skb = sk.where(F.col("cohort") == "odd").select("h", "pos")
+    est = kmv_overlap(ska, skb)
+    wa = toks.where(F.col("cohort") == "even").select("tok").distinct()
+    wb = toks.where(F.col("cohort") == "odd").select("tok").distinct()
+    exact = (
+        wa.join(wb, "tok")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        .crossJoin(
+            wa.union(wb)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+    )
+    return est.crossJoin(exact)
+
+
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-token accounting for the delta-encoded log: how many
     tokens cross the wire under (prefix_len, suffix_len, middle)
@@ -2950,6 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram_ivm": q_token_histogram_ivm,
         "cdc_engine_backfill": q_cdc_engine_backfill,
         "hll_distinct": q_hll_distinct,
+        "cms_token_freq": q_cms_token_freq,
+        "kmv_token_overlap": q_kmv_token_overlap,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3879,6 +3980,104 @@ JOIN (
   SELECT event_type, count(DISTINCT user_id) AS exact_distinct
   FROM events GROUP BY 1
 ) x USING (event_type)
+""",
+        # count-min grid rebuilt counter-for-counter over the final LWW
+        # token stream: same md5-slice row hashes, same probe min-fold
+        # — all integers, exact match
+        "cms_token_freq": _TOKEN_GEN_SQL
+        + """
+, tf AS (
+  SELECT unnest(tokens) AS tok FROM gen WHERE op <> 'D'
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_freq FROM tf GROUP BY 1
+), probes AS (
+  SELECT tok, exact_freq FROM exact
+  ORDER BY exact_freq DESC, tok LIMIT 30
+), state AS (
+  SELECT row_i, idx, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT i.i AS row_i,
+           ('0x' || substr(md5(CAST(tok AS VARCHAR) || ':cms' || i.i), 1, 3))::BIGINT AS idx
+    FROM tf, (SELECT unnest([0, 1, 2, 3]) AS i) i
+  ) GROUP BY 1, 2
+), pe AS (
+  SELECT p.tok, p.exact_freq, i.i AS row_i,
+         ('0x' || substr(md5(CAST(p.tok AS VARCHAR) || ':cms' || i.i), 1, 3))::BIGINT AS idx
+  FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS i) i
+)
+SELECT pe.tok, pe.exact_freq,
+       CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cms_est
+FROM pe LEFT JOIN state s USING (row_i, idx)
+GROUP BY 1, 2
+ORDER BY exact_freq DESC, tok
+""",
+        # KMV/theta sketches rebuilt hash-for-hash; the estimators are
+        # single IEEE ops in the same order (mul-then-div for the
+        # per-set estimate, div-then-mul for the theta-scaled pair), so
+        # the doubles match bit-for-bit
+        "kmv_token_overlap": _TOKEN_GEN_SQL
+        + """
+, fin AS (
+  SELECT doc_key, max_by(tokens, lsn) AS tokens
+  FROM gen GROUP BY doc_key
+  HAVING max_by(op, lsn) <> 'D'
+), wf AS (
+  SELECT CASE WHEN doc_key % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+         unnest(tokens) AS tok
+  FROM fin
+), hashes AS (
+  SELECT DISTINCT cohort,
+         ('0x' || substr(md5(CAST(tok AS VARCHAR) || ':kmv'), 1, 15))::BIGINT AS h
+  FROM wf
+), sk AS (
+  SELECT cohort, h FROM (
+    SELECT cohort, h,
+           row_number() OVER (PARTITION BY cohort ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= 256
+), ska AS (SELECT h FROM sk WHERE cohort = 'even'),
+skb AS (SELECT h FROM sk WHERE cohort = 'odd'),
+uni AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+  ORDER BY h LIMIT 256
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS theta FROM uni
+), cc AS (
+  SELECT coalesce(sum(CASE WHEN c.h < s.theta THEN 1 ELSE 0 END), 0)
+           AS n_common_lt
+  FROM (SELECT ska.h FROM ska JOIN skb USING (h)) c, stats s
+), ea AS (
+  SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE (255.0 * 1152921504606846976.0) / CAST(max(h) AS DOUBLE)
+         END AS est_distinct_a
+  FROM ska
+), eb AS (
+  SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE (255.0 * 1152921504606846976.0) / CAST(max(h) AS DOUBLE)
+         END AS est_distinct_b
+  FROM skb
+), ex AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM
+      (SELECT DISTINCT a.tok FROM
+        (SELECT DISTINCT tok FROM wf WHERE cohort = 'even') a
+        JOIN (SELECT DISTINCT tok FROM wf WHERE cohort = 'odd') b
+        USING (tok))) AS exact_intersection,
+    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM wf) AS exact_union
+)
+SELECT ea.est_distinct_a, eb.est_distinct_b,
+       CASE WHEN s.n >= 256
+            THEN 255.0 * (1152921504606846976.0 / CAST(s.theta AS DOUBLE))
+            ELSE CAST(s.n AS DOUBLE) END AS est_union,
+       CASE WHEN s.n >= 256
+            THEN CAST(cc.n_common_lt AS DOUBLE)
+                 * (1152921504606846976.0 / CAST(s.theta AS DOUBLE))
+            ELSE CAST(cc.n_common_lt AS DOUBLE) END AS est_intersection,
+       CAST(cc.n_common_lt AS INT) AS n_common_retained,
+       CASE WHEN est_union > 0.0 THEN est_intersection / est_union
+            ELSE 0.0 END AS jaccard_est,
+       ex.exact_intersection, ex.exact_union
+FROM ea, eb, stats s, cc, ex
 """,
         # after the paced-and-resumed backfill campaign, every surviving
         # row carries its true token count next to its latest image

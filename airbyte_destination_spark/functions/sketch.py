@@ -1,9 +1,21 @@
-"""Mergeable distinct-count sketches with CROSS-ENGINE-EXACT semantics.
+"""Mergeable sketch family with CROSS-ENGINE-EXACT semantics.
 
-HyperLogLog (Flajolet et al. 2007) as the reference's hosted analytics
-would serve COUNT(DISTINCT) at 10^10 scale — but built so a DuckDB
-oracle reproduces the sketch BIT-FOR-BIT, registers and float estimate
-alike:
+Three sketches a hosted analytics backend keeps per table at 10^10
+rows, each built so a DuckDB oracle reproduces the state AND the float
+estimates bit-for-bit:
+
+* HyperLogLog (Flajolet et al. 2007) — COUNT(DISTINCT); state is 256
+  max-registers per group, max-mergeable.
+* Count-min (Cormode & Muthukrishnan 2005) — point frequency upper
+  bounds for heavy-hitter queries; state is a d x w counter grid per
+  group, sum-mergeable (`cms_state` / `cms_estimate`).
+* KMV / theta (Beyer et al. 2007; Dasgupta et al. 2016) — distinct
+  cardinality PLUS set algebra (union / intersection / Jaccard across
+  sources), which HLL alone cannot give; state is the k smallest
+  distinct 60-bit hashes per group, min-k-mergeable (`kmv_sketch` /
+  `kmv_estimate` / `kmv_overlap`).
+
+HyperLogLog construction notes:
 
 * the hash is the md5-slice idiom (both engines lowercase-hex md5):
   register index = first 2 hex chars (m = 256), rank = leading-zero
@@ -117,3 +129,231 @@ def hll_distinct(
 ) -> DataFrame:
     """registers -> estimate in one call (the common read path)."""
     return hll_estimate(hll_registers(df, value_col, group_cols), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: point-frequency upper bounds, sum-mergeable.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # independent hash rows; P(over-est > 2e*N/w) <= e^-d ~ 1.8%
+CMS_W = 4096  # 2^12 counters per row (3 hex chars of the md5)
+
+
+def cms_index(col: Column, row_i: int) -> Column:
+    """Counter index of `col` in hash row `row_i` — md5-slice, 0..4095.
+
+    Each row salts the value with a distinct ':cms<i>' suffix, so the d
+    rows are independent md5 draws; 3 hex chars give the 2^12 width.
+    Pure string/int codegen, identical in the DuckDB oracle
+    (('0x' || substr(md5(v || ':cms' || i), 1, 3))::BIGINT).
+    """
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":cms{row_i}")))
+    return F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+
+
+def cms_state(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """The sketch state: occurrence count per (group, hash row, index).
+
+    ONE scan of the input (the d indexes are computed as an array and
+    posexploded, not d passes), then one map-side-combined count whose
+    output is bounded by |groups| x d x w = |groups| x 16,384 rows
+    whatever the input size. States from different partitions, epochs,
+    or tables merge by summing counters (groupBy the same key, sum `c`
+    — pinned in tests/test_sketch.py), which is what makes the sketch
+    maintainable under streaming ingest: each micro-batch contributes
+    its own grid and the read path sums.
+    """
+    idxs = F.array(
+        *[cms_index(F.col(value_col), i) for i in range(CMS_D)]
+    )
+    return (
+        df.select(*group_cols, F.posexplode(idxs).alias("row_i", "idx"))
+        .groupBy(*group_cols, "row_i", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    state: DataFrame, probes: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Frequency upper bound for each probe value: min over the d rows.
+
+    `probes` carries (group_cols..., value_col) rows — in production the
+    candidate set comes from a prior epoch's heavy hitters or an
+    external watchlist, never from an exact count (that is the point of
+    the sketch). The probe side fans out to d (group, row, idx) keys
+    and joins the counter grid; a counter the grid never saw is 0. The
+    state is at most |groups| x 16,384 rows, so Spark broadcasts
+    whichever side is smaller; the min-fold output is one row per
+    probe. Guarantee (pinned in tests): est >= true frequency, always.
+    """
+    pidx = probes.select(
+        *group_cols,
+        value_col,
+        F.posexplode(
+            F.array(*[cms_index(F.col(value_col), i) for i in range(CMS_D)])
+        ).alias("row_i", "idx"),
+    )
+    return (
+        pidx.join(state, [*group_cols, "row_i", "idx"], "left")
+        .groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct counts WITH set algebra, min-k-mergeable.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # retained minima; relative std error ~ 1/sqrt(k-2) ~ 6.3%
+TWO60 = 1152921504606846976.0  # 2^60 as an exact double
+
+
+def kmv_hash(col: Column) -> Column:
+    """Uniform 60-bit hash of `col` — 15 hex chars of md5, exact in a
+    BIGINT both engines ((:kmv salt keeps it independent of the other
+    sketches' draws). 60 bits keeps string->int conversion inside
+    int64 in Spark's conv AND DuckDB's ('0x'||...)::BIGINT."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(":kmv")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """The sketch state: the k smallest DISTINCT hashes per group.
+
+    Two-phase min-k so no executor ever sorts a full group: the
+    distinct hashes are salted into 32 sub-streams (`h % 32` — the
+    hash IS uniform, so the salt is too), each sub-stream keeps its
+    own k smallest via a windowed row_number over (group, salt), and
+    the survivors (<= 32k per group) re-rank globally per group. The
+    final state is <= k rows per group with a dense `pos` 1..k.
+    Spark 4 additionally pushes a WindowGroupLimit partial top-k below
+    the stage-1 exchange, so the salted shuffle itself carries <= k
+    rows per salt per map task. The stage-2 window's input is bounded
+    at 32k rows per group by construction (a single-partition-window
+    warning can appear when `group_cols` are constant-folded literals,
+    as in unit tests — it is bounded, not a scale hazard). Callers
+    composing several reads over one sketch should persist it — it IS
+    the index (<= k rows).
+
+    Min-k states merge: union two sketches' hash sets, keep the k
+    smallest distinct — pinned equal to the whole-input sketch in
+    tests/test_sketch.py. That is the property that lets per-source or
+    per-epoch sketches roll up to corpus level without re-scanning.
+    """
+    from pyspark.sql.window import Window
+
+    h = df.select(
+        *group_cols, kmv_hash(F.col(value_col)).alias("h")
+    ).distinct()
+    salted = h.withColumn("_salt", (F.col("h") % 32).cast("int"))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("h")
+    s1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return s1.withColumn("pos", F.row_number().over(w2)).where(
+        F.col("pos") <= k
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group from the min-k state.
+
+    A group that filled its sketch estimates (k-1) * 2^60 / h_k (the
+    unbiased KMV estimator; h_k = the kth smallest hash, i.e. max of
+    the retained set). A group with fewer than k distinct values IS its
+    sketch — the count is exact. Both branches are single IEEE ops on
+    exactly-representable inputs, so the double matches the oracle
+    bit-for-bit (int64 -> double conversion rounds identically in both
+    engines).
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO60) / F.col("_hk").cast("double")
+    )
+    return agg.select(*group_cols, est.alias("kmv_estimate"))
+
+
+def kmv_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set algebra over two single-group KMV states
+    (columns: h, pos): distinct-of-A, distinct-of-B, union,
+    intersection, and Jaccard estimates in ONE row.
+
+    Union rule: theta = the kth smallest hash of S_A ∪ S_B (distinct);
+    the retained set is {h < theta} (k-1 hashes). est_union =
+    (k-1) * 2^60 / theta, and est_inter counts the hashes BOTH sketches
+    retained that fall below theta, scaled by the same 2^60 / theta —
+    the standard theta-sketch estimator pair, so jaccard_est is their
+    exact-double ratio. Degenerate small inputs (union < k distinct)
+    fall back to exact set counts. Everything here runs over <= 2k
+    rows — the whole point: set algebra across 10^10-row sources
+    touches only the sketches.
+    """
+    a = sketch_a.select(F.col("h").alias("h"))
+    b = sketch_b.select(F.col("h").alias("h"))
+    uni = a.union(b).distinct().orderBy("h").limit(k)
+    stats = uni.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("theta")
+    )
+    common = a.join(b, "h").select("h")
+    # count-of-common aggregated apart from stats: an EMPTY common set
+    # must yield 0, not null out theta/_n via first()-over-empty
+    common_cnt = common.crossJoin(stats.select("theta")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("h") < F.col("theta"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("_n_common_lt")
+    )
+    joined = stats.crossJoin(common_cnt)
+    full = F.col("_n") >= k
+    scale = F.lit(TWO60) / F.col("theta").cast("double")
+    est_a = _kmv_est_df(sketch_a, k, "_est_a")
+    est_b = _kmv_est_df(sketch_b, k, "_est_b")
+    return (
+        joined.crossJoin(est_a)
+        .crossJoin(est_b)
+        .select(
+            F.col("_est_a").alias("est_distinct_a"),
+            F.col("_est_b").alias("est_distinct_b"),
+            F.when(full, F.lit(float(k - 1)) * scale)
+            .otherwise(F.col("_n").cast("double"))
+            .alias("est_union"),
+            F.when(
+                full, F.col("_n_common_lt").cast("double") * scale
+            )
+            .otherwise(F.col("_n_common_lt").cast("double"))
+            .alias("est_intersection"),
+            F.col("_n_common_lt").cast("int").alias("n_common_retained"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("est_union") > 0.0,
+                F.col("est_intersection") / F.col("est_union"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def _kmv_est_df(sketch: DataFrame, k: int, alias: str) -> DataFrame:
+    """1-row distinct estimate of one sketch, under `alias`."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("_sn"), F.max("h").alias("_hk"))
+    est = F.when(F.col("_sn") < k, F.col("_sn").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO60) / F.col("_hk").cast("double")
+    )
+    return agg.select(est.alias(alias))

@@ -61,3 +61,158 @@ def test_register_state_is_bounded(spark):
     regs = hll_registers(_df(spark, 50000), "v", ["g"])
     assert regs.count() <= 256
     assert regs.agg(F.max("r")).first()[0] <= 65
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+from airbyte_destination_spark.functions.sketch import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    KMV_K,
+    cms_estimate,
+    cms_state,
+    kmv_estimate,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+
+def _zipf_df(spark, n=4000):
+    # v = id % (id % 97 + 1)-ish skew: heavy low values, long tail
+    return spark.range(n).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % (F.col("id") % 89 + 1)).cast("long").alias("v"),
+    )
+
+
+def test_cms_upper_bound_and_exact_heavy_hitters(spark):
+    df = _zipf_df(spark)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("f"))
+    probes = exact.orderBy(F.col("f").desc(), F.col("v")).limit(20)
+    state = cms_state(df, "v", [])
+    est = cms_estimate(state, probes.select("v"), "v", [])
+    rows = (
+        probes.join(est, "v")
+        .select("v", "f", "cms_est")
+        .collect()
+    )
+    assert len(rows) == 20
+    for r in rows:
+        # CMS never underestimates
+        assert r["cms_est"] >= r["f"], r
+
+
+def test_cms_state_bounded_and_sum_mergeable(spark):
+    df = _zipf_df(spark)
+    whole = cms_state(df, "v", [])
+    assert whole.count() <= CMS_D * CMS_W
+    a, b = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+    merged = (
+        cms_state(a, "v", [])
+        .unionByName(cms_state(b, "v", []))
+        .groupBy("row_i", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    diff = (
+        whole.join(merged, ["row_i", "idx"], "full")
+        .where(
+            whole["c"].isNull()
+            | merged["c"].isNull()
+            | (whole["c"] != merged["c"])
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_cms_absent_probe_estimates_small(spark):
+    df = _zipf_df(spark)
+    state = cms_state(df, "v", [])
+    probes = spark.range(1).select(F.lit(10**12).cast("long").alias("v"))
+    est = cms_estimate(state, probes, "v", []).collect()[0]["cms_est"]
+    # a never-seen key can only collide, not accumulate real mass
+    assert est < 200
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sk = kmv_sketch(df, "v", ["g"])
+    assert sk.count() == 100
+    est = kmv_estimate(sk, ["g"]).collect()[0]["kmv_estimate"]
+    assert est == 100.0
+
+
+def test_kmv_accuracy_and_min_k_merge(spark):
+    whole = spark.range(20000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sk = kmv_sketch(whole, "v", ["g"])
+    assert sk.count() == KMV_K
+    est = kmv_estimate(sk, ["g"]).collect()[0]["kmv_estimate"]
+    assert abs(est - 20000) / 20000 < 0.25, est
+    # min-k merge of two shard sketches == whole-input sketch
+    a = kmv_sketch(whole.where("v % 2 = 0"), "v", ["g"])
+    b = kmv_sketch(whole.where("v % 2 = 1"), "v", ["g"])
+    from pyspark.sql.window import Window
+
+    merged = (
+        a.select("g", "h")
+        .unionByName(b.select("g", "h"))
+        .distinct()
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("g").orderBy("h")),
+        )
+        .where(F.col("pos") <= KMV_K)
+    )
+    diff = (
+        merged.select("h")
+        .exceptAll(sk.select("h"))
+        .union(sk.select("h").exceptAll(merged.select("h")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_kmv_overlap_estimates(spark):
+    # A = 0..11999, B = 6000..17999 -> |A|=|B|=12000, inter 6000, union 18000
+    a = spark.range(0, 12000).select(F.col("id").alias("v"))
+    b = spark.range(6000, 18000).select(F.col("id").alias("v"))
+    ska = kmv_sketch(a.select(F.lit("a").alias("g"), "v"), "v", ["g"])
+    skb = kmv_sketch(b.select(F.lit("b").alias("g"), "v"), "v", ["g"])
+    row = kmv_overlap(ska, skb).collect()[0]
+    assert abs(row["est_union"] - 18000) / 18000 < 0.25, row
+    assert abs(row["est_intersection"] - 6000) / 6000 < 0.45, row
+    assert 0.15 < row["jaccard_est"] < 0.55, row
+    # determinism across parallelism
+    ska2 = kmv_sketch(
+        a.repartition(17).select(F.lit("a").alias("g"), "v"), "v", ["g"]
+    )
+    skb2 = kmv_sketch(
+        b.repartition(5).select(F.lit("b").alias("g"), "v"), "v", ["g"]
+    )
+    row2 = kmv_overlap(ska2, skb2).collect()[0]
+    assert row == row2
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    a = spark.range(0, 5000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(100000, 105000).select(
+        F.lit("b").alias("g"), (F.col("id")).alias("v")
+    )
+    row = kmv_overlap(
+        kmv_sketch(a, "v", ["g"]), kmv_sketch(b, "v", ["g"])
+    ).collect()[0]
+    # disjoint inputs: shared hashes essentially impossible at 60 bits
+    assert row["n_common_retained"] == 0
+    assert row["est_intersection"] == 0.0
+    assert row["jaccard_est"] == 0.0
