@@ -439,3 +439,32 @@ def test_txn_epoch_plan_aggregates_before_the_window(spark):
     assert "SinglePartition" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_cms_state_is_one_scan_one_exchange(spark):
+    """The count-min grid must cost ONE scan of the input and ONE
+    map-side-combined exchange — the d hash rows fan out via
+    posexplode, never via d unioned scans."""
+    from airbyte_destination_spark.functions.sketch import cms_state
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    st = cms_state(ev, "user_id", [])
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert count_exchanges(st) == 1, plan
+    # partial (map-side) aggregate present before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_kmv_salted_topk_pushes_group_limit(spark):
+    """The KMV stage-1 shuffle must carry a pre-limited top-k per salt
+    (WindowGroupLimit below the exchange), so the exchange moves at
+    most k rows per salt per map task — never the full distinct set."""
+    from airbyte_destination_spark.functions.sketch import kmv_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = kmv_sketch(ev, "user_id", ["event_type"])
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # Partial (map-side, below the salt exchange) + Final group limits
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan, plan
