@@ -861,6 +861,81 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_cdc_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest planner's skew detector: hot doc_keys in a change
+    batch found from the count-min grid (functions/sketch.py), with a
+    per-key salt-factor recommendation for the salted LWW reduce
+    (operators/dedup.lww_reduce_salted, O17). The pipeline the report
+    models: the CMS is maintained per epoch anyway (sum-mergeable),
+    candidate keys come from a deterministic ~6% row sample (a hot key
+    is in any row sample w.h.p. — no exact per-key count is ever
+    taken), a key is reported when its estimated count exceeds one
+    reducer's fair share (est * n_partitions > total), and
+    salt_factor = ceil(est * n_partitions / total) splits it back to
+    fair-share-sized slices. The fixture's keys are uniform, so the
+    query collapses every doc_key % 5 == 0 into one synthetic hot key
+    (-1, ~20% of all rows) to exercise detection; in production the
+    log arrives skewed. Exact count rides along (computed only for
+    reported keys) to expose the CMS overestimate. Integer state,
+    integer threshold, and a single double division before ceil, so
+    the DuckDB oracle matches exactly."""
+    from airbyte_destination_spark.functions.sketch import (
+        cms_estimate,
+        cms_state,
+    )
+
+    n_parts = 32
+    log = _cdc_events(spark, sf_dir)
+    skewed = log.select(
+        F.when(F.col("doc_key") % 5 == 0, F.lit(-1))
+        .otherwise(F.col("doc_key"))
+        .cast("long")
+        .alias("doc_key"),
+        "change_lsn",
+    )
+    state = cms_state(skewed, "doc_key", [])
+    samp_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_key").cast("string"),
+                    F.lit(":"),
+                    F.col("change_lsn").cast("string"),
+                    F.lit(":samp"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cands = (
+        skewed.where(samp_h % 16 == 0).select("doc_key").distinct()
+    )
+    est = cms_estimate(state, cands, "doc_key", [])
+    total = skewed.agg(F.count(F.lit(1)).alias("total"))
+    hot = (
+        est.crossJoin(total)
+        .where(F.col("cms_est") * n_parts > F.col("total"))
+        .select(
+            "doc_key",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.ceil(
+                (F.col("cms_est") * n_parts) / F.col("total")
+            ).cast("int").alias("salt_factor"),
+        )
+    )
+    exact = skewed.groupBy("doc_key").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        hot.join(exact, "doc_key")
+        .select("doc_key", "exact_count", "cms_est", "salt_factor")
+        .orderBy(F.col("cms_est").desc(), "doc_key")
+    )
+
+
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-token accounting for the delta-encoded log: how many
     tokens cross the wire under (prefix_len, suffix_len, middle)
@@ -3051,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_token_freq": q_cms_token_freq,
         "kmv_token_overlap": q_kmv_token_overlap,
+        "cdc_skew_report": q_cdc_skew_report,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -4010,6 +4086,46 @@ SELECT pe.tok, pe.exact_freq,
 FROM pe LEFT JOIN state s USING (row_i, idx)
 GROUP BY 1, 2
 ORDER BY exact_freq DESC, tok
+""",
+        # CMS-driven skew report rebuilt grid-for-grid: same collapse,
+        # same sample hash, same integer threshold and ceil
+        "cdc_skew_report": """
+WITH log AS (
+  SELECT CAST(CASE WHEN user_id % 5 = 0 THEN -1 ELSE user_id END AS BIGINT)
+           AS doc_key,
+         event_id AS change_lsn
+  FROM events
+), state AS (
+  SELECT row_i, idx, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT i.i AS row_i,
+           ('0x' || substr(md5(CAST(doc_key AS VARCHAR) || ':cms' || i.i), 1, 3))::BIGINT AS idx
+    FROM log, (SELECT unnest([0, 1, 2, 3]) AS i) i
+  ) GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT doc_key FROM log
+  WHERE ('0x' || substr(md5(CAST(doc_key AS VARCHAR) || ':'
+           || CAST(change_lsn AS VARCHAR) || ':samp'), 1, 6))::BIGINT % 16 = 0
+), est AS (
+  SELECT p.doc_key, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cms_est
+  FROM (
+    SELECT c.doc_key, i.i AS row_i,
+           ('0x' || substr(md5(CAST(c.doc_key AS VARCHAR) || ':cms' || i.i), 1, 3))::BIGINT AS idx
+    FROM cands c, (SELECT unnest([0, 1, 2, 3]) AS i) i
+  ) p LEFT JOIN state s USING (row_i, idx)
+  GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM log),
+ex AS (
+  SELECT doc_key, CAST(count(*) AS BIGINT) AS exact_count
+  FROM log GROUP BY 1
+)
+SELECT e.doc_key, ex.exact_count, e.cms_est,
+       CAST(ceil((e.cms_est * 32) / t.total) AS INT) AS salt_factor
+FROM est e
+CROSS JOIN tot t
+JOIN ex ON ex.doc_key = e.doc_key
+WHERE e.cms_est * 32 > t.total
+ORDER BY e.cms_est DESC, e.doc_key
 """,
         # KMV/theta sketches rebuilt hash-for-hash; the estimators are
         # single IEEE ops in the same order (mul-then-div for the
