@@ -879,21 +879,35 @@ def q_cdc_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported keys) to expose the CMS overestimate. Integer state,
     integer threshold, and a single double division before ceil, so
     the DuckDB oracle matches exactly."""
-    from airbyte_destination_spark.functions.sketch import (
-        cms_estimate,
-        cms_state,
-    )
+    from airbyte_destination_spark.functions.sketch import cms_state
 
-    n_parts = 32
+    skewed = _skewed_cdc_log(spark, sf_dir)
+    state = cms_state(skewed, "doc_key", [])
+    return _skew_report_from_state(skewed, state)
+
+
+def _skewed_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change log with every doc_key % 5 == 0 collapsed into one
+    synthetic hot key (-1, ~20% of rows) — the skew fixture both skew
+    queries share."""
     log = _cdc_events(spark, sf_dir)
-    skewed = log.select(
+    return log.select(
         F.when(F.col("doc_key") % 5 == 0, F.lit(-1))
         .otherwise(F.col("doc_key"))
         .cast("long")
         .alias("doc_key"),
         "change_lsn",
     )
-    state = cms_state(skewed, "doc_key", [])
+
+
+def _skew_report_from_state(skewed: DataFrame, state: DataFrame) -> DataFrame:
+    """Sampled candidates -> CMS probe -> fair-share threshold ->
+    salt-factor recommendation, from ANY (row_i, idx, c) grid — the
+    directly-computed one (cdc_skew_report) or the lake-maintained one
+    (cdc_engine_skew_ivm)."""
+    from airbyte_destination_spark.functions.sketch import cms_estimate
+
+    n_parts = 32
     samp_h = F.conv(
         F.substring(
             F.md5(
@@ -934,6 +948,144 @@ def q_cdc_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_key", "exact_count", "cms_est", "salt_factor")
         .orderBy(F.col("cms_est").desc(), "doc_key")
     )
+
+
+def q_cdc_engine_hll_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers maintained IN THE LAKE across change epochs: the
+    aggregate merge engine (lake/table.py agg_spec, the
+    SummingMergeTree analog) with `r: max` IS the HLL merge rule, so a
+    register table keyed on (event_type, bucket) folded over 3 ordered
+    lsn-range epochs equals the sketch computed directly over the whole
+    log — exactly-once via the same epoch markers as any table, no
+    rescan of past epochs ever. This is the per-epoch read-side
+    pattern: each micro-batch contributes |groups| x 256 register rows,
+    the lake folds them, and COUNT(DISTINCT) panels read the maintained
+    state. The oracle is the direct HLL over the full log (the
+    hll_distinct oracle verbatim) — max-merge is exact, so the floats
+    match bit-for-bit."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.functions.sketch import (
+        hll_bucket_rank,
+        hll_estimate,
+    )
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "hllivm")
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events")
+        lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
+        step = max((hi - lo) // 3 + 1, 1)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-hllivm-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("event_type", T.StringType(), False),
+                    T.StructField("bucket", T.IntegerType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("r", T.IntegerType(), True),
+                ]
+            ),
+            ["event_type", "bucket"],
+            "change_lsn",
+            n_buckets=8,
+            merge_strategy="cow",
+            agg_spec={"r": "max"},
+        )
+        bucket, rank = hll_bucket_rank(F.col("user_id"))
+        for i in range(3):
+            sl = ev.where(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            )
+            regs = (
+                sl.select(
+                    "event_type",
+                    bucket.alias("bucket"),
+                    rank.alias("rank"),
+                    F.col("event_id").alias("change_lsn"),
+                )
+                .groupBy("event_type", "bucket")
+                .agg(
+                    F.max("rank").alias("r"),
+                    F.max("change_lsn").alias("change_lsn"),
+                )
+                .withColumn("op", F.lit("U"))
+            )
+            table.merge(regs, epoch_id=f"hllivm-{i}", reduce="aggregate")
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    regs_t = table.read(spark).select("event_type", "bucket", "r")
+    est = hll_estimate(regs_t, ["event_type"])
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type")
+
+
+def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew report read off a LAKE-MAINTAINED count-min grid: the
+    aggregate merge engine with `c: sum` IS the CMS merge rule, so a
+    counter table keyed on (row_i, idx) folded over 3 ordered change
+    epochs equals the grid computed directly over the whole log — and
+    the planner's hot-key report (cdc_skew_report) comes out identical
+    without ever rescanning past epochs. Together with
+    cdc_engine_hll_ivm this closes the loop: the sketch family is not
+    a side computation but engine state, maintained exactly-once by
+    the same commit machinery as the data tables. Oracle = the
+    cdc_skew_report oracle verbatim (sum-merge is exact)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.functions.sketch import cms_state
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "skewivm")
+    if key not in _REPLAY_CACHE:
+        skewed = _skewed_cdc_log(spark, sf_dir)
+        lo, hi = skewed.select(
+            F.min("change_lsn"), F.max("change_lsn")
+        ).first()
+        step = max((hi - lo) // 3 + 1, 1)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-skewivm-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("row_i", T.IntegerType(), False),
+                    T.StructField("idx", T.IntegerType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("c", T.LongType(), True),
+                ]
+            ),
+            ["row_i", "idx"],
+            "change_lsn",
+            n_buckets=8,
+            merge_strategy="cow",
+            agg_spec={"c": "sum"},
+        )
+        for i in range(3):
+            sl = skewed.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            grid = (
+                cms_state(sl, "doc_key", [])
+                .join(
+                    sl.agg(F.max("change_lsn").alias("change_lsn")),
+                    how="cross",
+                )
+                .withColumn("op", F.lit("U"))
+            )
+            table.merge(grid, epoch_id=f"skewivm-{i}", reduce="aggregate")
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    state = table.read(spark).select("row_i", "idx", "c")
+    return _skew_report_from_state(_skewed_cdc_log(spark, sf_dir), state)
 
 
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3127,6 +3279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": q_cms_token_freq,
         "kmv_token_overlap": q_kmv_token_overlap,
         "cdc_skew_report": q_cdc_skew_report,
+        "cdc_engine_hll_ivm": q_cdc_engine_hll_ivm,
+        "cdc_engine_skew_ivm": q_cdc_engine_skew_ivm,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -3886,7 +4040,7 @@ _DSIR_SQL = r"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "cdc_lww_final_state": _LWW_SQL,
         "cdc_debezium_final_state": _LWW_SQL,
         "cdc_partial_final_state": _PARTIAL_SQL,
@@ -5653,3 +5807,9 @@ FROM state
             ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         """,
     }
+    # lake-maintained sketch state folds EXACTLY (max for HLL
+    # registers, sum for CMS counters), so the IVM queries share the
+    # direct-computation oracles verbatim
+    d["cdc_engine_hll_ivm"] = d["hll_distinct"]
+    d["cdc_engine_skew_ivm"] = d["cdc_skew_report"]
+    return d

@@ -216,3 +216,52 @@ def test_kmv_overlap_disjoint_sets(spark):
     assert row["n_common_retained"] == 0
     assert row["est_intersection"] == 0.0
     assert row["jaccard_est"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Sketch state maintained in the lake (IVM via the aggregate engine)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_ivm_exactly_once(spark, tmp_path):
+    """A register table folded with agg_spec {r: max} equals the direct
+    sketch, replaying an epoch is a no-op, and the state stays bounded."""
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.lake import LakeTable
+
+    whole = _df(spark, 6000)
+    table = LakeTable(str(tmp_path / "t"))
+    table.create(
+        T.StructType(
+            [
+                T.StructField("g", T.StringType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("v", T.LongType(), False),
+                T.StructField("r", T.IntegerType(), True),
+            ]
+        ),
+        ["g", "bucket"],
+        "v",
+        n_buckets=4,
+        merge_strategy="cow",
+        agg_spec={"r": "max"},
+    )
+    from airbyte_destination_spark.functions.sketch import hll_bucket_rank
+
+    bucket, rank = hll_bucket_rank(F.col("v"))
+    for i, shard in enumerate((whole.where("v % 2 = 0"), whole.where("v % 2 = 1"))):
+        regs = (
+            shard.select("g", bucket.alias("bucket"), rank.alias("rank"), "v")
+            .groupBy("g", "bucket")
+            .agg(F.max("rank").alias("r"), F.max("v").alias("v"))
+            .withColumn("op", F.lit("U"))
+        )
+        table.merge(regs, epoch_id=f"e{i}", reduce="aggregate")
+        table.merge(regs, epoch_id=f"e{i}", reduce="aggregate")  # replay: no-op
+    maintained = table.read(spark).select("g", "bucket", "r")
+    assert maintained.count() <= 256
+    est_m = hll_estimate(maintained, ["g"]).collect()[0]
+    est_d = hll_distinct(whole, "v", ["g"]).collect()[0]
+    assert est_m["hll_estimate"] == est_d["hll_estimate"]
+    assert est_m["n_zero_registers"] == est_d["n_zero_registers"]
