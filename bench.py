@@ -769,13 +769,18 @@ def main() -> None:
 
     mor = None
     # MOR is a headline metric (the at-scale strategy) and costs well
-    # under a minute at default sizes — give it a 1.2x overrun
-    # allowance instead of the plain budget gate, which skipped it
-    # whenever an extended scaling_low round-loop crossed 900s while
-    # the LESS informative ceiling-bound 8->32 phase still ran. The
-    # squeeze lands on 8->32 (which already self-shrinks) first.
+    # under a minute at default sizes — give it a generous overrun
+    # allowance instead of the plain budget gate. 1.2x proved too
+    # tight on the default 900s budget once the query tree grew past
+    # 110 entries: the query phase (~550s incl. one-time fixture
+    # builds) plus a clean-round scaling_low loop legitimately reach
+    # ~1300s, and MOR was skipped while the LESS informative
+    # ceiling-bound 8->32 phase still ran (observed 2026-08-19 run A:
+    # cdc_mor null at 900s budget). 2.4x keeps MOR unconditional on
+    # the typical path; the squeeze lands on 8->32 (which already
+    # self-shrinks) first.
     mor_deadline = BENCH_BUDGET_SEC * float(
-        os.environ.get("SPARK_GRAFT_MOR_OVERRUN", "1.2")
+        os.environ.get("SPARK_GRAFT_MOR_OVERRUN", "2.4")
     )
     # retry-until-clean (same rationale as _apply_job): a steal-storm
     # attempt is re-run on a FRESH table while the overrun deadline
