@@ -3238,6 +3238,39 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube_rollup(_t(spark, sf_dir, "events"))
 
 
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table dimensional join (the TPC-H Q5 shape): revenue per
+    nation from same-nation customer/supplier pairs in ASIA, 1996-1997.
+    Fact + large entities ride key-exchange joins (AQE may promote),
+    constant-size nation/region are explicit broadcasts —
+    functions/relational.py."""
+    from airbyte_destination_spark.functions.relational import (
+        regional_supplier_volume,
+    )
+
+    return regional_supplier_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        region_name="ASIA",
+        date_from="1996-01-01",
+        date_to="1998-01-01",
+    )
+
+
+def q_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations as one pass: INTERSECT / EXCEPT / reverse EXCEPT
+    of the pre- vs post-split customer sets via a single full-outer
+    join with a membership label (each side pays exactly one distinct
+    exchange) — functions/relational.py."""
+    from airbyte_destination_spark.functions.relational import cohort_setops
+
+    return cohort_setops(_t(spark, sf_dir, "orders"), "1998-04-25")
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history of the change log: every non-delete change
     opens a [valid_from, valid_to) version row, the key's next change
@@ -3379,6 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "pivot_daily": q_pivot_daily,
         "user_growth": q_user_growth,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "cohort_setops": q_cohort_setops,
     }
 
 
@@ -5746,6 +5781,38 @@ FROM state
                    run_end = 2 AS is_current,
                    change_lsn, event_type, value
             FROM agg
+        """,
+        "regional_supplier_volume": """
+            SELECT n_name AS nation,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "cohort_setops": """
+            WITH f AS (
+              SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderdate < TIMESTAMP '1998-04-25'
+            ), s AS (
+              SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-04-25'
+            )
+            SELECT coalesce(f.k, s.k) AS custkey,
+                   CASE WHEN f.k IS NOT NULL AND s.k IS NOT NULL
+                          THEN 'both'
+                        WHEN s.k IS NULL THEN 'first_only'
+                        ELSE 'second_only' END AS cohort
+            FROM f FULL OUTER JOIN s ON f.k = s.k
         """,
         "cube_rollup": """
             SELECT event_type AS dim,

@@ -1,0 +1,130 @@
+"""Multi-way dimensional joins and set operations.
+
+SURVEY §2 lists the relational-operator categories the reference
+delegates to its hosted warehouse (ClickHouse) rather than
+implementing: "joins of any kind … set ops". Every other delegated
+category already has a first-class query in this engine (aggregation /
+grouping sets → cube_rollup, windows → topk_per_group/scd2, sorts /
+top-k → leaderboard, scalar functions → throughout). This module
+closes the remaining two with the canonical warehouse shapes, written
+for the plan you'd want at 100 TB rather than the first one that runs.
+
+Scale notes:
+
+- ``regional_supplier_volume`` (the TPC-H Q5 shape): the fact table
+  (lineitem) and the two large entity tables (orders, customer) join
+  on their keys via ordinary hash-exchange joins — at web scale
+  orders/customer are 10^9-row tables and MUST NOT be broadcast; AQE
+  promotes them to broadcast automatically when a filter makes them
+  small enough, so hinting them would only remove that freedom. The
+  constant-size dimensions (nation: ≤ a few hundred rows, region: a
+  handful) are explicitly ``F.broadcast`` so the nation/region hops
+  never shuffle the fact stream. The date filter sits directly on the
+  orders scan (pushed to parquet row groups) so the fact join starts
+  from the pruned side, and the region filter prunes the broadcast
+  side before the join. Supplier joins by key without a hint for the
+  same reason as customer (TPC-H supplier is SF×10k rows — 10^9 at
+  web scale); at test SF it auto-broadcasts.
+- ``cohort_setops``: INTERSECT / EXCEPT between two keyed sets is ONE
+  full-outer join of the two distinct sides with a membership label —
+  each side pays exactly one key exchange for its distinct and the
+  join reuses that partitioning (Catalyst sees both children
+  hash-partitioned on the key ⇒ no third exchange). The literal
+  ``df.intersect`` / ``df.exceptAll`` composition plans three
+  aggregate+join pairs over the same inputs (each side scanned and
+  shuffled up to 3×); the single full-outer emits all three labels in
+  one pass. tests/test_relational.py pins the equivalence of the two
+  formulations and the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def regional_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str,
+    date_from: str,
+    date_to: str,
+) -> DataFrame:
+    """Revenue per nation from LOCAL supply chains (customer and
+    supplier in the same nation) within one region and date window —
+    the 6-table dimensional-join benchmark shape (TPC-H Q5).
+
+    Returns (nation, n_items, revenue) with revenue = sum of
+    l_extendedprice * (1 - l_discount) rounded to 4dp (the shared
+    engine-stable rounding idiom), ordered columns only — row order is
+    left to the caller.
+    """
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    n = nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+def cohort_setops(
+    orders: DataFrame,
+    split_date: str,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+) -> DataFrame:
+    """Set membership of two keyed cohorts in one pass: customers
+    active before vs at-or-after ``split_date``.
+
+    Returns (custkey, cohort) where cohort ∈ {'both', 'first_only',
+    'second_only'} — semantically INTERSECT, EXCEPT, and reverse
+    EXCEPT of the two distinct key sets, produced by ONE full-outer
+    join instead of three aggregate+semijoin plans (see module
+    docstring).
+    """
+    split = F.lit(split_date).cast("timestamp")
+    first = (
+        orders.where(F.col(ts_col) < split).select(F.col(key_col).alias("_f")).distinct()
+    )
+    second = (
+        orders.where(F.col(ts_col) >= split)
+        .select(F.col(key_col).alias("_s"))
+        .distinct()
+    )
+    return (
+        first.join(second, F.col("_f") == F.col("_s"), "full_outer")
+        .select(
+            F.coalesce(F.col("_f"), F.col("_s")).alias("custkey"),
+            F.when(F.col("_f").isNotNull() & F.col("_s").isNotNull(), "both")
+            .when(F.col("_s").isNull(), "first_only")
+            .otherwise("second_only")
+            .alias("cohort"),
+        )
+    )
