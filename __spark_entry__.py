@@ -3261,6 +3261,17 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly promo-class revenue share (the TPC-H Q14 shape): one
+    partkey exchange join, both sums from one conditional aggregate —
+    functions/relational.py."""
+    from airbyte_destination_spark.functions.relational import promo_revenue
+
+    return promo_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
 def q_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations as one pass: INTERSECT / EXCEPT / reverse EXCEPT
     of the pre- vs post-split customer sets via a single full-outer
@@ -3414,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_growth": q_user_growth,
         "regional_supplier_volume": q_regional_supplier_volume,
         "cohort_setops": q_cohort_setops,
+        "promo_revenue": q_promo_revenue,
     }
 
 
@@ -5798,6 +5810,21 @@ FROM state
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "promo_revenue": """
+            SELECT CAST(epoch_ms(date_trunc('month', l_shipdate))
+                     AS BIGINT) AS month_ms,
+                   round(100.0
+                         * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)),
+                         6) AS promo_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY month_ms
         """,
         "cohort_setops": """
             WITH f AS (

@@ -104,3 +104,29 @@ def test_cohort_setops_single_pass_plan(tpch):
     3-set-op composition plans ≥6)."""
     df = cohort_setops(tpch["orders"], "1998-04-25")
     assert count_exchanges(df) <= 2
+
+
+def test_promo_revenue_one_exchange_pair_and_conditional_agg(spark, tpch):
+    """Both sums come out of one aggregate after one partkey join; no
+    second scan of lineitem for the promo side."""
+    from airbyte_destination_spark.functions.relational import promo_revenue
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    df = promo_revenue(tpch["lineitem"], part)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 2  # lineitem once, part once
+    rows = {r["month_ms"]: r for r in df.collect()}
+    # cross-check one month against a direct computation
+    tpch["lineitem"].createOrReplaceTempView("pr_l")
+    part.createOrReplaceTempView("pr_p")
+    exp = spark.sql(
+        """
+        SELECT unix_millis(date_trunc('month', l_shipdate)) AS m,
+               round(100.0 * sum(CASE WHEN p_type='PROMO'
+                     THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+                   / sum(l_extendedprice*(1-l_discount)), 6) AS pct
+        FROM pr_l JOIN pr_p ON l_partkey = p_partkey GROUP BY m
+        """
+    ).collect()
+    for r in exp:
+        assert rows[r["m"]]["promo_pct"] == r["pct"]
