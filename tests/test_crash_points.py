@@ -170,3 +170,52 @@ def test_crash_after_publish_is_a_replay_noop(tmp_path):
     assert _commit_epoch(t2, "e0") == "skipped"  # adopted, not re-applied
     assert t2.current_version() == 2
     assert t2.manifest(2)["applied_epochs"]["e0"] == 2
+
+
+def _stage_and_publish(t: LakeTable, sid: str) -> int:
+    """The idempotent WAP driver a restarted job would run: re-stage
+    only if the staged record is gone AND the commit never landed."""
+    if not os.path.exists(t._staged_path(sid)):
+        for v in range(1, t.current_version() + 1):
+            if t._read_raw(v).get("wap_id") == sid:
+                return v  # published and cleaned up before the crash
+        base = t.current_version()
+        m = t.manifest(base)
+        m["operation"] = "merge"
+        m["epoch_id"] = None
+        m["lineage"] = []
+        t._write_staged(sid, m, base)
+    return t.publish(sid)
+
+
+@pytest.mark.parametrize("mode", ["before", "after"])
+def test_every_wap_crash_point_publishes_exactly_once(tmp_path, mode):
+    """Same enumeration over the stage -> publish sequence: staged
+    record link/cleanup, commit publish, LATEST flip, staged unlink."""
+    n = 1
+    covered = 0
+    while True:
+        root = str(tmp_path / f"wap-{mode}-{n}")
+        t = LakeTable(root)
+        t.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+        fuse = Fuse(t.meta_dir, n, mode)
+        with fuse:
+            while True:
+                try:
+                    v = _stage_and_publish(t, "wap-1")
+                    break
+                except SimulatedCrash:
+                    t = LakeTable(root)
+        assert v == 2, f"fuse {n} ({mode}): published at {v}"
+        t2 = LakeTable(root)
+        assert t2.current_version() == 2
+        assert t2._read_raw(2).get("wap_id") == "wap-1"
+        assert t2.staged_ids() == []  # cleanup finished or never needed
+        # replaying the whole driver is a no-op returning the version
+        assert _stage_and_publish(t2, "wap-1") == 2
+        assert t2.current_version() == 2
+        if not fuse.fired:
+            break
+        covered += 1
+        n += 1
+    assert covered >= 4, covered
