@@ -4361,7 +4361,8 @@ uni AS (
   SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS theta FROM uni
 ), cc AS (
   SELECT coalesce(sum(CASE WHEN c.h < s.theta THEN 1 ELSE 0 END), 0)
-           AS n_common_lt
+           AS n_common_lt,
+         count(c.h) AS n_common_all
   FROM (SELECT ska.h FROM ska JOIN skb USING (h)) c, stats s
 ), ea AS (
   SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
@@ -4389,8 +4390,9 @@ SELECT ea.est_distinct_a, eb.est_distinct_b,
        CASE WHEN s.n >= 256
             THEN CAST(cc.n_common_lt AS DOUBLE)
                  * (1152921504606846976.0 / CAST(s.theta AS DOUBLE))
-            ELSE CAST(cc.n_common_lt AS DOUBLE) END AS est_intersection,
-       CAST(cc.n_common_lt AS INT) AS n_common_retained,
+            ELSE CAST(cc.n_common_all AS DOUBLE) END AS est_intersection,
+       CAST(CASE WHEN s.n >= 256 THEN cc.n_common_lt
+                 ELSE cc.n_common_all END AS INT) AS n_common_retained,
        CASE WHEN est_union > 0.0 THEN est_intersection / est_union
             ELSE 0.0 END AS jaccard_est,
        ex.exact_intersection, ex.exact_union

@@ -300,9 +300,13 @@ def kmv_overlap(
     retained that fall below theta, scaled by the same 2^60 / theta —
     the standard theta-sketch estimator pair, so jaccard_est is their
     exact-double ratio. Degenerate small inputs (union < k distinct)
-    fall back to exact set counts. Everything here runs over <= 2k
-    rows — the whole point: set algebra across 10^10-row sources
-    touches only the sketches.
+    fall back to exact set counts — in exact mode theta conceptually
+    covers the whole hash space, so the intersection counts ALL shared
+    hashes, not just those strictly below the union max (the strict-<
+    cut is a kth-smallest artifact that only exists in full mode; with
+    it, two identical singleton sets would report intersection 0).
+    Everything here runs over <= 2k rows — the whole point: set
+    algebra across 10^10-row sources touches only the sketches.
     """
     a = sketch_a.select(F.col("h").alias("h"))
     b = sketch_b.select(F.col("h").alias("h"))
@@ -317,7 +321,8 @@ def kmv_overlap(
         F.coalesce(
             F.sum(F.when(F.col("h") < F.col("theta"), 1).otherwise(0)),
             F.lit(0),
-        ).alias("_n_common_lt")
+        ).alias("_n_common_lt"),
+        F.count(F.lit(1)).alias("_n_common_all"),
     )
     joined = stats.crossJoin(common_cnt)
     full = F.col("_n") >= k
@@ -336,9 +341,12 @@ def kmv_overlap(
             F.when(
                 full, F.col("_n_common_lt").cast("double") * scale
             )
-            .otherwise(F.col("_n_common_lt").cast("double"))
+            .otherwise(F.col("_n_common_all").cast("double"))
             .alias("est_intersection"),
-            F.col("_n_common_lt").cast("int").alias("n_common_retained"),
+            F.when(full, F.col("_n_common_lt"))
+            .otherwise(F.col("_n_common_all"))
+            .cast("int")
+            .alias("n_common_retained"),
         )
         .withColumn(
             "jaccard_est",

@@ -265,3 +265,32 @@ def test_hll_registers_ivm_exactly_once(spark, tmp_path):
     est_d = hll_distinct(whole, "v", ["g"]).collect()[0]
     assert est_m["hll_estimate"] == est_d["hll_estimate"]
     assert est_m["n_zero_registers"] == est_d["n_zero_registers"]
+
+
+def test_kmv_overlap_degenerate_exact_mode(spark):
+    """Union below k = exact mode: theta conceptually covers the whole
+    hash space, so the intersection counts ALL shared hashes — two
+    identical singletons are jaccard 1, and a shared hash that happens
+    to BE the union max is not dropped by the full-mode strict-< cut."""
+    a = spark.createDataFrame([("a", "x")], "g string, v string")
+    b = spark.createDataFrame([("b", "x")], "g string, v string")
+    row = kmv_overlap(
+        kmv_sketch(a, "v", ["g"]), kmv_sketch(b, "v", ["g"])
+    ).collect()[0]
+    assert row["est_union"] == 1.0
+    assert row["est_intersection"] == 1.0
+    assert row["n_common_retained"] == 1
+    assert row["jaccard_est"] == 1.0
+    # a proper subset below k: exact counts throughout
+    a2 = spark.createDataFrame(
+        [("a", str(i)) for i in range(10)], "g string, v string"
+    )
+    b2 = spark.createDataFrame(
+        [("b", str(i)) for i in range(5, 20)], "g string, v string"
+    )
+    row2 = kmv_overlap(
+        kmv_sketch(a2, "v", ["g"]), kmv_sketch(b2, "v", ["g"])
+    ).collect()[0]
+    assert row2["est_union"] == 20.0
+    assert row2["est_intersection"] == 5.0
+    assert abs(row2["jaccard_est"] - 0.25) < 1e-12
