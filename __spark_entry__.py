@@ -940,8 +940,16 @@ def _skew_report_from_state(skewed: DataFrame, state: DataFrame) -> DataFrame:
             ).cast("int").alias("salt_factor"),
         )
     )
-    exact = skewed.groupBy("doc_key").agg(
-        F.count(F.lit(1)).alias("exact_count")
+    # exact count ONLY for reported keys: the hot set is by construction
+    # tiny (keys above a reducer's fair share), so it broadcasts and the
+    # count aggregates over just the hot rows — never a full per-key
+    # count of the batch (that would be the thing the sketch avoids)
+    exact = (
+        skewed.join(
+            F.broadcast(hot.select("doc_key")), "doc_key", "left_semi"
+        )
+        .groupBy("doc_key")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     return (
         hot.join(exact, "doc_key")
