@@ -321,24 +321,57 @@ def _pos_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).where(F.col("w") != "")
 
 
+def _ranked_vocab(words: DataFrame) -> DataFrame:
+    """(w, freq, tid) from an exploded word stream (column `w`):
+    tid = 1-based rank by (freq desc, w asc).
+
+    Scale shape: the ranking input is the VOCABULARY aggregate — still
+    10^8-10^9 distinct words on a web corpus, so a plain
+    Window.orderBy (ONE task materializes the whole vocabulary) is not
+    acceptable. Rank = range-repartition on the sort key
+    (RangePartitioning assigns ascending partition ids along the sort
+    order; AQE coalescing merges only ADJACENT shuffle partitions, so
+    the order survives) + an eager localCheckpoint pinning the layout
+    across the two jobs + a per-partition row_number offset by the
+    exclusive prefix counts (a #partitions-row control-plane collect)
+    — the wire path's two-pass zipWithIndex discipline
+    (destination.py _global_record_index) lifted to a sorted domain.
+    The corpus scan itself only feeds a map-side-combined count.
+    """
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    order = [F.col("freq").desc(), F.col("w").asc()]
+    parts = (
+        freq.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not counts:  # empty corpus: keep the (w, freq, tid) schema
+        return parts.withColumn("tid", F.lit(0)).drop("_pid")
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return parts.withColumn(
+        "tid", off_map[F.col("_pid")] + F.row_number().over(w)
+    ).drop("_pid")
+
+
 def freq_vocab(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Frequency-ranked vocabulary (w, freq, tid) trained on the corpus:
-    tid = row_number by (count desc, word asc), 1-based. The ranking
-    window runs over the WORD AGGREGATE (vocabulary-sized); the corpus
-    scan only feeds a map-side-combined count."""
-    words = _pos_words(df, id_col, text_col)
-    return (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "tid",
-            F.row_number().over(
-                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
-            ),
-        )
-    )
+    tid = row_number by (count desc, word asc), 1-based — built by the
+    partition-parallel ranked aggregate (`_ranked_vocab`), never a
+    single-partition window."""
+    return _ranked_vocab(_pos_words(df, id_col, text_col))
 
 
 def detokenize(
@@ -502,16 +535,7 @@ def token_ngram_topk(
             "pos", "w"
         ),
     ).where(F.col("w") != "")
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "tid",
-            F.row_number().over(
-                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
-            ),
-        )
-    )
+    vocab = _ranked_vocab(words)
     toks = words.join(vocab.hint("shuffle_hash"), "w").select(
         id_col, "pos", F.col("tid").cast("int").alias("tid")
     )

@@ -228,6 +228,38 @@ def test_tokenize_vocab_join_not_broadcast(spark):
     assert "ShuffledHashJoin" in plan, plan
 
 
+def test_freq_vocab_rank_has_no_single_partition_window(spark):
+    """The tid ranking runs over the vocabulary aggregate — 10^8+ rows
+    at web scale — so it must be the range-repartitioned two-pass rank
+    (per-_pid windows), never an unpartitioned Window.orderBy that
+    funnels the whole vocabulary through one task. And the rank must
+    still equal the naive single-partition formulation."""
+    from pyspark.sql import Window
+    from airbyte_destination_spark.functions.text import freq_vocab
+    from airbyte_destination_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = freq_vocab(docs)
+    assert "SinglePartition" not in executed_plan(vocab), executed_plan(vocab)
+    naive = (
+        docs.selectExpr(
+            "explode(split(lower(trim(text)), '\\\\s+')) AS w"
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "tid",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    assert sorted(map(tuple, vocab.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
 def test_token_ngram_no_global_sort_before_topk(spark):
     """token_ngram_topk's per-doc lead() windows partition by doc_id —
     the only global ordering is the final k-row TakeOrdered, never a
