@@ -1096,6 +1096,121 @@ def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skew_report_from_state(_skewed_cdc_log(spark, sf_dir), state)
 
 
+def q_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR-histogram quantile sketch per event_type
+    (functions/sketch.py hdr_state/hdr_quantiles) — the latency/size
+    percentile dashboards a hosted analytics product serves at 10^10
+    rows without ever sorting the input: the aggregation state is a
+    count per exponential bin (<= 960 bins per group over the whole
+    0..2^53 domain, map-side combined, sum-mergeable across
+    partitions/epochs/tables — pinned in tests/test_sketch.py), and a
+    rank query walks the cumulative state, never the rows. All-integer
+    binning (bit-length via binary-string length, linear sub-buckets)
+    so the DuckDB oracle reproduces bins AND estimates exactly; exact
+    quantile_cont rides along to expose the (<= 1/32 ~ 3.2% relative,
+    exact below 32) documented error. The measure is event value in
+    integer cents — floor(value*100), one identical IEEE multiply in
+    both engines."""
+    from airbyte_destination_spark.functions.sketch import (
+        hdr_quantiles,
+        hdr_state,
+    )
+    from airbyte_destination_spark.functions.stats import quantiles_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    est = hdr_quantiles(
+        hdr_state(ev, "cents", ["event_type"]), ["event_type"]
+    )
+    exact = quantiles_exact(ev, "cents", "event_type").select(
+        "event_type",
+        F.col("p50").alias("p50_exact"),
+        F.col("p90").alias("p90_exact"),
+        F.col("p99").alias("p99_exact"),
+    )
+    return est.join(exact, "event_type")
+
+
+def q_cdc_engine_hdr_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR quantile state maintained IN THE LAKE across change epochs:
+    the aggregate merge engine with `c: sum` IS the histogram merge
+    rule (exactly the CMS fold), so a bin table keyed on
+    (event_type, bin) folded over 3 ordered lsn-range epochs equals
+    the sketch computed directly over the whole log, and the
+    percentile dashboard reads the maintained state without rescanning
+    past epochs. Completes the engine-state sketch family: HLL (max),
+    CMS + HDR (sum) — all maintained exactly-once by the same commit
+    machinery as the data tables. Oracle = the hdr_quantile_sketch
+    oracle verbatim (sum-merge is exact)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_destination_spark.functions.sketch import (
+        hdr_quantiles,
+        hdr_state,
+    )
+    from airbyte_destination_spark.functions.stats import quantiles_exact
+    from airbyte_destination_spark.lake import LakeTable
+
+    key = (sf_dir, "hdrivm")
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events")
+        lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
+        step = max((hi - lo) // 3 + 1, 1)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-hdrivm-") + "/t")
+        table.create(
+            T.StructType(
+                [
+                    T.StructField("event_type", T.StringType(), False),
+                    T.StructField("bin", T.LongType(), False),
+                    T.StructField("change_lsn", T.LongType(), False),
+                    T.StructField("c", T.LongType(), True),
+                ]
+            ),
+            ["event_type", "bin"],
+            "change_lsn",
+            n_buckets=8,
+            merge_strategy="cow",
+            agg_spec={"c": "sum"},
+        )
+        for i in range(3):
+            sl = ev.where(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            ).select(
+                "event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+                F.col("event_id").alias("change_lsn"),
+            )
+            grid = (
+                hdr_state(sl, "cents", ["event_type"])
+                .join(
+                    sl.agg(F.max("change_lsn").alias("change_lsn")),
+                    how="cross",
+                )
+                .withColumn("op", F.lit("U"))
+            )
+            table.merge(grid, epoch_id=f"hdrivm-{i}", reduce="aggregate")
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    state = table.read(spark).select("event_type", "bin", "c")
+    est = hdr_quantiles(state, ["event_type"])
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    exact = quantiles_exact(ev, "cents", "event_type").select(
+        "event_type",
+        F.col("p50").alias("p50_exact"),
+        F.col("p90").alias("p90_exact"),
+        F.col("p99").alias("p99_exact"),
+    )
+    return est.join(exact, "event_type")
+
+
 def q_token_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-token accounting for the delta-encoded log: how many
     tokens cross the wire under (prefix_len, suffix_len, middle)
@@ -3333,6 +3448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_skew_report": q_cdc_skew_report,
         "cdc_engine_hll_ivm": q_cdc_engine_hll_ivm,
         "cdc_engine_skew_ivm": q_cdc_engine_skew_ivm,
+        "hdr_quantile_sketch": q_hdr_quantile_sketch,
+        "cdc_engine_hdr_ivm": q_cdc_engine_hdr_ivm,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -5911,9 +6028,63 @@ FROM state
             ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         """,
     }
+    # HDR quantile sketch: all-integer exponential binning (16 linear
+    # sub-buckets per octave, unit bins below 32), cumulative walk at
+    # rank ceil(q*n), bin-midpoint estimate — the exact expression
+    # sequence of functions/sketch.py hdr_bin/hdr_rep/hdr_quantiles
+    d["hdr_quantile_sketch"] = """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        b AS (
+          SELECT event_type,
+                 CASE WHEN cents < 32 THEN cents
+                      ELSE 32 + (length(to_base(cents, 2)) - 6) * 16
+                           + (cents - CAST(pow(2, length(to_base(cents, 2)) - 1) AS BIGINT))
+                             // CAST(pow(2, length(to_base(cents, 2)) - 5) AS BIGINT)
+                 END AS bin
+          FROM v
+        ),
+        h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM h
+        ),
+        r AS (
+          SELECT *,
+                 CASE WHEN bin < 32 THEN bin
+                      ELSE CAST(pow(2, (bin - 32) // 16 + 5) AS BIGINT)
+                           + ((bin - 32) % 16) * CAST(pow(2, (bin - 32) // 16 + 1) AS BIGINT)
+                           + CAST(pow(2, (bin - 32) // 16) AS BIGINT)
+                 END AS rep
+          FROM cum
+        ),
+        est AS (
+          SELECT event_type,
+                 CAST(max(n) AS BIGINT) AS n_rows,
+                 MIN(CASE WHEN cum >= ceil(0.5 * n) THEN rep END) AS p50_est,
+                 MIN(CASE WHEN cum >= ceil(0.9 * n) THEN rep END) AS p90_est,
+                 MIN(CASE WHEN cum >= ceil(0.99 * n) THEN rep END) AS p99_est
+          FROM r GROUP BY event_type
+        ),
+        exact AS (
+          SELECT event_type,
+                 round(quantile_cont(cents, 0.5), 6) AS p50_exact,
+                 round(quantile_cont(cents, 0.9), 6) AS p90_exact,
+                 round(quantile_cont(cents, 0.99), 6) AS p99_exact
+          FROM v GROUP BY event_type
+        )
+        SELECT est.*, exact.p50_exact, exact.p90_exact, exact.p99_exact
+        FROM est JOIN exact USING (event_type)
+    """
     # lake-maintained sketch state folds EXACTLY (max for HLL
-    # registers, sum for CMS counters), so the IVM queries share the
-    # direct-computation oracles verbatim
+    # registers, sum for CMS and HDR counters), so the IVM queries
+    # share the direct-computation oracles verbatim
     d["cdc_engine_hll_ivm"] = d["hll_distinct"]
     d["cdc_engine_skew_ivm"] = d["cdc_skew_report"]
+    d["cdc_engine_hdr_ivm"] = d["hdr_quantile_sketch"]
     return d

@@ -365,3 +365,120 @@ def _kmv_est_df(sketch: DataFrame, k: int, alias: str) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(TWO60) / F.col("_hk").cast("double")
     )
     return agg.select(est.alias(alias))
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram sketch: quantiles over nonnegative ints, sum-mergeable.
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the family (HdrHistogram, Gil Tene; same
+# exponential-bucket idea as DDSketch, Masson et al. VLDB 2019), built
+# ALL-INTEGER so the DuckDB oracle reproduces state and estimates
+# exactly — no libm log, no float bucketing:
+#
+# * values 0..31 get exact unit bins (bin = v);
+# * a value with bit length blen >= 6 lands in one of 16 linear
+#   sub-buckets of its power-of-two range:
+#     bin = 32 + (blen-6)*16 + (v - 2^(blen-1)) div 2^(blen-5)
+#   (bit length via the binary-string length — Spark conv(v,10,2),
+#   DuckDB to_base(v,2) — integer compare/divide everywhere; 2^e comes
+#   from pow(2.0,e) which is an exact double for e <= 53, cast back).
+# * binning is monotone in v, so bin order IS value order and rank
+#   queries walk the cumulative histogram.
+#
+# State: count per (group, bin) — at most 32 + 58*16 = 960 bins per
+# group for the whole 0..2^53 domain, whatever the input size, and
+# sum-mergeable across partitions / epochs / tables (the same agg_spec
+# `sum` rule the lake's aggregate engine already runs, so the sketch
+# can live as engine state like the HLL registers and CMS grid).
+# Reading a quantile returns the bin's integer midpoint: relative
+# error <= (w/2)/2^(blen-1) = 1/32 ~ 3.2% for v >= 32, exact below.
+#
+# Domain contract: 0 <= v < 2^53. Inside it every double cast in the
+# bin/rep arithmetic is exact (longs < 2^53 round-trip; dividing an
+# exact double by a power of two only changes the exponent), so the
+# floor-div compiles to plain codegen yet never rounds.
+
+HDR_CUTOFF = 32  # unit bins below; 16 sub-buckets per octave above
+
+
+def _p2(e: Column) -> Column:
+    """2^e as an exact BIGINT (pow(2.0, e) is exact for e <= 53)."""
+    return F.pow(F.lit(2.0), e).cast("long")
+
+
+def hdr_bin(col: Column) -> Column:
+    """Bin id of one nonnegative integer — monotone, pure codegen."""
+    blen = F.length(F.conv(col.cast("string"), 10, 2))
+    sub = F.floor(
+        (col - _p2(blen - 1)).cast("double") / _p2(blen - 5)
+    ).cast("long")
+    coded = F.lit(32) + (blen - 6).cast("long") * 16 + sub
+    return F.when(col < HDR_CUTOFF, col.cast("long")).otherwise(coded)
+
+
+def hdr_rep(bin_col: Column) -> Column:
+    """The integer midpoint a bin reports for any rank landing in it:
+    lo + w/2 where lo = 2^(blen-1) + sub*w, w = 2^(blen-5); exact
+    value for the unit bins below 32."""
+    e = F.floor((bin_col - 32).cast("double") / 16).cast("int")  # blen-6
+    sub = (bin_col - 32) % 16
+    mid = _p2(e + 5) + sub * _p2(e + 1) + _p2(e)
+    return F.when(bin_col < HDR_CUTOFF, bin_col).otherwise(mid)
+
+
+def hdr_state(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """The sketch state: occurrence count per (group, bin).
+
+    One map-side-combined count; output bounded by |groups| x 960 rows
+    whatever the input size. States from different partitions, epochs,
+    or tables merge by summing counts (pinned in tests/test_sketch.py),
+    which is what lets the lake's aggregate engine (agg_spec c: sum)
+    maintain it under streaming ingest exactly like the CMS grid.
+    """
+    return (
+        df.select(*group_cols, hdr_bin(F.col(value_col)).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hdr_quantiles(
+    state: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group rank queries off the histogram state: for each q the
+    midpoint of the bin containing the rank-ceil(q*n) value (the type-1
+    discrete quantile's bin — binning is monotone, so the cumulative
+    walk lands exactly there). Output: group_cols, n_rows, p<q>_est...
+
+    The window runs over the STATE (<= 960 rows per group), never the
+    input; ceil(q*n) is one IEEE multiply on an exactly-representable
+    long, identical in the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = state.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    rep = hdr_rep(F.col("bin"))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")), rep
+            )
+        ).alias(f"p{int(round(q * 100))}_est")
+        for q in qs
+    ]
+    return cum.groupBy(*group_cols).agg(
+        F.max("n").alias("n_rows"), *aggs
+    )

@@ -294,3 +294,81 @@ def test_kmv_overlap_degenerate_exact_mode(spark):
     assert row2["est_union"] == 20.0
     assert row2["est_intersection"] == 5.0
     assert abs(row2["jaccard_est"] - 0.25) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bin_monotone_and_rep_error_bound(spark):
+    from airbyte_destination_spark.functions.sketch import hdr_bin, hdr_rep
+
+    vals = list(range(0, 200)) + [
+        255, 256, 1000, 4095, 4096, 65535, 10**6, 10**9, 2**40, 2**52
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select("v", hdr_bin(F.col("v")).alias("b"))
+        .withColumn("rep", hdr_rep(F.col("b")))
+        .orderBy("v")
+        .collect()
+    )
+    bins = [r["b"] for r in rows]
+    assert bins == sorted(bins)  # monotone: bin order IS value order
+    for r in rows:
+        if r["v"] < 32:
+            assert r["b"] == r["v"] and r["rep"] == r["v"]  # exact bins
+        else:
+            assert abs(r["rep"] - r["v"]) / r["v"] <= 1 / 32 + 1e-12
+
+
+def test_hdr_state_bounded_and_sum_mergeable(spark):
+    from airbyte_destination_spark.functions.sketch import (
+        hdr_quantiles,
+        hdr_state,
+    )
+
+    whole = spark.range(20000).select(
+        F.lit("g").alias("g"), ((F.col("id") * 7919) % 60000).alias("v")
+    )
+    # state bounded by the bin count, not the input size
+    assert hdr_state(whole, "v", ["g"]).count() <= 960
+    a, b = whole.where("id % 2 = 0"), whole.where("id % 2 = 1")
+    merged = (
+        hdr_state(a, "v", ["g"])
+        .unionByName(hdr_state(b, "v", ["g"]))
+        .groupBy("g", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    est_m = hdr_quantiles(merged, ["g"]).collect()[0]
+    est_w = hdr_quantiles(hdr_state(whole, "v", ["g"]), ["g"]).collect()[0]
+    assert est_m == est_w  # sum-merge is exact: same state, same reads
+
+
+def test_hdr_quantiles_within_bound_of_exact(spark):
+    import math
+    import random
+
+    from airbyte_destination_spark.functions.sketch import (
+        hdr_quantiles,
+        hdr_state,
+    )
+
+    rng = random.Random(11)
+    data = [("g%d" % (i % 2), rng.randint(0, 50000)) for i in range(4000)]
+    df = spark.createDataFrame(data, "g string, v long")
+    byg: dict[str, list[int]] = {}
+    for g, v in data:
+        byg.setdefault(g, []).append(v)
+    for r in hdr_quantiles(hdr_state(df, "v", ["g"]), ["g"]).collect():
+        vs = sorted(byg[r["g"]])
+        n = len(vs)
+        assert r["n_rows"] == n
+        for q, est in (
+            (0.5, r["p50_est"]),
+            (0.9, r["p90_est"]),
+            (0.99, r["p99_est"]),
+        ):
+            true = vs[math.ceil(q * n) - 1]  # type-1 discrete quantile
+            assert abs(est - true) / max(true, 1) <= 1 / 32 + 1e-12
