@@ -39,7 +39,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -126,6 +126,73 @@ def promo_revenue(
         F.round(F.lit(100.0) * promo / total, 6).alias("promo_pct"),
         F.round(total, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def register_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+) -> DataFrame:
+    """Materialize ``df`` as a Spark-catalog BUCKETED table (external,
+    files at ``path``) and return the catalog-backed handle.
+
+    This is the storage-clustered-join technique (Hive bucketing /
+    Iceberg storage-partitioned joins): the files are hash-clustered
+    on ``bucket_col`` at WRITE time and the layout is recorded in the
+    catalog, so every later equi-join or aggregation on that key reads
+    co-located splits — Catalyst sees both children already
+    hash-distributed and plans the join with ZERO shuffle exchanges
+    (pinned in tests/test_plans.py). At 100 TB this is the difference
+    between re-shuffling two fact tables on every query and never
+    shuffling them again; the one-time clustering cost is paid here,
+    at write. ``sortBy`` additionally orders rows within each bucket
+    file so a single-file bucket skips the sort below a sort-merge
+    join. Same-key tables must use the same ``n_buckets`` (or a
+    multiple, with bucket coalescing enabled) to co-locate.
+
+    The lake's own tables already cluster their buckets this way for
+    the CDC merge path (lake/table.py bucket_expr); this helper extends
+    the property to ad-hoc analytical tables via the session catalog.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def colocated_revenue_by_priority(
+    lineitem_b: DataFrame, orders_b: DataFrame
+) -> DataFrame:
+    """Revenue per order priority over two co-bucketed tables — the
+    fact-to-fact join (lineitem ⋈ orders on orderkey) that at web
+    scale joins two 10^9+-row tables and must NOT pay a shuffle per
+    query. Both inputs come from ``register_bucketed`` on the same key
+    and bucket count, so the join planwise costs zero exchanges; the
+    only shuffle left is the 5-row priority aggregate.
+
+    Returns (o_orderpriority, n_items, revenue) with revenue rounded
+    to 4dp (the shared engine-stable rounding idiom).
+    """
+    j = lineitem_b.select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).join(
+        orders_b.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
     )
 
 

@@ -500,3 +500,53 @@ def test_kmv_salted_topk_pushes_group_limit(spark):
     # Partial (map-side, below the salt exchange) + Final group limits
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "Partial" in plan, plan
+
+
+def test_colocated_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """register_bucketed materializes both sides hash-clustered on the
+    join key, so the orderkey equi-join must plan with NO shuffle
+    exchange at all (the whole point of paying the clustering at
+    write): with broadcast off it is a SortMergeJoin whose children
+    are bucketed scans, and the only exchange in the aggregated query
+    is the final 5-row groupBy."""
+    from airbyte_destination_spark.functions.relational import (
+        colocated_revenue_by_priority,
+        register_bucketed,
+    )
+    from airbyte_destination_spark.plans import count_exchanges, executed_plan
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li_b = register_bucketed(
+        spark, li, "t_li_plan", "l_orderkey", 4, str(tmp_path / "li")
+    )
+    od_b = register_bucketed(
+        spark, od, "t_ord_plan", "o_orderkey", 4, str(tmp_path / "ord")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_only = li_b.join(
+            od_b, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = executed_plan(join_only)
+        assert "SortMergeJoin" in plan, plan
+        assert count_exchanges(join_only) == 0, plan
+        agg = colocated_revenue_by_priority(li_b, od_b)
+        assert count_exchanges(agg) == 1, executed_plan(agg)
+        # and the bucketed layout is what the scan actually reads
+        assert "Bucketed: true" in formatted(join_only) or "SelectedBucketsCount" in formatted(join_only)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_plan")
+        spark.sql("DROP TABLE IF EXISTS t_ord_plan")
+
+
+def formatted(df):
+    from airbyte_destination_spark.plans import formatted_plan
+
+    return formatted_plan(df)
