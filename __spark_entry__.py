@@ -3405,7 +3405,7 @@ def q_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_setops(_t(spark, sf_dir, "orders"), "1998-04-25")
 
 
-_BUCKETED_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
 
 
 def q_colocated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3425,34 +3425,44 @@ def q_colocated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_bucketed,
     )
 
-    if sf_dir not in _BUCKETED_CACHE:
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+    li_name, od_name = f"li_b_{tag}", f"ord_b_{tag}"
+    # cache by TABLE NAME, not DataFrame: a DataFrame is bound to the
+    # session that built it, while the catalog entry is re-checked
+    # against the CURRENT session (same pattern as _REPLAY_CACHE
+    # storing LakeTable handles and re-reading per call) — a fresh
+    # session in the same process re-registers instead of crashing
+    if sf_dir not in _BUCKETED_CACHE or not (
+        spark.catalog.tableExists(li_name)
+        and spark.catalog.tableExists(od_name)
+    ):
         import tempfile
 
-        tag = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
         base = tempfile.mkdtemp(prefix="bucketed-")
-        li = register_bucketed(
+        register_bucketed(
             spark,
             _t(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
             ),
-            f"li_b_{tag}",
+            li_name,
             "l_orderkey",
             8,
             base + "/li",
         )
-        od = register_bucketed(
+        register_bucketed(
             spark,
             _t(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority"
             ),
-            f"ord_b_{tag}",
+            od_name,
             "o_orderkey",
             8,
             base + "/ord",
         )
-        _BUCKETED_CACHE[sf_dir] = (li, od)
-    li, od = _BUCKETED_CACHE[sf_dir]
-    return colocated_revenue_by_priority(li, od)
+        _BUCKETED_CACHE[sf_dir] = (li_name, od_name)
+    return colocated_revenue_by_priority(
+        spark.table(li_name), spark.table(od_name)
+    )
 
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
