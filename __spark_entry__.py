@@ -1096,6 +1096,88 @@ def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skew_report_from_state(_skewed_cdc_log(spark, sf_dir), state)
 
 
+def q_cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter repair-and-replay through the engine
+    (streaming/pipeline.replay_quarantine): the token change log is
+    corrupted by a deterministic 'writer bug' — upserts with
+    lsn % 7 == 3 carry a wrong n_tok (repairable), upserts with
+    lsn % 11 == 5 lose their payload (unrepairable) — replayed in 3
+    epochs with validation quarantining the bad rows, then the bug is
+    'fixed' (repair_fn recomputes n_tok from the payload) and the
+    dead-letter queue is swept back through the SAME exactly-once
+    apply path. Repaired rows keep their ORIGINAL lsn, so last-writer-
+    wins resolves them correctly against versions that arrived after
+    quarantine; unrepairable rows re-queue and never apply. Final
+    state therefore equals LWW over the log MINUS the unrepairable
+    versions — which is exactly what the oracle computes. The token
+    arrays are md5-fingerprinted so the payload equality (the
+    north-rule per-row invariant) is part of the check."""
+    import tempfile
+
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.streaming.pipeline import (
+        IngestConfig,
+        apply_change_batch,
+        replay_quarantine,
+    )
+
+    key = (sf_dir, "qreplay")
+    if key not in _REPLAY_CACHE:
+        log = _token_change_log(spark, sf_dir)
+        is_u = F.col("op") != "D"
+        corrupted = log.withColumn(
+            "tokens",
+            F.when(
+                is_u & (F.col("change_lsn") % 11 == 5), F.lit(None)
+            ).otherwise(F.col("tokens")),
+        ).withColumn(
+            "n_tok",
+            F.when(
+                is_u,
+                F.size("tokens")
+                + F.when(F.col("change_lsn") % 7 == 3, 1).otherwise(0),
+            ).cast("int"),
+        )
+        lo, hi = corrupted.select(
+            F.min("change_lsn"), F.max("change_lsn")
+        ).first()
+        step = max((hi - lo) // 3 + 1, 1)
+        root = tempfile.mkdtemp(prefix="engine-qreplay-")
+        cfg = IngestConfig(
+            key_cols=["doc_key"],
+            version_col="change_lsn",
+            n_buckets=8,
+            quarantine_root=root + "/q",
+        )
+        table = LakeTable(root + "/t")
+        for i in range(3):
+            sl = corrupted.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            apply_change_batch(table, sl, f"qr-{i}", cfg)
+        replay_quarantine(
+            table,
+            spark,
+            cfg,
+            lambda df: df.withColumn(
+                "n_tok", F.coalesce(F.size("tokens"), F.col("n_tok"))
+            ),
+        )
+        _REPLAY_CACHE[key] = (table, None, None)
+    table = _REPLAY_CACHE[key][0]
+    return table.read(spark).select(
+        "doc_key",
+        F.col("change_lsn").alias("last_lsn"),
+        "n_tok",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tokens", lambda x: x.cast("string"))
+            )
+        ).alias("tok_hash"),
+    )
+
+
 def q_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HDR-histogram quantile sketch per event_type
     (functions/sketch.py hdr_state/hdr_quantiles) — the latency/size
@@ -3510,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_skew_ivm": q_cdc_engine_skew_ivm,
         "hdr_quantile_sketch": q_hdr_quantile_sketch,
         "cdc_engine_hdr_ivm": q_cdc_engine_hdr_ivm,
+        "cdc_quarantine_replay": q_cdc_quarantine_replay,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -4593,6 +4676,25 @@ SELECT doc_key,
        CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok,
        max_by(tokens, lsn) AS tokens
 FROM gen
+GROUP BY doc_key
+HAVING max_by(op, lsn) <> 'D'
+""",
+        # dead-letter repair-and-replay: repairable corruption
+        # (lsn % 7 == 3, wrong n_tok) is swept back in with original
+        # lsns; unrepairable corruption (lsn % 11 == 5 upserts, null
+        # payload) never applies — final state is LWW over the log
+        # minus exactly those versions
+        "cdc_quarantine_replay": _TOKEN_GEN_SQL
+        + """
+, applied AS (
+  SELECT doc_key, lsn, op, tokens FROM gen
+  WHERE op = 'D' OR (lsn % 11) <> 5
+)
+SELECT doc_key,
+       max(lsn) AS last_lsn,
+       CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok,
+       md5(array_to_string(max_by(tokens, lsn), ',')) AS tok_hash
+FROM applied
 GROUP BY doc_key
 HAVING max_by(op, lsn) <> 'D'
 """,

@@ -231,6 +231,12 @@ def _apply_change_batch_inner(
         # footer-count read of what was just written (cheap; quarantine
         # is the cold path) so MergeStats can report received vs applied
         n_quarantined = batch.sparkSession.read.parquet(qdir).count()
+        if n_quarantined == 0:
+            # keep the dead-letter root meaning "actual dead letters":
+            # a clean epoch leaves no dir for replay_quarantine to sweep
+            import shutil
+
+            shutil.rmtree(qdir, ignore_errors=True)
 
     # lineage pre-pass on the RAW key+version projection: it prunes to
     # two thin parquet columns, where aggregating `reduced` would
@@ -271,6 +277,63 @@ def _apply_change_batch_inner(
     if cfg.merge_strategy == "mor" and cfg.auto_compact_files:
         table.compact(batch.sparkSession, min_files=cfg.auto_compact_files)
     return stats
+
+
+def replay_quarantine(
+    table: LakeTable,
+    spark: SparkSession,
+    cfg: IngestConfig,
+    repair_fn=None,
+) -> dict[str, MergeStats]:
+    """Repair-and-replay the dead-letter queue — closes O9's quarantine
+    path into a loop (the reference only LOGS per-event rejects,
+    destination.go:485-489; a production pipeline re-ingests them once
+    the cause is fixed).
+
+    Each unconsumed quarantined epoch under ``cfg.quarantine_root`` is
+    read back, passed through ``repair_fn`` (e.g. recompute ``n_tok``
+    after a writer bug), and re-applied through ``apply_change_batch``
+    under the derived epoch id ``<epoch>.qreplay`` — the SAME
+    exactly-once machinery as live ingest, so a crashed or repeated
+    replay never double-applies. Rows that STILL fail validation
+    re-quarantine under the derived epoch, where a later sweep with a
+    better ``repair_fn`` finds them (ids grow a ``.qreplay`` suffix per
+    attempt — the retry count is readable off the directory name).
+
+    Rows keep their ORIGINAL ``version_col``, so a repaired old version
+    can never overwrite a newer live version: last-writer-wins resolves
+    replays identically in either arrival order (the same argument that
+    covers late data, SURVEY §2 O11). Holds for the aggregate engine
+    too — a replayed contribution folds in exactly once.
+
+    Consumption marker: ``_REPLAYED`` is written into the source dir
+    AFTER the merge commit, and marked dirs are skipped by later
+    sweeps. A crash between commit and marker re-reads the dir next
+    sweep, the epoch marker turns the merge into a no-op, and the
+    marker lands — exactly once either way.
+
+    Returns {derived_epoch_id: MergeStats} for the epochs swept.
+    """
+    import glob
+
+    out: dict[str, MergeStats] = {}
+    root = cfg.quarantine_root
+    if not root or not os.path.isdir(root):
+        return out
+    for qdir in sorted(glob.glob(os.path.join(root, "epoch=*"))):
+        marker = os.path.join(qdir, "_REPLAYED")
+        if os.path.exists(marker):
+            continue
+        epoch = os.path.basename(qdir)[len("epoch="):]
+        rows = spark.read.parquet(qdir).drop("_reject_reason")
+        if repair_fn is not None:
+            rows = repair_fn(rows)
+        derived = f"{epoch}.qreplay"
+        stats = apply_change_batch(table, rows, derived, cfg)
+        with open(marker, "w") as f:
+            f.write(derived + "\n")
+        out[derived] = stats
+    return out
 
 
 def snapshot_sync(
