@@ -137,3 +137,32 @@ def test_second_repair_attempt_after_better_fix(spark, tmp_path):
     assert swept2["e0.qreplay.qreplay"].rows_quarantined == 0
     row = table.read(spark).collect()[0]
     assert row["doc_key"] == 7 and row["tokens"] == [0, 0, 0]
+
+
+def test_replay_lands_across_schema_evolution(spark, tmp_path):
+    """A row quarantined under the OLD schema replays cleanly after the
+    table evolved (new column added by a later live batch): the merge's
+    schema-merge fills the missing column with NULL for the repaired
+    row — dead letters don't pin the schema."""
+    table = LakeTable(str(tmp_path / "t"))
+    cfg = _cfg(tmp_path)
+    apply_change_batch(
+        table,
+        spark.createDataFrame([(1, 10, "U", [1, 2], 9)], SCHEMA),  # bad n_tok
+        "e0",
+        cfg,
+    )
+    assert table.read(spark).count() == 0
+    # live batch under an EVOLVED schema (adds `source`)
+    evolved = spark.createDataFrame(
+        [(2, 20, "U", [3], 1, "web")],
+        SCHEMA + ", source string",
+    )
+    apply_change_batch(table, evolved, "e1", cfg)
+    assert "source" in table.read(spark).columns
+
+    swept = replay_quarantine(table, spark, cfg, _repair)
+    assert swept["e0.qreplay"].rows_quarantined == 0
+    final = {r["doc_key"]: r for r in table.read(spark).collect()}
+    assert final[1]["tokens"] == [1, 2] and final[1]["n_tok"] == 2
+    assert final[1]["source"] is None and final[2]["source"] == "web"
