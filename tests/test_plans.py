@@ -550,3 +550,28 @@ def formatted(df):
     from airbyte_destination_spark.plans import formatted_plan
 
     return formatted_plan(df)
+
+
+def test_hdr_state_is_one_exchange_pure_codegen(spark):
+    """hdr_state must plan as ONE map-side-combined aggregate (partial
+    HashAggregate below the exchange, final above) with no Python UDF
+    anywhere — the sketch is the aggregation state, so the shuffle
+    carries <= |groups| x 960 bin rows, not the input."""
+    from airbyte_destination_spark.functions.sketch import (
+        hdr_quantiles,
+        hdr_state,
+    )
+    from airbyte_destination_spark.plans import count_exchanges, executed_plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    state = hdr_state(ev, "cents", ["event_type"])
+    plan = executed_plan(state)
+    assert count_exchanges(state) == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the full read path adds only the bounded-state window + final agg,
+    # never a scan-sized shuffle
+    est = hdr_quantiles(state, ["event_type"])
+    assert "BatchEvalPython" not in executed_plan(est)
