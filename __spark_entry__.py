@@ -1096,6 +1096,42 @@ def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skew_report_from_state(_skewed_cdc_log(spark, sf_dir), state)
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation over the final LWW token images
+    (functions/sampling.py fim_transform; Bavarian et al. 2022): a
+    deterministic half of the documents are re-emitted in PSM layout
+    ([PRE] prefix [SUF] suffix [MID] middle, sentinels outside the 50k
+    vocabulary), the rest pass through. Pure size/slice/concat
+    codegen — the transform fuses into the scan, zero shuffle beyond
+    the LWW reduce — and every decision (selection coin, both cut
+    points) is md5-of-key, so the DuckDB oracle replays the exact
+    layout; the md5 token fingerprint makes full-array equality part
+    of the check."""
+    from airbyte_destination_spark.functions.sampling import fim_transform
+
+    log = _token_change_log(spark, sf_dir)
+    final = (
+        log.groupBy("doc_key")
+        .agg(
+            F.expr("max_by(op, change_lsn)").alias("_op"),
+            F.expr("max_by(tokens, change_lsn)").alias("tokens"),
+        )
+        .where(F.col("_op") != "D")
+        .select("doc_key", "tokens")
+    )
+    out = fim_transform(final, "tokens", "doc_key", rate=0.5)
+    return out.select(
+        "doc_key",
+        "fim_applied",
+        F.size("tokens").alias("n_out"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tokens", lambda x: x.cast("string"))
+            )
+        ).alias("tok_hash"),
+    )
+
+
 def q_cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter repair-and-replay through the engine
     (streaming/pipeline.replay_quarantine): the token change log is
@@ -3593,6 +3629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantile_sketch": q_hdr_quantile_sketch,
         "cdc_engine_hdr_ivm": q_cdc_engine_hdr_ivm,
         "cdc_quarantine_replay": q_cdc_quarantine_replay,
+        "fim_transform": q_fim_transform,
         "cdc_engine_mor_final_state": q_cdc_engine_mor_final_state,
         "cdc_partial_final_state": q_cdc_partial_final_state,
         "cdc_engine_partial_final_state": q_cdc_engine_partial_final_state,
@@ -4697,6 +4734,40 @@ SELECT doc_key,
 FROM applied
 GROUP BY doc_key
 HAVING max_by(op, lsn) <> 'D'
+""",
+        # fill-in-the-middle: replay the md5 selection coin and both
+        # cut points over the final LWW images, rebuild the PSM layout
+        # with DuckDB list slicing, fingerprint the arrays
+        "fim_transform": _TOKEN_GEN_SQL
+        + """
+, fin AS (
+  SELECT doc_key, max_by(tokens, lsn) AS tokens
+  FROM gen GROUP BY doc_key HAVING max_by(op, lsn) <> 'D'
+), dims2 AS (
+  SELECT doc_key, tokens, len(tokens) AS n,
+    ('0x' || substr(md5(CAST(doc_key AS VARCHAR) || ':fim:r'), 1, 6))::BIGINT
+      / 16777216.0 < 0.5 AS sel,
+    ('0x' || substr(md5(CAST(doc_key AS VARCHAR) || ':fim:a'), 1, 6))::BIGINT
+      % (len(tokens) + 1) AS a,
+    ('0x' || substr(md5(CAST(doc_key AS VARCHAR) || ':fim:b'), 1, 6))::BIGINT
+      % (len(tokens) + 1) AS b
+  FROM fin
+), cutp AS (
+  SELECT doc_key, tokens, n, sel,
+         least(a, b) AS lo, greatest(a, b) AS hi
+  FROM dims2
+), outp AS (
+  SELECT doc_key, sel AS fim_applied,
+    CASE WHEN sel THEN
+      [50000] || tokens[1:lo] || [50001] || tokens[hi+1:n]
+              || [50002] || tokens[lo+1:hi]
+    ELSE tokens END AS tokens
+  FROM cutp
+)
+SELECT doc_key, fim_applied,
+       CAST(len(tokens) AS INT) AS n_out,
+       md5(array_to_string(tokens, ',')) AS tok_hash
+FROM outp
 """,
         # the incrementally-maintained histogram must equal the direct
         # unigram count over the final LWW images

@@ -303,3 +303,62 @@ def dsir_resample(
         .otherwise(u < prob)
         .alias("keep"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    rate: float = 0.5,
+    prefix_tok: int = 50000,
+    suffix_tok: int = 50001,
+    middle_tok: int = 50002,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation of pre-tokenized sequences
+    (Bavarian et al. 2022, "Efficient Training of Language Models to
+    Fill in the Middle") — the standard code/LM augmentation a release
+    pipeline applies to a deterministic fraction of documents: two cut
+    points split the sequence into (prefix, middle, suffix), re-emitted
+    in PSM layout
+
+        [PRE] prefix [SUF] suffix [MID] middle
+
+    with sentinel token ids outside the vocabulary. The untransformed
+    rest passes through unchanged, flagged by `fim_applied`.
+
+    Pure JVM expressions end to end (size/slice/concat — no UDF, no
+    shuffle: the transform fuses into the scan like the other sampling
+    ops). Selection and both cut points come from md5 of the row key,
+    so the same document gets the same transform at any parallelism —
+    and the DuckDB oracle replays every decision bit-for-bit. Cut
+    points are drawn uniformly from 0..n inclusive, so empty prefix /
+    middle / suffix segments are legal (matching the paper's
+    character-level uniform splits); slice with length 0 yields [] in
+    both engines.
+    """
+    n = F.size(F.col(tokens_col))
+    key = F.col(key_col).cast("string")
+    sel = hash_u01(F.col(key_col), salt + ":r") < F.lit(rate)
+
+    def cut(tag: str):
+        h = F.md5(F.concat(key, F.lit(f":{salt}:{tag}")))
+        return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % (
+            n.cast("long") + 1
+        )
+
+    a, b = cut("a"), cut("b")
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+    toks = F.col(tokens_col)
+    fimmed = F.concat(
+        F.array(F.lit(prefix_tok)),
+        F.slice(toks, 1, lo),
+        F.array(F.lit(suffix_tok)),
+        F.slice(toks, hi + 1, n - hi),
+        F.array(F.lit(middle_tok)),
+        F.slice(toks, lo + 1, hi - lo),
+    )
+    return df.withColumn("fim_applied", sel).withColumn(
+        tokens_col, F.when(sel, fimmed).otherwise(toks)
+    )

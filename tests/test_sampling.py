@@ -178,3 +178,44 @@ def test_weighted_sample_fixed_size_weight_biased_deterministic(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_fim_transform_roundtrip_and_determinism(spark):
+    """The PSM layout is information-preserving: splitting a FIM'd
+    sequence at its sentinels and reassembling prefix+middle+suffix
+    recovers the original array; untouched rows pass through
+    unchanged; the selection is deterministic at any parallelism."""
+    from airbyte_destination_spark.functions.sampling import fim_transform
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), (F.col("id") % 37).cast("int")),
+            lambda i: (i * 7 % 1000).cast("int"),
+        ).alias("tokens"),
+    )
+    out = fim_transform(docs, "tokens", "doc_id", rate=0.5).collect()
+    orig = {r["doc_id"]: r["tokens"] for r in docs.collect()}
+    n_applied = 0
+    for r in out:
+        toks = r["tokens"]
+        if not r["fim_applied"]:
+            assert toks == orig[r["doc_id"]]
+            continue
+        n_applied += 1
+        assert toks[0] == 50000
+        i_suf = toks.index(50001)
+        i_mid = toks.index(50002)
+        pre = toks[1:i_suf]
+        suf = toks[i_suf + 1 : i_mid]
+        mid = toks[i_mid + 1 :]
+        assert pre + mid + suf == orig[r["doc_id"]]
+    assert 0.35 < n_applied / len(out) < 0.65  # the md5 coin at rate=0.5
+    # determinism across parallelism
+    out13 = {
+        r["doc_id"]: (r["fim_applied"], r["tokens"])
+        for r in fim_transform(
+            docs.repartition(13), "tokens", "doc_id", rate=0.5
+        ).collect()
+    }
+    assert out13 == {r["doc_id"]: (r["fim_applied"], r["tokens"]) for r in out}
