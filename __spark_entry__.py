@@ -3164,6 +3164,44 @@ def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_contamination(toks, probes, n=8)
 
 
+def q_token_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token op: corpus-wide exact-substring dedup in TOKEN space
+    (functions/textdedup.py token_block_dedup — Lee et al. ACL'22
+    ExactSubstr coarsened to 8-token blocks): the first corpus
+    occurrence of every distinct token block survives, later copies
+    across (or within) documents are dropped, and each document is
+    rebuilt from its surviving blocks — the cross-document remediation
+    step downstream of `block_dedup` detection, run on the tokenized
+    corpus exactly as a release pipeline orders it (tokenize, then
+    dedup the token stream the model will actually see). Emits the
+    rebuilt array's md5 fingerprint (the arrays themselves are
+    value-checked through it) + block/drop counts. Ownership is a
+    map-side-combined min-struct aggregate — no window over the raw
+    block stream, so a boilerplate block repeated 10^9 times never
+    serializes through one task."""
+    from airbyte_destination_spark.functions.text import tokenize_freq_vocab
+    from airbyte_destination_spark.functions.textdedup import token_block_dedup
+
+    docs = _docs_wide(spark, sf_dir)
+    # the block stream is consumed twice (ownership agg + verdict
+    # join); checkpoint the tokenization so vocab training runs once
+    toks = tokenize_freq_vocab(docs).localCheckpoint(eager=True)
+    out = token_block_dedup(
+        toks, id_col="doc_id", tokens_col="tokens", block_tokens=8
+    )
+    return out.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.transform("tokens_dedup", lambda x: x.cast("string")), ","
+            )
+        ).alias("tokens_fp"),
+        "n_tok_dedup",
+        "n_blocks",
+        "n_dropped",
+    ).orderBy("doc_id")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training op: corpus vocabulary histogram (top-50 words), map-side
     partial aggregation before the one shuffle."""
@@ -3700,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "detokenize_roundtrip": q_detokenize_roundtrip,
         "token_contamination": q_token_contamination,
+        "token_span_dedup": q_token_span_dedup,
         "tokenize_vocab": q_tokenize_vocab,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -5914,6 +5953,42 @@ FROM state
             FROM (SELECT * FROM grams WHERE doc_id % 97 <> 0) h
             JOIN pg USING (g)
             GROUP BY h.doc_id
+        """,
+        "token_span_dedup": _TOK_CTE + r""",
+            seq AS (
+              SELECT doc_id, list(tid ORDER BY pos) AS tokens
+              FROM toks GROUP BY doc_id
+            ),
+            blk AS (
+              SELECT doc_id, i.i AS pos,
+                     tokens[(i.i * 8 + 1):(i.i * 8 + 8)] AS blk
+              FROM seq, LATERAL (
+                SELECT unnest(range(0, CAST(ceil(len(tokens) / 8.0) AS INT))) AS i
+              ) i
+            ),
+            own AS (
+              SELECT doc_id, pos, blk,
+                     row_number() OVER (
+                       PARTITION BY md5(array_to_string(blk, ','))
+                       ORDER BY doc_id, pos) AS rn
+              FROM blk
+            )
+            SELECT doc_id,
+                   -- array_to_string of an empty/NULL list is NULL in
+                   -- DuckDB; Spark's array_join of [] is '' — coalesce
+                   -- the STRING so both engines fingerprint md5('')
+                   md5(coalesce(array_to_string(
+                     flatten(list(blk ORDER BY pos)
+                               FILTER (WHERE rn = 1)), ','), ''))
+                     AS tokens_fp,
+                   CAST(coalesce(len(flatten(list(blk ORDER BY pos)
+                                        FILTER (WHERE rn = 1))), 0) AS INT)
+                     AS n_tok_dedup,
+                   CAST(count(*) AS INT) AS n_blocks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT)
+                     AS n_dropped
+            FROM own GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "bpe_merges": _bpe_oracle_sql(N_BPE_MERGES),
         "bpe_encode": _bpe_encode_oracle_sql(N_BPE_MERGES),

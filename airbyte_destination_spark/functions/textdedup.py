@@ -619,3 +619,89 @@ def fuzzy_dedup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("dist").alias("dist"))
     )
+
+
+def token_block_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    block_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup over PRE-TOKENIZED sequences
+    (Lee et al. ACL'22, "Deduplicating Training Data Makes Language
+    Models Better" — their ExactSubstr rule, suffix-array byte spans
+    coarsened to consecutive `block_tokens`-token blocks, the same
+    convention as block_dedup/dedup_spans): the FIRST corpus occurrence
+    of every distinct token block is kept, every later copy — in OTHER
+    documents or later in the same one — is dropped, and each document
+    is rebuilt from its surviving blocks in original order. This is the
+    cross-document remediation the text-space pair (`block_dedup`
+    detection, `dedup_spans` intra-doc removal) stops short of, in the
+    token space the input_hint payload actually ships.
+
+    First occurrence = minimum (id, pos) over the block's instances —
+    deterministic at any parallelism, and the DuckDB twin replays it
+    with a row_number window. Blocks are keyed md5 over the
+    comma-joined token ids, reproducible across engines.
+
+    Returns (id_col, tokens_dedup array<int>, n_tok_dedup, n_blocks,
+    n_dropped). Empty input sequences surface with an empty array,
+    never vanish (posexplode_outer).
+
+    Scale shape: the block stream shuffles twice (once hash-keyed for
+    the ownership join, once doc-keyed for the rebuild) — both
+    O(corpus), unavoidable for a global rule. Ownership itself is a
+    map-side-combined min-struct aggregate, so a pathological block
+    repeated 10^9 times contributes one row per map partition to the
+    exchange, and the verdict join against the one-row-per-hash owner
+    side is AQE-skew-splittable. No window over the raw block stream
+    (a row_number per block hash would serialize the hot block's
+    instances through one task).
+    """
+    toks = F.col(tokens_col)
+    nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.when(
+                F.size(toks) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nblk - 1),
+                    lambda i: F.slice(toks, i * block_tokens + 1, block_tokens),
+                ),
+            )
+        ).alias("pos", "blk"),
+    ).withColumn(
+        "bh",
+        F.md5(F.array_join(F.transform("blk", lambda x: x.cast("string")), ",")),
+    )
+    owners = blocks.where(F.col("pos").isNotNull()).groupBy("bh").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "own"
+        )
+    )
+    verdict = blocks.join(owners.hint("shuffle_hash"), "bh", "left").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("own.i")) & (F.col("pos") == F.col("own.p")),
+    )
+    kept = F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("blk")))
+    return verdict.groupBy(id_col).agg(
+        F.coalesce(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["blk"]
+                )
+            ),
+            F.array().cast("array<int>"),
+        ).alias("tokens_dedup"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_keep"), F.size("blk")).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("int").alias("n_tok_dedup"),
+        F.count(F.col("pos")).cast("int").alias("n_blocks"),
+        F.coalesce(F.sum((~F.col("_keep")).cast("int")), F.lit(0))
+        .cast("int")
+        .alias("n_dropped"),
+    )

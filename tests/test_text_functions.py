@@ -608,3 +608,41 @@ def test_bm25_topk_plans_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_token_block_dedup_global_first_occurrence(spark):
+    from airbyte_destination_spark.functions.textdedup import token_block_dedup
+
+    rows = [
+        (1, [1, 2, 3, 4, 5, 6, 7, 8]),      # two blocks of 4, owner of both
+        (2, [1, 2, 3, 4, 9, 9, 9, 9]),      # block 1 dups doc1's -> dropped
+        (3, [5, 6, 7, 8, 5, 6, 7, 8, 10]),  # dups doc1 blk2 twice; [10] kept
+        (4, []),                            # empty doc must surface
+        (5, [1, 2, 3]),                     # short tail-only block, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    got = {
+        r.doc_id: (list(r.tokens_dedup), r.n_tok_dedup, r.n_blocks, r.n_dropped)
+        for r in token_block_dedup(df, block_tokens=4).collect()
+    }
+    assert got[1] == ([1, 2, 3, 4, 5, 6, 7, 8], 8, 2, 0)
+    assert got[2] == ([9, 9, 9, 9], 4, 2, 1)
+    assert got[3] == ([10], 1, 3, 2)   # intra-doc later copy dropped too
+    assert got[4] == ([], 0, 0, 0)
+    assert got[5] == ([1, 2, 3], 3, 1, 0)
+
+
+def test_token_block_dedup_ownership_no_window_partial_agg(spark):
+    """The ownership decision must be a map-side-combined aggregate,
+    never a row_number window over the raw block stream (a hot
+    boilerplate block would serialize through one task)."""
+    from airbyte_destination_spark.functions.textdedup import token_block_dedup
+    from airbyte_destination_spark.plans import executed_plan
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 3, i % 3 + 8))) for i in range(40)],
+        "doc_id int, tokens array<int>",
+    )
+    plan = executed_plan(token_block_dedup(df, block_tokens=4))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
