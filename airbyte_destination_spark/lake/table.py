@@ -1389,6 +1389,340 @@ class LakeTable:
                 _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
+    # --------------------------------------------------- bucket rescale
+
+    @staticmethod
+    def _entry_fp(entries: list[dict]) -> list[list]:
+        """Order-insensitive identity of a bucket's entry list — what
+        `split_buckets` uses to detect that concurrent commits changed
+        a bucket after it was split (delta appends, compaction
+        rewrites, purges all change it; metadata-only commits don't)."""
+        return sorted(
+            [e["path"], int(e.get("cv", 0)), str(e["schema_id"]),
+             bool(e.get("base"))]
+            for e in entries
+        )
+
+    def _update_staged_record(self, staging_id: str, rec: dict) -> None:
+        """Overwrite-in-place update of an existing staged record (the
+        rescale campaign's progress log). Same fsync discipline as
+        _commit; os.replace is atomic so readers (GC pinning) always
+        see a complete record. Only the single campaign runner updates
+        its record — exclusive CREATION is _write_staged's job."""
+        path = self._staged_path(staging_id)
+        tmp = os.path.join(self.meta_dir, f".s.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def split_buckets(
+        self,
+        spark: SparkSession,
+        factor: int = 2,
+        max_groups: int | None = None,
+        group_size: int = 8,
+        campaign_id: str = "default",
+    ) -> dict:
+        """Online bucket-count MULTIPLICATION as a paced, resumable,
+        ZERO-SHUFFLE campaign — the at-scale form of `rebucket`.
+
+        Because the layout is pmod(hash(keys), N) and the new count is
+        N*factor, every row of old bucket b lands in one of exactly
+        `factor` new buckets {b, b+N, b+2N, ...}: splitting is a
+        map-only re-cut of each old bucket's files (read, tag
+        pmod(hash, N*factor), write partitioned) with NO exchange
+        anywhere — the consistent-hashing property Iceberg's
+        bucket-spec evolution exploits. Contrast `rebucket`, which
+        supports arbitrary counts but pays one full-table shuffle in
+        one job.
+
+        Campaign mechanics (resumable, online, concurrent-ingest-safe):
+        - progress lives in a staged record (`_meta/staged/
+          rescale-<campaign_id>.json`) whose accumulated `buckets` map
+          pins the campaign's data dirs against expire_snapshots GC —
+          the same pinning every WAP staging gets;
+        - each call splits up to `max_groups` groups of `group_size`
+          old buckets, each group ONE map-only Spark job over the
+          bucket's files as they are (MOR deltas are NOT folded: every
+          entry keeps its own cv / schema_id / base flag through
+          partitioned sub-dirs, so fold-on-read precedence — and the
+          exactly-once epoch state — is untouched);
+        - every split bucket records the fingerprint of the source
+          entries it split; commits that land DURING the campaign make
+          those buckets stale, and the next call re-splits just them
+          (O(changed buckets) catch-up, not a restart);
+        - when every old bucket is split and fresh against the CURRENT
+          manifest, the campaign publishes: one optimistic commit of a
+          full manifest with n_buckets *= factor (operation
+          "rescale"). A racing writer raises CommitConflict inside the
+          publish — the campaign stays staged and the next call
+          catches up and retries. Readers never see a mixed layout;
+          writers never block; time travel keeps each version's own
+          n_buckets.
+
+        Crash mid-group orphans that group's files (unreferenced,
+        version-hinted, mtime-graced — ordinary conflicted-writer
+        debris the next expiry collects); crash after the record
+        update resumes exactly where it stopped. Superseded re-split
+        files stay inside still-pinned dirs until the campaign's dirs
+        age out after publish — wasted bytes, never wrong reads.
+
+        Returns {"published", "version", "split", "pending", "stale"}.
+        Loop `while not split_buckets(...)["published"]` to drive a
+        campaign to completion under concurrent ingest.
+        """
+        if factor < 2 or int(factor) != factor:
+            raise ValueError(f"factor must be an integer >= 2, got {factor!r}")
+        staging_id = f"rescale-{campaign_id}"
+        path = self._staged_path(staging_id)
+        self._recover_orphan()
+        base = self.current_version()
+        m = self.manifest(base)
+        if os.path.exists(path):
+            rec = self._read_staged(staging_id)
+            if not rec.get("rescale"):
+                raise ValueError(
+                    f"staging id {staging_id!r} exists and is not a "
+                    "rescale campaign"
+                )
+            if rec["factor"] != factor or rec["n_old"] != m["n_buckets"]:
+                raise ValueError(
+                    f"campaign {campaign_id!r} was started as "
+                    f"{rec['n_old']}x{rec['factor']} but the table now has "
+                    f"{m['n_buckets']} buckets — abort_rescale() it first"
+                )
+        else:
+            rec = {
+                "rescale": True,
+                "factor": factor,
+                "n_old": m["n_buckets"],
+                "n_buckets": m["n_buckets"] * factor,
+                "done": {},
+                "buckets": {},
+                "schemas": dict(m["schemas"]),
+            }
+            self._write_staged(staging_id, rec, base)
+            rec = self._read_staged(staging_id)
+
+        n_old = rec["n_old"]
+        # classify every old bucket against the CURRENT manifest
+        pending = [
+            b for b in range(n_old) if str(b) not in rec["done"]
+        ]
+        stale = [
+            b
+            for b in range(n_old)
+            if str(b) in rec["done"]
+            and rec["done"][str(b)]["fp"]
+            != self._entry_fp(m["buckets"].get(str(b), []))
+        ]
+        work = stale + pending  # stale buckets block publish: do first
+        groups = [
+            work[i : i + group_size] for i in range(0, len(work), group_size)
+        ]
+        if max_groups is not None:
+            groups = groups[:max_groups]
+        n_split = 0
+        for grp in groups:
+            self._split_group(spark, m, rec, grp, factor)
+            self._update_staged_record(staging_id, rec)
+            n_split += len(grp)
+
+        # publish when complete and fresh against the LATEST manifest
+        self._recover_orphan()
+        head = self.current_version()
+        hm = self.manifest(head)
+        still_stale = [
+            b
+            for b in range(n_old)
+            if str(b) not in rec["done"]
+            or rec["done"][str(b)]["fp"]
+            != self._entry_fp(hm["buckets"].get(str(b), []))
+        ]
+        if not still_stale:
+            new_m = dict(hm)
+            new_m["n_buckets"] = n_old * factor
+            new_m["buckets"] = {
+                nb: list(entries) for nb, entries in rec["buckets"].items()
+            }
+            new_m["operation"] = "rescale"
+            new_m["epoch_id"] = None
+            new_m["lineage"] = []
+            try:
+                v = self._commit(new_m, head)
+                os.unlink(path)
+                return {
+                    "published": True,
+                    "version": v,
+                    "split": n_split,
+                    "pending": 0,
+                    "stale": 0,
+                }
+            except CommitConflict:
+                pass  # a writer raced the publish; next call catches up
+        remaining = [b for b in range(n_old) if str(b) not in rec["done"]]
+        return {
+            "published": False,
+            "version": None,
+            "split": n_split,
+            "pending": len(remaining),
+            "stale": len(still_stale) - len(remaining),
+        }
+
+    def _split_plan(
+        self,
+        spark: SparkSession,
+        m: dict,
+        by_group: dict[tuple[str, int, bool], list[str]],
+        target: "T.StructType",
+        n_new: int,
+    ) -> DataFrame | None:
+        """The split re-cut as a DataFrame: union of per-(schema, cv,
+        base) file scans, schema-aligned, tagged with the NEW bucket id
+        pmod(hash(keys), n_new). Pure projection over the scans — no
+        groupBy/join/repartition anywhere, so the physical plan has
+        ZERO exchanges (asserted in tests/test_rescale.py): each task
+        reads old-bucket files and writes new-bucket partitions
+        directly, which is what makes rescale O(table)/map-only rather
+        than O(table)+shuffle like rebucket."""
+        if not by_group:
+            return None
+        parts = []
+        for (sid, cv, isbase), paths in by_group.items():
+            fsch = T.StructType(
+                T.StructType.fromJson(m["schemas"][sid]).fields
+                + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+            )
+            df = spark.read.schema(fsch).parquet(*paths)
+            parts.append(
+                align_to_schema(df, target)
+                .withColumn("_scv", F.lit(cv).cast("long"))
+                .withColumn("_sbase", F.lit(1 if isbase else 0))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn(_BUCKET_COL, bucket_expr(_bucket_cols(m), n_new))
+
+    def _split_group(
+        self, spark: SparkSession, m: dict, rec: dict, grp: list[int], factor: int
+    ) -> None:
+        """Split one group of old buckets into the new layout: ONE
+        map-only job — no exchange (asserted in tests/test_rescale.py)
+        — whose output files inherit each source entry's (cv, schema
+        alignment, base flag) through partitioned sub-dirs."""
+        n_old = rec["n_old"]
+        n_new = n_old * factor
+        cur_schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        target = T.StructType(
+            cur_schema.fields
+            + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+        )
+        fps: dict[int, list] = {}
+        by_group: dict[tuple[str, int, bool], list[str]] = {}
+        for b in grp:
+            entries = m["buckets"].get(str(b), [])
+            fps[b] = self._entry_fp(entries)
+            for e in entries:
+                key = (
+                    str(e["schema_id"]),
+                    int(e.get("cv", 0)),
+                    bool(e.get("base")),
+                )
+                by_group.setdefault(key, []).append(
+                    os.path.join(self.root, e["path"])
+                )
+        new_by_old: dict[int, dict[str, list[dict]]] = {b: {} for b in grp}
+        out = self._split_plan(spark, m, by_group, target, n_new)
+        if out is not None:
+            nonce = uuid.uuid4().hex[:12]
+            rel_snap = os.path.join(
+                "data", f"snap-{self.current_version() + 1:08d}-rs{nonce}"
+            )
+            out_dir = os.path.join(self.root, rel_snap)
+            out.write.mode("overwrite").partitionBy(
+                _BUCKET_COL, "_scv", "_sbase"
+            ).parquet(out_dir)
+            sid_now = m["schema_id"]
+            k0 = m["key_cols"][0]
+            stat_cols = [k0] + [
+                c for c in m.get("stats_cols", []) if c != k0
+            ]
+            new_entries: list[tuple[int, dict]] = []
+            for bdir in sorted(os.listdir(out_dir)):
+                if not bdir.startswith(f"{_BUCKET_COL}="):
+                    continue
+                nb = int(bdir.split("=", 1)[1])
+                for cvdir in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                    cv = int(cvdir.split("=", 1)[1])
+                    for basedir in sorted(
+                        os.listdir(os.path.join(out_dir, bdir, cvdir))
+                    ):
+                        isbase = basedir.endswith("=1")
+                        d = os.path.join(out_dir, bdir, cvdir, basedir)
+                        for fname in sorted(os.listdir(d)):
+                            if not fname.endswith(".parquet"):
+                                continue
+                            entry = {
+                                "path": os.path.join(
+                                    rel_snap, bdir, cvdir, basedir, fname
+                                ),
+                                "schema_id": sid_now,
+                                "cv": cv,
+                            }
+                            if isbase:
+                                entry["base"] = True
+                            new_entries.append((nb, entry))
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _bind_stats(item):
+                nb, entry = item
+                stats = _file_col_stats(
+                    os.path.join(self.root, entry["path"]), stat_cols
+                )
+                if k0 in stats:
+                    entry["kmin"], entry["kmax"] = stats[k0]
+                extra = {
+                    c: list(stats[c]) for c in stat_cols[1:] if c in stats
+                }
+                if extra:
+                    entry["bounds"] = extra
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(_bind_stats, new_entries))
+            for nb, entry in new_entries:
+                old_b = nb % n_old
+                new_by_old[old_b].setdefault(str(nb), []).append(entry)
+        for b in grp:
+            rec["done"][str(b)] = {"fp": fps[b], "new": new_by_old[b]}
+        # rebuild the accumulated new-layout map (GC pinning + publish)
+        acc: dict[str, list[dict]] = {}
+        for d in rec["done"].values():
+            for nb, entries in d["new"].items():
+                acc.setdefault(nb, []).extend(entries)
+        rec["buckets"] = acc
+
+    def abort_rescale(self, campaign_id: str = "default") -> None:
+        """Drop a rescale campaign: delete the campaign's own snapshot
+        dirs (they carry an `-rs` nonce no committed version can
+        reference) and its staged record."""
+        staging_id = f"rescale-{campaign_id}"
+        rec = self._read_staged(staging_id)
+        if not rec.get("rescale"):
+            raise ValueError(f"{staging_id!r} is not a rescale campaign")
+        snaps = {
+            e["path"].split(os.sep)[1]
+            for fs in rec.get("buckets", {}).values()
+            for e in fs
+        }
+        for snap in snaps:
+            shutil.rmtree(
+                os.path.join(self.root, "data", snap), ignore_errors=True
+            )
+        os.unlink(self._staged_path(staging_id))
+
     def optimize(
         self,
         spark: SparkSession,
@@ -2360,6 +2694,11 @@ class LakeTable:
     def read_staged(self, spark: SparkSession, staging_id: str) -> DataFrame:
         """The staged table state, for audit queries before publish."""
         rec = self._read_staged(staging_id)
+        if rec.get("rescale"):
+            raise ValueError(
+                f"{staging_id!r} is a rescale campaign — drive it with "
+                "split_buckets()/abort_rescale(), not the WAP API"
+            )
         schema = T.StructType.fromJson(rec["schemas"][str(rec["schema_id"])])
         return self._resolve(
             spark, rec, [int(b) for b in rec["buckets"]], schema
@@ -2371,6 +2710,11 @@ class LakeTable:
         computed against state that no longer exists) — abort and
         re-stage, the WAP retry discipline."""
         rec = self._read_staged(staging_id)
+        if rec.get("rescale"):
+            raise ValueError(
+                f"{staging_id!r} is a rescale campaign — drive it with "
+                "split_buckets()/abort_rescale(), not the WAP API"
+            )
         base = rec.pop("staged_base")
         rec.pop("staged_id", None)
         rec.pop("staged_at", None)
@@ -2397,6 +2741,11 @@ class LakeTable:
         its base — new dirs carry a fresh nonce, so no committed
         version can reference them) and the staged record."""
         rec = self._read_staged(staging_id)
+        if rec.get("rescale"):
+            raise ValueError(
+                f"{staging_id!r} is a rescale campaign — drive it with "
+                "split_buckets()/abort_rescale(), not the WAP API"
+            )
         base = rec["staged_base"]
         base_m = self._resolved(base) if base >= 1 else {"buckets": {}}
 
