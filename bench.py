@@ -9,6 +9,10 @@ protocol prose live in BENCH_DETAIL.json written next to this file):
    "scaling":     {"n_small": 8, "n_large": 32, "eps_small": ...,
                    "eps_large": ..., "efficiency": ..., "steal_filtered": ...},
    "scaling_low": {...same shape, 2->8...},
+   "scaling_cluster": {...N vs 4N single-core executor JVMs on a real
+                   standalone cluster via spark-submit --py-files
+                   (tools/cluster_scaling.py); "source" = "live" or
+                   "committed CLUSTER_SCALING.json"...},
    "detail": "BENCH_DETAIL.json"}
 
 - headline queries: every __spark_entry__.queries() entry at
@@ -855,6 +859,63 @@ def main() -> None:
             n_small, scale_events, warm_rounds=warm_rounds, n_measured=3,
         )
 
+    # ---- scaling on a REAL standalone cluster: N vs 4N single-core
+    # executor JVMs behind a cluster manager, drivers launched with
+    # spark-submit --py-files (tools/cluster_scaling.py — the exact
+    # deployment shape the north rule names). A live run costs ~8-12
+    # minutes, so it runs only when explicitly requested
+    # (SPARK_GRAFT_SCALE_CLUSTER=1) or when the heavy phases left
+    # unusual slack; otherwise the committed CLUSTER_SCALING.json
+    # artifact is cited compactly, with its provenance marked, so the
+    # headline still carries the cluster-mode number.
+    scaling_cluster = None
+    cluster_detail = None
+    if not args.scaling_only and not args.skip_scaling:
+        want = os.environ.get("SPARK_GRAFT_SCALE_CLUSTER", "auto")
+        elapsed = time.time() - _T_START
+        live = want == "1" or (want == "auto" and elapsed < BENCH_BUDGET_SEC * 0.45)
+        if live and want != "0":
+            try:
+                sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+                import cluster_scaling
+
+                res = cluster_scaling.run(
+                    n_small=2,
+                    events=int(os.environ.get(
+                        "SPARK_GRAFT_SCALE_CLUSTER_EVENTS", "4000000")),
+                    warm_rounds=1, n_measured=3, max_rounds=5, n_reps=3,
+                    budget_sec=max(BENCH_BUDGET_SEC - elapsed, 300.0),
+                    out_path=None,
+                )
+                cluster_detail = res
+                scaling_cluster = {"source": "live", **{
+                    k: res[k] for k in (
+                        "n_small", "n_large", "eps_small", "eps_large",
+                        "efficiency", "efficiency_peak", "steal_filtered",
+                        "episode_rejected", "rounds_used")}}
+                if res.get("state_parity") is not None:
+                    scaling_cluster["state_equal"] = (
+                        res["state_parity"]["equal"])
+            except (Exception, SystemExit) as ex:  # noqa: BLE001
+                _phase(f"cluster scaling failed: {ex}")
+        if scaling_cluster is None:
+            art = Path(__file__).resolve().parent / "CLUSTER_SCALING.json"
+            if art.exists():
+                try:
+                    d = json.loads(art.read_text())
+                    scaling_cluster = {
+                        "source": "committed CLUSTER_SCALING.json", **{
+                            k: d[k] for k in (
+                                "n_small", "n_large", "eps_small",
+                                "eps_large", "efficiency",
+                                "efficiency_peak", "steal_filtered",
+                                "rounds_used") if k in d}}
+                    if d.get("state_parity") is not None:
+                        scaling_cluster["state_equal"] = (
+                            d["state_parity"]["equal"])
+                except (OSError, json.JSONDecodeError, KeyError) as ex:
+                    _phase(f"CLUSTER_SCALING.json unreadable: {ex}")
+
     # ---- durable artifact layout: the driver keeps only a ~2 KB TAIL
     # of stdout, so the headline JSON must be COMPACT (no per-round
     # detail, no prose) and the LAST line printed; the full per-round
@@ -869,6 +930,7 @@ def main() -> None:
         "cdc_mor": mor,
         "scaling": scaling,
         "scaling_low": scaling_low,
+        "scaling_cluster": cluster_detail or scaling_cluster,
     }
     # debug/smoke runs (env override) must not clobber the committed
     # full-run artifact
@@ -915,6 +977,9 @@ def main() -> None:
         },
         "scaling": _compact(scaling),
         "scaling_low": _compact(scaling_low),
+        # real standalone-cluster N vs 4N executors (live or the
+        # committed artifact — "source" says which)
+        "scaling_cluster": scaling_cluster,
         "detail": "BENCH_DETAIL.json",
     }
     # the driver records only the last 2000 CHARS of stdout: a headline

@@ -221,6 +221,58 @@ spark.stop()
 '''
 
 
+# Cross-cluster-size state equality: the north rule's correctness
+# clause is per-row token-array equality after replaying the same log
+# at both cluster sizes. Both sides applied IDENTICAL seed+timed
+# batches each round, so their last-round tables must be equal row for
+# row. Runs in a fresh local subprocess after the clusters stop.
+PARITY = '''\
+import json, sys
+sys.path.insert(0, sys.argv[3])
+from airbyte_destination_spark import get_spark
+from airbyte_destination_spark.lake import LakeTable
+from pyspark.sql import functions as F
+
+spark = get_spark(app_name="cluster-parity", master="local[8]",
+                  shuffle_partitions=8)
+cols = ["doc_id", "tokens", "n_tok", "source", "change_lsn"]
+a = LakeTable(sys.argv[1]).read(spark).select(*cols)
+b = LakeTable(sys.argv[2]).read(spark).select(*cols)
+
+def summ(df):
+    # decimal(38,0) sum: 2^63-magnitude terms cannot overflow 38 digits
+    # at any realistic row count (ANSI mode makes a long sum throw)
+    r = df.select(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h")
+                  ).collect()[0]
+    return int(r["n"]), int(r["h"] or 0)
+
+na, ha = summ(a)
+nb, hb = summ(b)
+mism = 0 if (na, ha) == (nb, hb) else a.exceptAll(b).count()
+print("PARITY " + json.dumps({
+    "rows_small": na, "rows_large": nb, "equal": (na, ha) == (nb, hb),
+    "checksum_small": ha, "checksum_large": hb, "mismatch_rows": mism}))
+spark.stop()
+'''
+
+
+def _state_parity(work: str, n_small: int, n_large: int,
+                  last_round: int) -> dict | None:
+    sdir = os.path.join(work, f"t-{n_small}-{last_round}")
+    ldir = os.path.join(work, f"t-{n_large}-{last_round}")
+    if not (os.path.isdir(sdir) and os.path.isdir(ldir)):
+        return None
+    r = subprocess.run(
+        [sys.executable, "-c", PARITY, sdir, ldir, str(REPO)],
+        capture_output=True, text=True, timeout=600)
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("PARITY "):
+            return json.loads(line[len("PARITY "):])
+    bench._phase(f"state parity check failed: {r.stderr[-500:]}")
+    return None
+
+
 def _submit_driver(murl: str, n_exec: int, ctl: tuple[int, int],
                    zip_path: str, job_path: str, args: list[str],
                    work: str, tag: str) -> subprocess.Popen:
@@ -360,6 +412,16 @@ def run(n_small: int = 2, events: int = 4_000_000, warm_rounds: int = 1,
                 d.kill()
         for c in clusters:
             c.stop()
+
+    # both sides replayed the same log: their final tables must match
+    # row for row (the rule's token-array-equality-at-two-sizes clause)
+    parity = None
+    try:
+        if rounds:
+            bench._phase("cross-cluster-size state parity check")
+            parity = _state_parity(work, n_small, n_large,
+                                   rounds[-1]["round"])
+    finally:
         shutil.rmtree(work, ignore_errors=True)
 
     meas = [r for r in rounds if not r["warmup"]] or rounds
@@ -385,6 +447,10 @@ def run(n_small: int = 2, events: int = 4_000_000, warm_rounds: int = 1,
         "steal_filtered": len(clean) >= 2,
         "episode_rejected": n_episodes,
         "rounds_used": len(used),
+        # per-row equality of the two sides' final tables after
+        # replaying the same log (count + xxhash64 checksum, exceptAll
+        # on divergence) — the rule's two-cluster-size replay clause
+        "state_parity": parity,
         "rounds": rounds,
         "pin_disjoint": True,
         "pin_ranges": {"small_executors": f"{exec_small[0]}-{exec_small[1]}",
@@ -406,6 +472,8 @@ def run(n_small: int = 2, events: int = 4_000_000, warm_rounds: int = 1,
                ("mode", "n_small", "n_large", "eps_small", "eps_large",
                 "efficiency", "efficiency_peak", "steal_filtered",
                 "episode_rejected", "rounds_used")}
+    if parity is not None:
+        compact["state_equal"] = parity["equal"]
     print(json.dumps(compact, separators=(",", ":")))
     return out
 
