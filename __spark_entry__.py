@@ -431,6 +431,51 @@ def q_cdc_engine_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdc_engine_final_state(spark, sf_dir, "mor")
 
 
+def q_cdc_engine_sharded_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-log consumption (streaming/sharded.py — the Kafka-
+    partition / binlog-shard shape the reference's single-stdin model
+    cannot represent, destination.go:393-400): the change log is split
+    into 4 producer shards (sticky keys, dense per-shard offsets), and
+    a windowed consumer applies every shard's next offset window as ONE
+    merge whose epoch-id LIST commits atomically with the data — the
+    per-shard frontier lives in the table's own epoch watermarks, so
+    resume is stateless and exactly-once. Shards drain at different
+    rates (sizes are hash-unbalanced); the final state must equal the
+    plain LWW oracle regardless of interleaving. Scale shape: a cycle
+    scans only the frontier windows (hive shard= partition pruning +
+    offset row-group pruning) and runs the engine's standard
+    one-exchange merge; K widens only the predicate and the id list."""
+    key = (sf_dir, "sharded")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from airbyte_destination_spark.lake import LakeTable
+        from airbyte_destination_spark.streaming.pipeline import IngestConfig
+        from airbyte_destination_spark.streaming.sharded import (
+            run_ingest_sharded,
+            shard_change_log,
+        )
+
+        root = tempfile.mkdtemp(prefix="engine-sharded-")
+        log = _cdc_events(spark, sf_dir)
+        shard_change_log(spark, log, root + "/shards", 4, key_col="doc_key")
+        table = LakeTable(root + "/t")
+        cfg = IngestConfig(
+            key_cols=["doc_key"], version_col="change_lsn",
+            n_buckets=8, merge_strategy="mor",
+        )
+        n = _t(spark, sf_dir, "events").count()  # parquet metadata count
+        st = run_ingest_sharded(
+            table, spark, root + "/shards", 4, cfg,
+            window=max(n // 12, 1),  # ~3 windows per shard
+        )
+        assert st.drained and st.cycles >= 3
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count EVOLUTION mid-replay (LakeTable.rebucket — the
     Iceberg partition-spec-evolution analog): epochs 0-1 land under the
@@ -3651,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
+        "cdc_engine_sharded_final_state": q_cdc_engine_sharded_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -4874,6 +4920,7 @@ SELECT 'change_lsn', count(*), count(*) - count(change_lsn),
 FROM state
 """,
         "cdc_engine_rebucket_final_state": _LWW_SQL,
+        "cdc_engine_sharded_final_state": _LWW_SQL,
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
         "cdc_engine_snapshot_sync": (

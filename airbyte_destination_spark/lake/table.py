@@ -167,6 +167,28 @@ def _epoch_applied(m: dict, epoch_id: str) -> bool:
     return p is not None and p[1] <= m.get("epoch_watermarks", {}).get(p[0], -1)
 
 
+def _epoch_list(epoch_id) -> list[str]:
+    """Normalize merge()'s epoch_id argument: None, one id, or a list of
+    ids that must commit ATOMICALLY (one manifest swap marks them all —
+    the sharded-consumer shape, where one micro-batch covers many log
+    shards and the per-shard offset frontier must advance all-or-nothing
+    with the data)."""
+    if epoch_id is None:
+        return []
+    return [epoch_id] if isinstance(epoch_id, str) else list(epoch_id)
+
+
+def _epochs_applied_state(m: dict, epoch_ids: list[str]) -> str:
+    """'all' / 'none' / 'partial' applied-state of an epoch-id set.
+    'partial' can only arise from two writers committing DIFFERENT
+    groupings of the same ids — a configuration error (consumers of one
+    log must agree on chunk boundaries), surfaced rather than guessed
+    at: skipping would lose the unapplied ids' data, applying would
+    double-apply the rest."""
+    n = sum(1 for e in epoch_ids if _epoch_applied(m, e))
+    return "all" if n == len(epoch_ids) else ("none" if n == 0 else "partial")
+
+
 def _fold_epochs(applied: dict, watermarks: dict) -> tuple[dict, dict]:
     """Advance each prefix's watermark over contiguous suffixes and drop
     the folded explicit entries. Lossless: applied-set membership is
@@ -422,10 +444,16 @@ class LakeTable:
         not something the hot loop calls."""
         for v in range(self.current_version(), 0, -1):
             try:
-                if self._read_raw(v).get("epoch_id") == epoch_id:
-                    return v
+                rec = self._read_raw(v).get("epoch_id")
             except FileNotFoundError:
                 break  # older records are expired; nothing earlier survives
+            # multi-epoch atomic commits record a LIST of ids; match a
+            # member, or the joined display form MergeStats carries
+            if rec == epoch_id or (
+                isinstance(rec, list)
+                and (epoch_id in rec or epoch_id == ",".join(rec))
+            ):
+                return v
         return None
 
     def history(self) -> list[dict]:
@@ -2079,7 +2107,7 @@ class LakeTable:
     def merge(
         self,
         batch: DataFrame,
-        epoch_id: str | None = None,
+        epoch_id: str | list[str] | None = None,
         tiebreak_cols: list[str] | None = None,
         lineage_df: DataFrame | None = None,
         post_reduce=None,
@@ -2088,6 +2116,15 @@ class LakeTable:
         stage: str | None = None,
     ) -> MergeStats:
         """Last-writer-wins MERGE of a change batch.
+
+        `epoch_id` may be a LIST of ids that commit ATOMICALLY in the
+        one manifest swap — the sharded-consumer shape (one micro-batch
+        covering many log shards; streaming/sharded.py), where the
+        per-shard offset frontier must advance all-or-nothing with the
+        data. Replay of a fully-applied group skips; a group that
+        PARTIALLY overlaps previously-applied ids raises (consumers of
+        one log must agree on chunk boundaries — skipping would lose
+        data, re-applying would duplicate it).
 
         `stage` (optional): a staging id. The merge runs fully — data
         files land, the new manifest is computed — but instead of
@@ -2792,12 +2829,25 @@ class LakeTable:
         that applied the same epoch wins: we return skipped, like the
         top of _apply."""
         sid = str(old_m["schema_id"])
+        epoch_ids = _epoch_list(epoch_id)
+        eid = epoch_id if isinstance(epoch_id, str) else (
+            ",".join(epoch_ids) if epoch_ids else None
+        )
+        m_eid = epoch_ids if len(epoch_ids) > 1 else eid
         for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
             m = self.manifest(base)
-            if epoch_id is not None and _epoch_applied(m, epoch_id):
-                return MergeStats(epoch_id, base, 0, 0, 0, skipped=True)
+            if epoch_ids:
+                state = _epochs_applied_state(m, epoch_ids)
+                if state == "all":
+                    return MergeStats(eid, base, 0, 0, 0, skipped=True)
+                if state == "partial":
+                    raise ValueError(
+                        f"epoch ids {epoch_ids} are PARTIALLY applied on "
+                        f"{self.root}: atomic epoch groups must not "
+                        "straddle another writer's groupings"
+                    )
             if (
                 m["n_buckets"] != old_m["n_buckets"]
                 or _bucket_cols(m) != _bucket_cols(old_m)
@@ -2812,14 +2862,14 @@ class LakeTable:
                 ]
             m["buckets"] = buckets
             m["operation"] = mode
-            m["epoch_id"] = epoch_id
+            m["epoch_id"] = m_eid
             m["lineage"] = lineage
-            if epoch_id is not None:
-                m["applied_epochs"][epoch_id] = base + 1
+            for e in epoch_ids:
+                m["applied_epochs"][e] = base + 1
             try:
                 v = self._commit(m, base)
                 return MergeStats(
-                    epoch_id, v, rows_up, rows_del, len(new_files), lineage=lineage
+                    eid, v, rows_up, rows_del, len(new_files), lineage=lineage
                 )
             except CommitConflict:
                 _conflict_backoff(attempt)
@@ -2844,6 +2894,14 @@ class LakeTable:
             raise ValueError(
                 f"reduce={reduce!r} does not compose with post_reduce/carry_cols"
             )
+        # epoch_id may be a LIST of ids committing atomically (one
+        # micro-batch covering many log shards); MergeStats and the
+        # lineage rows carry the joined display form
+        epoch_ids = _epoch_list(epoch_id)
+        eid = epoch_id if isinstance(epoch_id, str) else (
+            ",".join(epoch_ids) if epoch_ids else None
+        )
+        m_eid = epoch_ids if len(epoch_ids) > 1 else eid
         for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
@@ -2851,8 +2909,16 @@ class LakeTable:
 
             # exactly-once: an epoch already recorded in the snapshot is
             # a replay (foreachBatch re-delivery) — skip without writing.
-            if epoch_id is not None and _epoch_applied(m, epoch_id):
-                return MergeStats(epoch_id, base, 0, 0, 0, skipped=True)
+            if epoch_ids:
+                state = _epochs_applied_state(m, epoch_ids)
+                if state == "all":
+                    return MergeStats(eid, base, 0, 0, 0, skipped=True)
+                if state == "partial":
+                    raise ValueError(
+                        f"epoch ids {epoch_ids} are PARTIALLY applied on "
+                        f"{self.root}: atomic epoch groups must not "
+                        "straddle another writer's groupings"
+                    )
 
             key_cols = m["key_cols"]
             ver_col = m["version_col"]
@@ -2920,7 +2986,7 @@ class LakeTable:
             def _lineage_rows(collected) -> list[dict]:
                 return [
                     {
-                        "epoch_id": epoch_id,
+                        "epoch_id": eid,
                         "partition_id": int(r[_BUCKET_COL]),
                         "lsn_min": (_json_safe(r["lsn_min"]) if ver_col else None),
                         "lsn_max": (_json_safe(r["lsn_max"]) if ver_col else None),
@@ -2981,16 +3047,16 @@ class LakeTable:
                 touched = sorted({l["partition_id"] for l in lineage})
             if lineage is not None and not touched:
                 m["operation"] = mode
-                m["epoch_id"] = epoch_id
+                m["epoch_id"] = m_eid
                 m["lineage"] = []
-                if epoch_id is not None:
-                    m["applied_epochs"][epoch_id] = base + 1
+                for e in epoch_ids:
+                    m["applied_epochs"][e] = base + 1
                 if stage is not None:
                     self._write_staged(stage, m, base)
-                    return MergeStats(epoch_id, -1, 0, 0, 0)
+                    return MergeStats(eid, -1, 0, 0, 0)
                 try:
                     v = self._commit(m, base)
-                    return MergeStats(epoch_id, v, 0, 0, 0)
+                    return MergeStats(eid, v, 0, 0, 0)
                 except CommitConflict:
                     _conflict_backoff(attempt)
                     continue
@@ -3171,19 +3237,19 @@ class LakeTable:
 
             m["buckets"] = buckets
             m["operation"] = mode
-            m["epoch_id"] = epoch_id
+            m["epoch_id"] = m_eid
             m["lineage"] = lineage
-            if epoch_id is not None:
-                m["applied_epochs"][epoch_id] = base + 1
+            for e in epoch_ids:
+                m["applied_epochs"][e] = base + 1
             if stage is not None:
                 self._write_staged(stage, m, base)
                 return MergeStats(
-                    epoch_id, -1, rows_up, rows_del, len(touched), lineage=lineage
+                    eid, -1, rows_up, rows_del, len(touched), lineage=lineage
                 )
             try:
                 v = self._commit(m, base)
                 return MergeStats(
-                    epoch_id, v, rows_up, rows_del, len(touched), lineage=lineage
+                    eid, v, rows_up, rows_del, len(touched), lineage=lineage
                 )
             except CommitConflict:
                 if mode == "append" or is_mor_merge:

@@ -185,7 +185,10 @@ _APPLY_LOCK = threading.RLock()
 
 
 def apply_change_batch(
-    table: LakeTable, batch: DataFrame, epoch_id: str, cfg: IngestConfig | None = None
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: str | list[str],
+    cfg: IngestConfig | None = None,
 ) -> MergeStats:
     """Apply one micro-batch of change events to the table, exactly once.
 
@@ -203,9 +206,15 @@ def apply_change_batch(
     lock, so overlapping applies can't corrupt the saved conf value.
     """
     cfg = cfg or IngestConfig()
-    # cheap pre-check before any work: replayed epoch -> skip
-    if table.exists() and table.is_epoch_applied(epoch_id):
-        return MergeStats(epoch_id, table.current_version(), 0, 0, 0, skipped=True)
+    # cheap pre-check before any work: replayed epoch -> skip. epoch_id
+    # may be a LIST of ids committing atomically (sharded consumer);
+    # skip only when every id is applied — partial overlap is surfaced
+    # by the merge itself (see lake.table._epochs_applied_state).
+    ids = [epoch_id] if isinstance(epoch_id, str) else list(epoch_id)
+    if table.exists() and all(table.is_epoch_applied(e) for e in ids):
+        return MergeStats(
+            ",".join(ids), table.current_version(), 0, 0, 0, skipped=True
+        )
 
     with _APPLY_LOCK:
         conf = batch.sparkSession.conf

@@ -287,7 +287,18 @@ def _submit_driver(murl: str, n_exec: int, ctl: tuple[int, int],
          "--conf", f"spark.cores.max={n_exec}",
          "--conf", "spark.executor.cores=1",
          "--conf", "spark.executor.memory=2g",
+         # match session.py's measured-local JVM tuning on the EXECUTOR
+         # JVMs (they don't inherit driver opts): ParallelGC with a
+         # half-heap young gen — G1's default pause-target heuristics on
+         # a 1-core 2g executor produced round-long 40% throughput dips
+         # (whole rounds at 7.5s/rep vs 3.8s) as region occupancy
+         # crossed its IHOP; ParallelGC's fixed generations are stable
+         "--conf", "spark.executor.extraJavaOptions="
+                   "-XX:+UseParallelGC -XX:NewRatio=1",
+         "--conf", "spark.storage.memoryMapThreshold=2g",
          "--conf", "spark.driver.memory=4g",
+         "--conf", "spark.driver.extraJavaOptions="
+                   "-XX:+UseParallelGC -XX:NewRatio=1",
          "--conf", "spark.ui.enabled=false",
          "--conf", f"spark.local.dir={work}/sl-{tag}",
          job_path, *args],
