@@ -179,7 +179,12 @@ from airbyte_destination_spark.streaming.pipeline import (
 cfg = IngestConfig(n_buckets=n_buckets, merge_strategy="mor")
 wt = LakeTable(os.path.join(work, f"warm-{n_exec}"))
 wdirs = sorted(str(p) for p in Path(warm_dir).glob("batch-*"))
-n_warm = 6 if n_exec <= 4 else 4
+# JIT warmup is PER EXECUTOR JVM: the large side splits each warm batch
+# over 4x as many JVMs, so equal-batch-count warmup leaves its
+# executors cold for rounds (measured: eps_large still climbing at
+# round 3 under n_warm=4). Scale warm batches with executor count so
+# every JVM executes the same warm work before round 0.
+n_warm = 3 * n_exec
 for i in range(n_warm):
     apply_change_batch(wt, spark.read.parquet(wdirs[i % len(wdirs)]),
                        f"warm-{i}", cfg)
