@@ -66,7 +66,9 @@ _META_COLS = [
 ]
 _DATA_OPS = ("merge", "append")
 # physical rewrites with NO logical changes — safe to skip silently
-_MAINTENANCE_OPS = ("compact", "purge_tombstones", "rebucket", "create")
+_MAINTENANCE_OPS = (
+    "compact", "compact_tiered", "purge_tombstones", "rebucket", "create",
+)
 
 
 @dataclass

@@ -1304,6 +1304,125 @@ class LakeTable:
                 _conflict_backoff(attempt)
         raise CommitConflict("unreachable")
 
+    def compact_tiered(
+        self,
+        spark: SparkSession,
+        min_run: int = 4,
+        tier_factor: float = 4.0,
+        max_run: int = 32,
+    ) -> dict | None:
+        """Size-tiered (LSM-style) compaction: per bucket, merge ONE run
+        of similar-sized small files into a single file, leaving the
+        bucket's large base file(s) alone until the merged deltas grow
+        into their size class.
+
+        Why it exists: `compact()` rewrites EVERY file of a qualifying
+        bucket — including its base — so sustained MOR ingest pays
+        O(bucket bytes) per fold and write amplification grows with the
+        table. Size-tiered runs bound amplification at O(log(table /
+        delta)) rewrites per ingested byte (the LSM/ClickHouse merge-
+        tree shape): deltas merge with deltas, the output re-enters the
+        next size tier, and the base is touched only when a run reaches
+        it.
+
+        Correctness (the subtle part): MOR read order is
+        (version_col, commit version) — `compact()` may renumber rows
+        to the new commit version only because it folds a WHOLE bucket.
+        Merging a SUBSET would reorder version ties against unmerged
+        files, so tiered output stores each row's ORIGINAL commit
+        version as a real `_cv` data column (`stored_cv` manifest
+        entries; `_read_buckets` reads it back instead of stamping the
+        file's own commit version). The within-run LWW fold is a
+        partial max per key — associative, so dropping rows strictly
+        dominated inside the run can never change the global winner.
+        Non-MOR tables (append mode: duplicate keys are data) skip the
+        fold and just bin-pack the run.
+
+        Run selection is deterministic: files ascend by (bytes, path);
+        the run grows while the next file is <= tier_factor x the run's
+        mean size, merges when >= min_run files joined (capped at
+        max_run). File sizes come from the manifest (`bytes`, recorded
+        at write; getsize fallback for pre-existing entries).
+
+        Returns {"version", "buckets", "files_merged", "bytes_merged"}
+        or None when no bucket holds a qualifying run.
+        """
+        from airbyte_destination_spark.operators.dedup import lww_reduce_agg
+
+        def _size(e: dict) -> int:
+            b = e.get("bytes")
+            if b is None:
+                try:
+                    b = os.path.getsize(os.path.join(self.root, e["path"]))
+                except OSError:
+                    b = 0
+            return int(b)
+
+        for attempt in range(_COMMIT_ATTEMPTS):
+            self._recover_orphan()
+            base = self.current_version()
+            m = self.manifest(base)
+            schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            runs: dict[str, set] = {}
+            n_files = 0
+            n_bytes = 0
+            for b, fs in m["buckets"].items():
+                if len(fs) < min_run:
+                    continue
+                sized = sorted(fs, key=lambda e: (_size(e), e["path"]))
+                run, total = [sized[0]], _size(sized[0])
+                for e in sized[1:]:
+                    if len(run) >= max_run:
+                        break
+                    if _size(e) <= tier_factor * (total / len(run)):
+                        run.append(e)
+                        total += _size(e)
+                    else:
+                        break
+                if len(run) >= min_run:
+                    runs[b] = {e["path"] for e in run}
+                    n_files += len(run)
+                    n_bytes += total
+            if not runs:
+                return None
+
+            def pred(b: int, entry: dict) -> bool:
+                return entry["path"] in runs.get(str(b), ())
+
+            todo = sorted(int(b) for b in runs)
+            folded = self._read_buckets(spark, m, todo, schema, file_pred=pred)
+            if m.get("merge_strategy", "cow") == "mor":
+                ver = m["version_col"]
+                folded = lww_reduce_agg(
+                    folded, m["key_cols"], ([ver] if ver else []) + ["_cv"]
+                )
+            folded = self._with_bucket(folded, m)
+            new_files = self._write_bucketed(
+                folded, m, base + 1, n_out=len(todo), sort_keys=True,
+                stored_cv=True,
+            )
+            buckets = dict(m["buckets"])
+            for b in runs:
+                keep = [e for e in buckets[b] if e["path"] not in runs[b]]
+                buckets[b] = keep + new_files.get(b, [])
+            m["buckets"] = buckets
+            m["operation"] = "compact_tiered"
+            m["epoch_id"] = None
+            m["lineage"] = []
+            try:
+                v = self._commit(m, base)
+                return {
+                    "version": v,
+                    "buckets": len(runs),
+                    "files_merged": n_files,
+                    "bytes_merged": n_bytes,
+                }
+            except CommitConflict:
+                if attempt == _COMMIT_ATTEMPTS - 1:
+                    raise
+                _conflict_backoff(attempt)
+        raise CommitConflict("unreachable")
+
     def purge_tombstones(self, spark: SparkSession) -> int:
         """Maintenance compaction: rewrite the buckets that HOLD
         tombstone rows without them; every other bucket keeps its files
@@ -1920,28 +2039,47 @@ class LakeTable:
         target = T.StructType(
             schema.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
         )
-        # group files by (schema they were written under, commit version):
-        # schema id drives the alignment cast, commit version becomes the
-        # _cv column MOR reads use as the within-version tiebreak
-        by_group: dict[tuple[str, int], list[str]] = {}
+        # group files by (schema they were written under, commit version,
+        # stored-cv flag): schema id drives the alignment cast, commit
+        # version becomes the _cv column MOR reads use as the
+        # within-version tiebreak. Files written by TIERED compaction
+        # carry each row's ORIGINAL commit version as a real _cv data
+        # column ("stored_cv" entries) — merging an arbitrary subset of
+        # a bucket's files is order-correct only because every row keeps
+        # the commit version it was first written under.
+        by_group: dict[tuple[str, int, bool], list[str]] = {}
         for b in buckets:
             for entry in m["buckets"].get(str(b), []):
                 if file_pred is not None and not file_pred(b, entry):
                     continue
-                key = (str(entry["schema_id"]), int(entry.get("cv", 0)))
+                key = (
+                    str(entry["schema_id"]),
+                    int(entry.get("cv", 0)),
+                    bool(entry.get("stored_cv")),
+                )
                 by_group.setdefault(key, []).append(os.path.join(self.root, entry["path"]))
         if not by_group:
             return spark.createDataFrame([], target).withColumn(
                 "_cv", F.lit(0).cast("long")
             )
+        cv_field = T.StructField("_cv", T.LongType(), True)
+        target_cv = T.StructType(target.fields + [cv_field])
         parts = []
-        for (sid, cv), paths in by_group.items():
+        for (sid, cv, stored), paths in by_group.items():
             file_schema = T.StructType(
                 T.StructType.fromJson(m["schemas"][sid]).fields
                 + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+                + ([cv_field] if stored else [])
             )
             df = spark.read.schema(file_schema).parquet(*paths)
-            parts.append(align_to_schema(df, target).withColumn("_cv", F.lit(cv).cast("long")))
+            if stored:
+                parts.append(align_to_schema(df, target_cv))
+            else:
+                parts.append(
+                    align_to_schema(df, target).withColumn(
+                        "_cv", F.lit(cv).cast("long")
+                    )
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1961,6 +2099,7 @@ class LakeTable:
         max_records_per_file: int | None = None,
         mark_base: bool = False,
         bounds_provider=None,
+        stored_cv: bool = False,
     ) -> dict[str, list[dict]]:
         """Write df (which must carry _BUCKET_COL) partitioned by bucket;
         return {bucket: [file entries]} with paths relative to root.
@@ -2032,15 +2171,24 @@ class LakeTable:
             b = bdir.split("=", 1)[1]
             for fname in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fname.endswith(".parquet"):
+                    rel = os.path.join(rel_snap, bdir, fname)
                     entry = {
-                        "path": os.path.join(rel_snap, bdir, fname),
+                        "path": rel,
                         "schema_id": sid,
                         "cv": version_hint,  # commit version (MOR precedence)
+                        # size in the manifest so maintenance policies
+                        # (tiered compaction) never stat data files
+                        "bytes": os.path.getsize(os.path.join(self.root, rel)),
                     }
                     if mark_base:
                         # fully-folded maintenance output: key-unique
                         # per bucket, eligible for the RO view
                         entry["base"] = True
+                    if stored_cv:
+                        # rows carry their ORIGINAL commit version as a
+                        # real _cv column (tiered-compaction output);
+                        # readers must use it, not this entry's cv
+                        entry["stored_cv"] = True
                     new_files.setdefault(b, []).append(entry)
                     entries.append((b, entry))
         # zone maps: first-key-column bounds (kmin/kmax — read_keys

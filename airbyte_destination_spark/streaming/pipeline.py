@@ -91,6 +91,13 @@ class IngestConfig:
     # background merge as an inline policy). None disables; COW tables
     # never accumulate deltas so the policy is a no-op there.
     auto_compact_files: int | None = 16
+    # "full": compact() rewrites the whole qualifying bucket (base file
+    # included) — O(bucket) per fold, best read amplification.
+    # "tiered": compact_tiered() merges only runs of similar-sized
+    # files (LSM shape) — O(log(table/delta)) write amplification at
+    # sustained ingest; the bucket's base file is rewritten only when a
+    # merged run grows into its size class.
+    compact_policy: str = "full"
 
 
 def _prepare_batch(batch: DataFrame, cfg: IngestConfig, table_cols: list[str] | None):
@@ -284,7 +291,12 @@ def _apply_change_batch_inner(
     )
     stats.rows_quarantined = n_quarantined
     if cfg.merge_strategy == "mor" and cfg.auto_compact_files:
-        table.compact(batch.sparkSession, min_files=cfg.auto_compact_files)
+        if cfg.compact_policy == "tiered":
+            table.compact_tiered(
+                batch.sparkSession, min_run=cfg.auto_compact_files
+            )
+        else:
+            table.compact(batch.sparkSession, min_files=cfg.auto_compact_files)
     return stats
 
 
