@@ -476,6 +476,50 @@ def q_cdc_engine_sharded_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_cdc_engine_tiered_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered compaction mid-replay (LakeTable.compact_tiered —
+    the LSM/merge-tree write-amplification answer): MOR replay with a
+    tiered fold after every epoch (min_run=2 so runs actually form at
+    this scale). Merged files carry per-row ORIGINAL commit versions
+    (stored_cv), so version ties across the merged/unmerged boundary
+    keep resolving exactly as an uncompacted read would — the final
+    state must equal the plain LWW oracle."""
+    key = (sf_dir, "tiered")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-tiered-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            table.merge(batch, epoch_id=f"replay-{i}")
+            table.compact_tiered(spark, min_run=2)
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count EVOLUTION mid-replay (LakeTable.rebucket — the
     Iceberg partition-spec-evolution analog): epochs 0-1 land under the
@@ -3697,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
         "cdc_engine_sharded_final_state": q_cdc_engine_sharded_final_state,
+        "cdc_engine_tiered_final_state": q_cdc_engine_tiered_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -4921,6 +4966,7 @@ FROM state
 """,
         "cdc_engine_rebucket_final_state": _LWW_SQL,
         "cdc_engine_sharded_final_state": _LWW_SQL,
+        "cdc_engine_tiered_final_state": _LWW_SQL,
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
         "cdc_engine_snapshot_sync": (

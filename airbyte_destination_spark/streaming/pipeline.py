@@ -242,7 +242,10 @@ def _apply_change_batch_inner(
 
     n_quarantined = 0
     if quarantined is not None and cfg.quarantine_root:
-        qdir = os.path.join(cfg.quarantine_root, f"epoch={epoch_id}")
+        # epoch_id may be a list (sharded atomic group) — one quarantine
+        # dir per group, named by the joined display form
+        eid = epoch_id if isinstance(epoch_id, str) else ",".join(epoch_id)
+        qdir = os.path.join(cfg.quarantine_root, f"epoch={eid}")
         quarantined.write.mode("overwrite").parquet(qdir)
         # footer-count read of what was just written (cheap; quarantine
         # is the cold path) so MergeStats can report received vs applied

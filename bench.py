@@ -835,6 +835,62 @@ def main() -> None:
                     {"apply_sec": a["apply_sec"], "steal_pct": a["steal_pct"]}
                     for a in mor_attempts
                 ]
+    # ---- write-amplification contrast (detail-only): the SAME 12
+    # epochs under the inline FULL vs TIERED compaction policies
+    # (auto_compact_files=2 so folds actually fire at this epoch
+    # count). bytes_written walks the table's data dir before GC, so it
+    # counts every byte every policy ever wrote — the write-amp number;
+    # read_sec is the read-amplification counterweight.
+    mor_policy = None
+    if workdir is not None and time.time() - _T_START < mor_deadline:
+        mor_policy = {}
+        for policy in ("full", "tiered"):
+            pw = _scratch(f"bench-morpol-{policy}-")
+            pt = LakeTable(os.path.join(pw, "t"))
+            pcfg = IngestConfig(
+                n_buckets=64, merge_strategy="mor",
+                auto_compact_files=2, compact_policy=policy,
+            )
+            t0 = time.time()
+            n_ev = 0
+            for rep in range(3):
+                for i, d in enumerate(mor_dirs):
+                    s = apply_change_batch(
+                        pt, spark.read.parquet(d), f"p{rep}-{i}", pcfg
+                    )
+                    n_ev += s.rows_upserted
+            apply_sec = time.time() - t0
+            t0 = time.time()
+            n_rows = pt.read(spark).count()
+            read_sec = time.time() - t0
+            data_dir = os.path.join(pw, "t", "data")
+            bytes_written = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(data_dir) for f in fs
+            )
+            n_files = sum(
+                len(fs) for fs in pt.manifest()["buckets"].values()
+            )
+            mor_policy[policy] = {
+                "epochs": 3 * len(mor_dirs),
+                "events": n_ev,
+                "apply_sec": round(apply_sec, 3),
+                "events_per_sec": round(n_ev / apply_sec, 1),
+                "bytes_written": bytes_written,
+                "live_files": n_files,
+                "rows": n_rows,
+                "read_sec": round(read_sec, 3),
+            }
+            shutil.rmtree(pw, ignore_errors=True)
+        f, t = mor_policy["full"], mor_policy["tiered"]
+        mor_policy["write_amp_ratio_full_over_tiered"] = round(
+            f["bytes_written"] / max(t["bytes_written"], 1), 2
+        )
+        _phase(
+            f"mor policy contrast: write-amp full/tiered = "
+            f"{mor_policy['write_amp_ratio_full_over_tiered']}"
+        )
+
     if workdir is not None:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
@@ -936,6 +992,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "cdc": cdc,
         "cdc_mor": mor,
+        "cdc_mor_policy": mor_policy,
         "scaling": scaling,
         "scaling_low": scaling_low,
         "scaling_cluster": cluster_detail or scaling_cluster,
