@@ -520,6 +520,143 @@ def q_cdc_engine_tiered_final_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_engine_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through the driver gate (LakeTable.merge
+    stage= / read_staged / publish / abort — the Iceberg WAP pattern;
+    the reference's only audit is per-record webhook rejects,
+    destination.go:447-452). Epoch 1 is staged, audited (row count +
+    key-null + op-domain checks against the staged read), and
+    published; a poisoned batch (NULL keys, out-of-domain ops) is then
+    staged, FAILS the same audit, and is aborted — nothing it wrote may
+    survive. Final state must equal the plain LWW oracle: publish
+    committed exactly the staged rows, abort left zero residue.
+    Scale shape: staging adds no extra job — the merge's one exchange
+    runs as usual and only the manifest swap is deferred; audit queries
+    read the staged manifest like any snapshot."""
+    key = (sf_dir, "wap")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-wap-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        batches = [
+            log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            for i in range(3)
+        ]
+
+        def _audit(staged: DataFrame, expect_at_least: int) -> bool:
+            chk = staged.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("doc_key").isNull().cast("int")).alias("null_keys"),
+            ).first()
+            return chk["n"] >= expect_at_least and (chk["null_keys"] or 0) == 0
+
+        table.merge(batches[0], epoch_id="wap-0")
+        table.merge(batches[1], epoch_id="wap-1", stage="release-1")
+        assert _audit(table.read_staged(spark, "release-1"), 1)
+        table.publish("release-1")
+
+        # a poisoned batch must fail the audit and abort without residue
+        poison = batches[1].limit(64).select(
+            F.lit(None).cast("long").alias("doc_key"),
+            (F.col("change_lsn") + F.lit(10**9)).alias("change_lsn"),
+            F.lit("corrupt").alias("event_type"),
+            F.col("value"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(poison, epoch_id="wap-poison", stage="release-bad")
+        assert not _audit(table.read_staged(spark, "release-bad"), 1)
+        table.abort("release-bad")
+        assert table.staged_ids() == []
+
+        table.merge(batches[2], epoch_id="wap-2")
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
+def q_cdc_engine_expire_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry mid-history (LakeTable.checkpoint +
+    expire_snapshots — the Iceberg rewrite_manifests +
+    expire_snapshots maintenance pair; the reference's ClickHouse
+    parts are GC'd by the server, destination.go:337-351): COW replay
+    commits epochs 0-1, `checkpoint()` squashes the manifest chain
+    into a full record, epoch 2 lands on top, and expiry retires
+    history below the checkpoint (keep_last=1, grace 0 —
+    single-writer here). The surviving state must still equal the
+    plain LWW oracle byte-for-byte while time travel below the
+    boundary raises. Scale shape: checkpoint and expiry are
+    metadata-only driver work plus unlinks of strictly-unreferenced
+    immutable files — no Spark job, no read amplification on the
+    surviving chain."""
+    key = (sf_dir, "expire")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-expire-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="cow"
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        versions = []
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            if i == 2:
+                # a full checkpoint record BELOW the expiry cutoff is
+                # what lets expiry retire the delta chain under it
+                table.checkpoint()
+            versions.append(table.merge(batch, epoch_id=f"exp-{i}").version)
+        summary = table.expire_snapshots(keep_last=1, grace_seconds=0.0)
+        assert summary["expired_versions"] >= 1, summary
+        try:
+            table.read(spark, version=versions[0]).count()
+            raise AssertionError("time travel below the expiry boundary must raise")
+        except FileNotFoundError:
+            pass
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count EVOLUTION mid-replay (LakeTable.rebucket — the
     Iceberg partition-spec-evolution analog): epochs 0-1 land under the
@@ -3742,6 +3879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_rebucket_final_state": q_cdc_engine_rebucket_final_state,
         "cdc_engine_sharded_final_state": q_cdc_engine_sharded_final_state,
         "cdc_engine_tiered_final_state": q_cdc_engine_tiered_final_state,
+        "cdc_engine_wap_final_state": q_cdc_engine_wap_final_state,
+        "cdc_engine_expire_final_state": q_cdc_engine_expire_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -4967,6 +5106,8 @@ FROM state
         "cdc_engine_rebucket_final_state": _LWW_SQL,
         "cdc_engine_sharded_final_state": _LWW_SQL,
         "cdc_engine_tiered_final_state": _LWW_SQL,
+        "cdc_engine_wap_final_state": _LWW_SQL,
+        "cdc_engine_expire_final_state": _LWW_SQL,
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
         "cdc_engine_snapshot_sync": (

@@ -536,7 +536,7 @@ class LakeTable:
                 continue
             os.replace(tmp, os.path.join(self.meta_dir, _LATEST))
 
-    def _commit(self, manifest: dict, expected_base: int) -> int:
+    def _commit(self, manifest: dict, expected_base: int, force_full: bool = False) -> int:
         """Optimistic-concurrency commit: exclusively create the next
         version file, then atomically flip the LATEST pointer.
 
@@ -555,7 +555,7 @@ class LakeTable:
             manifest.get("epoch_watermarks", {}),
         )
         record = manifest
-        if expected_base >= 1 and new_v % _CHECKPOINT_INTERVAL != 0:
+        if not force_full and expected_base >= 1 and new_v % _CHECKPOINT_INTERVAL != 0:
             record = _delta_record(self._resolved(expected_base), manifest)
         path = self._version_path(new_v)
         # publish the commit record ATOMICALLY-AND-EXCLUSIVELY: write a
@@ -2739,6 +2739,43 @@ class LakeTable:
         return v
 
     # ------------------------------------------------------ rollback
+
+    def checkpoint(self) -> int:
+        """Commit the CURRENT state as a FULL manifest record — the
+        Iceberg `rewrite_manifests` analog. Metadata-only: no data
+        moves; the new version's record is the resolved state of the
+        old one rather than a delta chained off it.
+
+        Two uses at scale: (1) it bounds read/time-travel resolution to
+        O(1) hops on demand, independent of where the automatic
+        every-`_CHECKPOINT_INTERVAL`-th full record falls; (2) it
+        creates an expiry boundary — `expire_snapshots` retires history
+        strictly below the newest full record at or under its cutoff,
+        so `checkpoint()` + `expire_snapshots(keep_last=k)` is the
+        explicit "squash history now" maintenance pair a long-running
+        10^10-event ingest schedules between epochs. Epoch markers and
+        watermarks ride the record unchanged, so exactly-once replay
+        protection is unaffected."""
+        for attempt in range(_COMMIT_ATTEMPTS):
+            self._recover_orphan()
+            base = self.current_version()
+            if base < 1:
+                raise ValueError("cannot checkpoint an uncreated table")
+            old = self._resolved(base)
+            m = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in old.items()
+                if k not in ("version", "committed_at")
+            }
+            m["operation"] = "checkpoint"
+            m["lineage"] = []
+            try:
+                return self._commit(m, base, force_full=True)
+            except CommitConflict:
+                if attempt == _COMMIT_ATTEMPTS - 1:
+                    raise
+                _conflict_backoff(attempt)
+        raise CommitConflict("unreachable")
 
     def rollback(self, version: int) -> int:
         """Restore the table to an earlier snapshot as a NEW commit

@@ -835,30 +835,47 @@ def main() -> None:
                     {"apply_sec": a["apply_sec"], "steal_pct": a["steal_pct"]}
                     for a in mor_attempts
                 ]
-    # ---- write-amplification contrast (detail-only): the SAME 12
-    # epochs under the inline FULL vs TIERED compaction policies
-    # (auto_compact_files=2 so folds actually fire at this epoch
-    # count). bytes_written walks the table's data dir before GC, so it
-    # counts every byte every policy ever wrote — the write-amp number;
-    # read_sec is the read-amplification counterweight.
+    # ---- write-amplification contrast (detail-only): sustained
+    # INSERT-HEAVY ingest under the inline FULL vs TIERED compaction
+    # policies. The workload matters: the main cdc phases' Zipf-update
+    # log keeps the LWW-deduped base about the size of one epoch's
+    # delta, so every file shares a size tier and tiered degenerates to
+    # full by construction (measured: ratio 1.0). Compaction policy
+    # differentiates in the regime the 10^10-event north star actually
+    # lives in — the table OUTGROWS the per-epoch delta — so the
+    # contrast log is near-uniform inserts over a key space 10x the
+    # event count: 32 epochs grow the base to ~32x the delta size.
+    # bytes_written walks the table's data dir before GC, so it counts
+    # every byte every policy ever wrote — the write-amp number;
+    # read_sec is the read-amplification counterweight (full leaves
+    # 1 file/bucket, tiered a logarithmic handful).
     mor_policy = None
     if workdir is not None and time.time() - _T_START < mor_deadline:
+        from airbyte_destination_spark.sources.changegen import write_change_log
+
+        POL_EVENTS = int(os.environ.get("SPARK_GRAFT_POLICY_EVENTS", "3200000"))
+        POL_EPOCHS = 32
+        pol_root = _scratch("bench-morpol-log-")
+        pol_dirs = write_change_log(
+            spark, f"{pol_root}/log", POL_EVENTS, POL_EVENTS * 10,
+            n_batches=POL_EPOCHS, seed=1042, delete_frac=0.0, skew=1.0,
+            num_partitions=CPUS, files_per_batch=CPUS,
+        )
         mor_policy = {}
         for policy in ("full", "tiered"):
             pw = _scratch(f"bench-morpol-{policy}-")
             pt = LakeTable(os.path.join(pw, "t"))
             pcfg = IngestConfig(
                 n_buckets=64, merge_strategy="mor",
-                auto_compact_files=2, compact_policy=policy,
+                auto_compact_files=4, compact_policy=policy,
             )
             t0 = time.time()
             n_ev = 0
-            for rep in range(3):
-                for i, d in enumerate(mor_dirs):
-                    s = apply_change_batch(
-                        pt, spark.read.parquet(d), f"p{rep}-{i}", pcfg
-                    )
-                    n_ev += s.rows_upserted
+            for i, d in enumerate(pol_dirs):
+                s = apply_change_batch(
+                    pt, spark.read.parquet(d), f"p-{i}", pcfg
+                )
+                n_ev += s.rows_upserted
             apply_sec = time.time() - t0
             t0 = time.time()
             n_rows = pt.read(spark).count()
@@ -872,7 +889,7 @@ def main() -> None:
                 len(fs) for fs in pt.manifest()["buckets"].values()
             )
             mor_policy[policy] = {
-                "epochs": 3 * len(mor_dirs),
+                "epochs": len(pol_dirs),
                 "events": n_ev,
                 "apply_sec": round(apply_sec, 3),
                 "events_per_sec": round(n_ev / apply_sec, 1),
@@ -890,6 +907,7 @@ def main() -> None:
             f"mor policy contrast: write-amp full/tiered = "
             f"{mor_policy['write_amp_ratio_full_over_tiered']}"
         )
+        shutil.rmtree(pol_root, ignore_errors=True)
 
     if workdir is not None:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -733,6 +733,42 @@ def test_range_clustered_compaction_restores_data_skipping(spark, tmp_path):
     assert got == want > 0
 
 
+def test_checkpoint_enables_expiry_and_preserves_replay_guard(spark, tmp_path):
+    """checkpoint() commits a FULL manifest record (rewrite_manifests
+    analog) at the PRODUCTION interval setting: it creates an expiry
+    boundary on demand, state and epoch replay protection survive, and
+    time travel below the boundary raises after expiry."""
+    t = LakeTable(str(tmp_path / "ckpt"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+    )
+    S = "k long, v long, op string"
+    for i in range(3):
+        t.merge(spark.createDataFrame([(i, i, "I")], S), epoch_id=f"e{i}")
+    v_early = t.current_version()  # v4, delta record
+    cv = t.checkpoint()  # v5, full record
+    assert not t._read_raw(cv).get("delta")
+    t.merge(spark.createDataFrame([(9, 9, "I")], S), epoch_id="e9")
+    # replay protection rides the checkpoint: an already-applied epoch
+    # must still be skipped after the squash
+    before = t.current_version()
+    t.merge(spark.createDataFrame([(1, 777, "U")], S), epoch_id="e1")
+    assert t.current_version() == before
+    out = t.expire_snapshots(keep_last=t.current_version() - cv, grace_seconds=0)
+    assert out["boundary"] == cv and out["expired_versions"] == cv - 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 9]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=v_early).count()
+
+
 def test_snapshot_tags_pin_reads_and_expiry(spark, tmp_path, monkeypatch):
     """Iceberg-style tags: read(tag=) resolves the pinned snapshot,
     re-tagging moves the name, and expire_snapshots retains history
