@@ -260,6 +260,55 @@ def test_commit_conflict_threaded_writers(spark, tmp_path):
         assert t.is_epoch_applied(f"w{w}-000")
 
 
+def test_checkpoint_races_concurrent_writers(spark, tmp_path):
+    """checkpoint() (full-manifest squash) racing four merge writers:
+    everyone retries through CommitConflict, no update is lost, the
+    checkpoint record is full wherever it landed, and every epoch
+    marker survives the squash."""
+    root = str(tmp_path / "t")
+    t0 = LakeTable(root)
+    t0.create(SCHEMA, ["doc_id"], "change_lsn", n_buckets=4)
+    t0.merge(
+        spark.createDataFrame([("seed", [0], 1, "U")], BATCH_SCHEMA),
+        epoch_id="seed",
+    )
+    errs, ckpt_v = [], []
+
+    def write(w: int):
+        try:
+            LakeTable(root).merge(
+                spark.createDataFrame(
+                    [(f"w{w}-{i}", [w, i], 1, "U") for i in range(5)], BATCH_SCHEMA
+                ),
+                epoch_id=f"w{w}-000",
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append((w, e))
+
+    def squash():
+        try:
+            ckpt_v.append(LakeTable(root).checkpoint())
+        except Exception as e:  # noqa: BLE001
+            errs.append(("ckpt", e))
+
+    threads = [threading.Thread(target=write, args=(w,)) for w in range(4)]
+    threads.append(threading.Thread(target=squash))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t = LakeTable(root)
+    # create + seed + 4 merges + 1 checkpoint
+    assert t.current_version() == 7
+    assert len(ckpt_v) == 1 and not t._read_raw(ckpt_v[0]).get("delta")
+    rows = t.read(spark).collect()
+    assert len(rows) == 21
+    for w in range(4):
+        assert t.is_epoch_applied(f"w{w}-000")
+    assert t.is_epoch_applied("seed")
+
+
 def test_delta_records_are_actually_deltas_on_disk(spark, tmp_path):
     """Guard the format itself: a mid-interval commit record on disk
     must carry only the touched buckets, not the whole table."""
