@@ -657,6 +657,56 @@ def q_cdc_engine_expire_final_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_engine_purge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone purge after replay (LakeTable.purge_tombstones — the
+    space-reclaim half of delete handling; the reference's deletes are
+    ReplacingMergeTree rows ClickHouse merges away server-side,
+    destination.go:337-351): MOR replay keeps delete tombstones so late
+    older events stay suppressed; once the log is fully consumed the
+    purge rewrites ONLY the buckets that hold tombstone rows and drops
+    them. The final state must equal the plain LWW oracle — a purge
+    may neither resurrect a deleted key nor lose a live row. Scale
+    shape: the detection pre-pass scans just the tombstone-flag +
+    bucket columns (pruned scan), so cost is O(buckets holding
+    tombstones), not O(table)."""
+    key = (sf_dir, "purge")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-purge-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            table.merge(batch, epoch_id=f"purge-{i}")
+        v_before = table.current_version()
+        table.purge_tombstones(spark)
+        assert table.current_version() > v_before, "log has deletes; purge must rewrite"
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
+    )
+
+
 def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count EVOLUTION mid-replay (LakeTable.rebucket — the
     Iceberg partition-spec-evolution analog): epochs 0-1 land under the
@@ -3881,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_tiered_final_state": q_cdc_engine_tiered_final_state,
         "cdc_engine_wap_final_state": q_cdc_engine_wap_final_state,
         "cdc_engine_expire_final_state": q_cdc_engine_expire_final_state,
+        "cdc_engine_purge_final_state": q_cdc_engine_purge_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -5108,6 +5159,7 @@ FROM state
         "cdc_engine_tiered_final_state": _LWW_SQL,
         "cdc_engine_wap_final_state": _LWW_SQL,
         "cdc_engine_expire_final_state": _LWW_SQL,
+        "cdc_engine_purge_final_state": _LWW_SQL,
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
         "cdc_engine_snapshot_sync": (
