@@ -65,9 +65,12 @@ _META_COLS = [
     T.StructField("_deleted", T.BooleanType(), True),
 ]
 _DATA_OPS = ("merge", "append")
-# physical rewrites with NO logical changes — safe to skip silently
+# physical rewrites / metadata squashes with NO logical changes — safe
+# to skip silently (checkpoint commits no data files at all: its
+# entries keep their original commit versions)
 _MAINTENANCE_OPS = (
     "compact", "compact_tiered", "purge_tombstones", "rebucket", "create",
+    "checkpoint",
 )
 
 

@@ -169,6 +169,20 @@ def test_chained_replication_via_lake_changes(spark, tmp_path, mor_table):
     assert a == b == {"d7": [7]}
 
 
+def test_checkpoint_commit_is_skipped_by_stream(spark, tmp_path, mor_table):
+    """A checkpoint() (full-manifest squash) between data commits is a
+    maintenance commit: the change stream crosses it silently and
+    delivers exactly the data commits' rows."""
+    t = mor_table
+    t.checkpoint()
+    t.merge(
+        spark.createDataFrame([("d3", [9], 9, "I")], S), epoch_id="e2"
+    )
+    got = []
+    _drain(spark, t.root, str(tmp_path / "ck-chk"), got)
+    assert sorted(r["change_lsn"] for r in got) == [1, 2, 3, 4, 9]
+
+
 def test_batch_read_version_window(spark, mor_table):
     """Batch mode: spark.read.format('lake_changes') over an explicit
     version window — Delta's batch CDF shape."""
