@@ -707,6 +707,55 @@ def q_cdc_engine_purge_final_state(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_cdc_engine_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-rename evolution mid-replay (LakeTable.rename_column —
+    the Iceberg field-rename analog; the reference has no rename, a
+    changed Airbyte catalog simply creates new columns,
+    destination.go:298-313): epochs 0-1 land under `value`, a
+    metadata-only rename flips it to `val`, epoch 2 merges under the
+    NEW name, and the read must serve pre-rename files under `val`
+    with LWW folding exactly across the boundary. Scale shape: zero
+    data movement — the rename is one manifest commit; readers apply a
+    composed old→new projection per file schema id before name-based
+    alignment."""
+    key = (sf_dir, "rename")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-rename-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            if i == 2:
+                table.rename_column("value", "val")
+                batch = batch.withColumnRenamed("value", "val")
+            table.merge(batch, epoch_id=f"ren-{i}")
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "val"
+    )
+
+
 def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count EVOLUTION mid-replay (LakeTable.rebucket — the
     Iceberg partition-spec-evolution analog): epochs 0-1 land under the
@@ -3932,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_wap_final_state": q_cdc_engine_wap_final_state,
         "cdc_engine_expire_final_state": q_cdc_engine_expire_final_state,
         "cdc_engine_purge_final_state": q_cdc_engine_purge_final_state,
+        "cdc_engine_rename_final_state": q_cdc_engine_rename_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -5160,6 +5210,9 @@ FROM state
         "cdc_engine_wap_final_state": _LWW_SQL,
         "cdc_engine_expire_final_state": _LWW_SQL,
         "cdc_engine_purge_final_state": _LWW_SQL,
+        "cdc_engine_rename_final_state": _LWW_SQL.replace(
+            "event_type, value\nFROM ranked", "event_type, value AS val\nFROM ranked"
+        ),
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
         "cdc_engine_snapshot_sync": (

@@ -53,6 +53,8 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake.table import _compose_renames
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -80,6 +82,9 @@ class _FilePartition(InputPartition):
     version: int
     file_schema_json: str
     target_schema_json: str
+    # composed original->current column names for files written under
+    # older schema ids (column-rename evolution); "" = no renames
+    rename_map_json: str = ""
 
 
 class LakeChangesDataSource(DataSource):
@@ -167,7 +172,16 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         target_json = json.dumps(self._schema.jsonValue())
         parts: list[_FilePartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        end_v = int(end["version"])
+        # rename transitions are cumulative in every manifest; the
+        # WINDOW-END manifest covers every transition a served file
+        # can need (a commit at v <= end only holds files with schema
+        # ids <= its own, and the stale-schema guard below rejects
+        # windows whose bound target predates a rename inside them)
+        renames_end = (
+            self._t.manifest(end_v).get("renames") if end_v >= 1 else None
+        )
+        for v in range(int(start["version"]) + 1, end_v + 1):
             try:
                 raw = self._t._read_raw(v)
             except FileNotFoundError:
@@ -184,6 +198,26 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             op = raw.get("operation") or ""
             if op in _MAINTENANCE_OPS:
                 continue  # physical rewrite: no logical changes
+            if op.startswith("rename("):
+                # a column rename is metadata-only, but it invalidates
+                # a consumer whose bound schema PREDATES it (Delta
+                # CDF's schema-change discipline). A reader already
+                # bound at/after the rename (its schema covers the
+                # post-rename names) crosses it like maintenance.
+                names_at_v = {
+                    f["name"]
+                    for f in self._t.manifest(v)["schemas"][
+                        str(self._t.manifest(v)["schema_id"])
+                    ]["fields"]
+                }
+                bound = {f.name for f in self._schema.fields}
+                if names_at_v - bound:
+                    raise RuntimeError(
+                        f"lake_changes stream schema is stale: commit "
+                        f"{v} of {self._t.root} is a column {op}; "
+                        "restart the stream to bind the renamed schema"
+                    )
+                continue  # no data files commit at a rename version
             if op not in _DATA_OPS:
                 # delete_where / rollback ARE logical changes, but a
                 # bucket rewrite can't attribute rows to the commit —
@@ -201,6 +235,11 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 for e in entries:
                     if int(e.get("cv", 0)) != v:
                         continue
+                    # files written under a pre-rename schema id carry
+                    # old on-disk names; the composed map (from this
+                    # commit's cumulative renames) re-labels them
+                    # before name-based alignment executor-side
+                    ren = _compose_renames(renames_end, str(e["schema_id"]))
                     parts.append(
                         _FilePartition(
                             path=os.path.join(self._t.root, e["path"]),
@@ -209,6 +248,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                                 schemas[str(e["schema_id"])]
                             ),
                             target_schema_json=target_json,
+                            rename_map_json=json.dumps(ren) if ren else "",
                         )
                     )
         # Spark requires a non-empty partition list; a sentinel with no
@@ -237,6 +277,9 @@ def _read_aligned(partition: _FilePartition):
     target = T.StructType.fromJson(json.loads(partition.target_schema_json))
     arrow_target = to_arrow_schema(target)
     tbl = pq.read_table(partition.path)
+    if partition.rename_map_json:
+        ren = json.loads(partition.rename_map_json)
+        tbl = tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
     n = tbl.num_rows
     cols = []
     for fld in arrow_target:

@@ -240,6 +240,28 @@ def _delta_record(base: dict, full: dict) -> dict:
     return d
 
 
+def _compose_renames(renames: dict | None, sid: str) -> dict[str, str]:
+    """Composed original→current column-name mapping for a file written
+    under schema id `sid`, across every rename transition recorded
+    AFTER it (manifest key `renames`: {new_schema_id: {old: new}}).
+    Chains compose (a→b then b→c maps a→c) and freed names may be
+    reused (a→b then c→a yields the simultaneous map {a: b, c: a} —
+    appliers must rename in ONE projection, not sequentially)."""
+    if not renames:
+        return {}
+    cur: dict[str, str] = {}
+    for tid in sorted(renames, key=int):
+        if int(tid) <= int(sid):
+            continue
+        for o, n in renames[tid].items():
+            src = next((k for k, v in cur.items() if v == o), None)
+            if src is not None:
+                cur[src] = n
+            else:
+                cur[o] = n
+    return {k: v for k, v in cur.items() if k != v}
+
+
 def _resolve_delta(parent: dict, d: dict) -> dict:
     m = {k: v for k, v in d.items() if k not in _DELTA_KEYS}
     buckets = dict(parent["buckets"])
@@ -1743,6 +1765,11 @@ class LakeTable:
                 + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
             )
             df = spark.read.schema(fsch).parquet(*paths)
+            ren = _compose_renames(m.get("renames"), sid)
+            if ren:
+                df = df.select(
+                    *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+                )
             parts.append(
                 align_to_schema(df, target)
                 .withColumn("_scv", F.lit(cv).cast("long"))
@@ -2072,6 +2099,13 @@ class LakeTable:
                 + ([cv_field] if stored else [])
             )
             df = spark.read.schema(file_schema).parquet(*paths)
+            ren = _compose_renames(m.get("renames"), sid)
+            if ren:
+                # ONE projection (not sequential renames): the composed
+                # map may reuse freed names (a->b with c->a)
+                df = df.select(
+                    *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+                )
             if stored:
                 parts.append(align_to_schema(df, target_cv))
             else:
@@ -2771,6 +2805,77 @@ class LakeTable:
             m["lineage"] = []
             try:
                 return self._commit(m, base, force_full=True)
+            except CommitConflict:
+                if attempt == _COMMIT_ATTEMPTS - 1:
+                    raise
+                _conflict_backoff(attempt)
+        raise CommitConflict("unreachable")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename — the Iceberg field-rename
+        analog (Iceberg resolves columns by field id; this format
+        resolves by name, so the manifest records the transition in a
+        `renames` map and every reader composes the mapping for files
+        written under older schema ids before name-based alignment).
+        No data moves; old files keep their on-disk column name and
+        are renamed in the read projection.
+
+        Restrictions (raise ValueError): key columns, the version
+        column, and declared stats columns keep their names — they are
+        woven into bucket routing, MOR ordering, and zone-map pruning.
+        `agg_spec` keys follow the rename. Old files' per-file stats
+        stay under the old name, so `scan(bounds={new: ...})` fails
+        open (keeps) pre-rename files until compaction rewrites them —
+        correct, just less selective. Externally-configured secondary
+        indexes on the renamed column must be re-pointed by the caller.
+        Time travel below the rename shows the old name (the mapping
+        composes per snapshot). A `lake_changes` stream bound before
+        the rename fails loudly at the rename commit (schema change ⇒
+        re-bootstrap, the Delta CDF discipline)."""
+        if old == new:
+            raise ValueError("rename to the same name")
+        if new.startswith("_"):
+            raise ValueError(f"{new!r}: leading underscore is reserved")
+        for attempt in range(_COMMIT_ATTEMPTS):
+            self._recover_orphan()
+            base = self.current_version()
+            if base < 1:
+                raise ValueError("cannot rename on an uncreated table")
+            old_m = self._resolved(base)
+            cur = T.StructType.fromJson(old_m["schemas"][str(old_m["schema_id"])])
+            names = [f.name for f in cur.fields]
+            if old not in names:
+                raise ValueError(f"no column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if old in old_m["key_cols"] or old == old_m.get("version_col"):
+                raise ValueError(f"{old!r} is a key/version column")
+            if old in (old_m.get("stats_cols") or []):
+                raise ValueError(f"{old!r} is a declared stats column")
+            m = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in old_m.items()
+                if k not in ("version", "committed_at")
+            }
+            new_id = max(int(k) for k in m["schemas"]) + 1
+            m["schemas"][str(new_id)] = T.StructType(
+                [
+                    T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                    for f in cur.fields
+                ]
+            ).jsonValue()
+            m["schema_id"] = new_id
+            renames = {k: dict(v) for k, v in (m.get("renames") or {}).items()}
+            renames[str(new_id)] = {old: new}
+            m["renames"] = renames
+            if old in (m.get("agg_spec") or {}):
+                spec = dict(m["agg_spec"])
+                spec[new] = spec.pop(old)
+                m["agg_spec"] = spec
+            m["operation"] = f"rename({old}->{new})"
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
             except CommitConflict:
                 if attempt == _COMMIT_ATTEMPTS - 1:
                     raise

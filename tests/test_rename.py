@@ -1,0 +1,199 @@
+"""Column-rename evolution (LakeTable.rename_column — the Iceberg
+field-rename analog, metadata-only): old files keep their on-disk name
+and every reader composes the rename map before name-based alignment;
+restrictions guard the names woven into routing/ordering/pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_destination_spark.lake import LakeTable
+from airbyte_destination_spark.lake.table import _compose_renames
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("change_lsn", T.LongType(), False),
+    ]
+)
+S = "doc_id string, tokens array<int>, change_lsn long, op string"
+
+
+def _mk(spark, tmp_path, strategy="mor"):
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(
+        SCHEMA, ["doc_id"], "change_lsn", n_buckets=2, merge_strategy=strategy
+    )
+    t.merge(
+        spark.createDataFrame([("a", [1], 1, "I"), ("b", [2], 2, "I")], S),
+        epoch_id="e0",
+    )
+    return t
+
+
+def test_compose_renames_chains_and_reuse():
+    ren = {"3": {"x": "y"}, "5": {"y": "z"}, "7": {"w": "y"}}
+    # file written under schema 2: x chased through y to z, w takes y
+    assert _compose_renames(ren, "2") == {"x": "z", "w": "y"}
+    # file written under schema 4 has y (post first rename), w
+    assert _compose_renames(ren, "4") == {"y": "z", "w": "y"}
+    # file written under schema 6: only the last transition applies
+    assert _compose_renames(ren, "6") == {"w": "y"}
+    assert _compose_renames(ren, "7") == {}
+    assert _compose_renames(None, "0") == {}
+
+
+def test_rename_reads_old_files_and_merges_new_name(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v_pre = t.current_version()
+    t.rename_column("tokens", "token_ids")
+    assert t.read(spark).columns == ["doc_id", "token_ids", "change_lsn"]
+    got = {r.doc_id: r.token_ids for r in t.read(spark).collect()}
+    assert got == {"a": [1], "b": [2]}  # old files served under new name
+    # merge with the NEW name; LWW must fold across the rename boundary
+    t.merge(
+        spark.createDataFrame(
+            [("a", [9], 9, "U")],
+            "doc_id string, token_ids array<int>, change_lsn long, op string",
+        ),
+        epoch_id="e1",
+    )
+    got = {r.doc_id: r.token_ids for r in t.read(spark).collect()}
+    assert got == {"a": [9], "b": [2]}
+    # time travel below the rename shows the OLD name and values
+    old = t.read(spark, version=v_pre)
+    assert old.columns == ["doc_id", "tokens", "change_lsn"]
+    assert {r.doc_id: r.tokens for r in old.collect()} == {"a": [1], "b": [2]}
+
+
+def test_rename_survives_compact_and_delta_chain(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("tokens", "token_ids")
+    t.merge(
+        spark.createDataFrame(
+            [("c", [3], 3, "I")],
+            "doc_id string, token_ids array<int>, change_lsn long, op string",
+        ),
+        epoch_id="e1",
+    )
+    t.compact(spark, min_files=1)  # maintenance read path applies the map
+    fresh = LakeTable(t.root)  # re-resolve through the delta chain
+    got = {r.doc_id: r.token_ids for r in fresh.read(spark).collect()}
+    assert got == {"a": [1], "b": [2], "c": [3]}
+    # compacted files were REWRITTEN under the renamed schema: no
+    # rename map applies to them anymore
+    m = fresh.manifest()
+    top = str(m["schema_id"])
+    for entries in m["buckets"].values():
+        for e in entries:
+            assert str(e["schema_id"]) == top
+
+
+def test_rename_restrictions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="key/version"):
+        t.rename_column("doc_id", "document_id")
+    with pytest.raises(ValueError, match="key/version"):
+        t.rename_column("change_lsn", "lsn")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("tokens", "doc_id")
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("tokens", "_tokens")
+
+
+def test_rename_freed_name_reuse(spark, tmp_path):
+    """a->b then c->a: files written before both renames need the
+    simultaneous projection {tokens->token_ids, extra->tokens}."""
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", 7)],
+            "doc_id string, tokens array<int>, change_lsn long, op string, extra int",
+        ),
+        epoch_id="e-extra",
+    )  # evolves schema: adds `extra`
+    t.rename_column("tokens", "token_ids")
+    t.rename_column("extra", "tokens")
+    out = {r.doc_id: (r.token_ids, r.tokens) for r in t.read(spark).collect()}
+    assert out == {"a": ([1], 7), "b": ([2], None)}
+
+
+def test_rename_agg_spec_follows(spark, tmp_path):
+    t = LakeTable(str(tmp_path / "agg"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("n", T.LongType(), True),
+                T.StructField("v", T.LongType(), False),
+            ]
+        ),
+        ["k"],
+        "v",
+        n_buckets=2,
+        merge_strategy="cow",
+        agg_spec={"n": "sum"},
+    )
+    B = "k string, n long, v long, op string"
+    t.merge(
+        spark.createDataFrame([("x", 1, 1, "I")], B), epoch_id="a0", reduce="aggregate"
+    )
+    t.rename_column("n", "count_n")
+    assert t.manifest()["agg_spec"] == {"count_n": "sum"}
+    t.merge(
+        spark.createDataFrame(
+            [("x", 2, 2, "I")], "k string, count_n long, v long, op string"
+        ),
+        epoch_id="a1",
+        reduce="aggregate",
+    )
+    assert t.read(spark).where("k = 'x'").first().count_n == 3
+
+
+def test_rename_fails_stream_and_batch_cdf_serves_new_name(spark, tmp_path):
+    from airbyte_destination_spark.lake.datasource import LakeChangesDataSource
+
+    spark.dataSource.register(LakeChangesDataSource)
+    t = _mk(spark, tmp_path)
+    t.rename_column("tokens", "token_ids")
+    t.merge(
+        spark.createDataFrame(
+            [("c", [3], 3, "I")],
+            "doc_id string, token_ids array<int>, change_lsn long, op string",
+        ),
+        epoch_id="e1",
+    )
+    # a batch CDF read bound AFTER the rename serves pre-rename
+    # commits' files under the new name
+    rows = (
+        spark.read.format("lake_changes").option("path", t.root).load().collect()
+    )
+    assert sorted((r.doc_id, tuple(r.token_ids)) for r in rows) == [
+        ("a", (1,)),
+        ("b", (2,)),
+        ("c", (3,)),
+    ]
+    # a consumer BOUND BEFORE the rename (its schema lacks the new
+    # name) fails loudly at the rename commit — stale schema
+    from airbyte_destination_spark.lake.datasource import (
+        _META_COLS,
+        LakeChangesStreamReader,
+    )
+
+    stale = T.StructType(SCHEMA.fields + _META_COLS)
+    sr = LakeChangesStreamReader(t, stale, 0)
+    with pytest.raises(RuntimeError, match="restart the stream"):
+        sr.partitions({"version": 0}, {"version": t.current_version()})
+
+
+def test_rename_then_rescale_split(spark, tmp_path):
+    """The zero-shuffle split path (_split_df) composes the map too."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("tokens", "token_ids")
+    t.split_buckets(spark, factor=2)
+    got = {r.doc_id: r.token_ids for r in LakeTable(t.root).read(spark).collect()}
+    assert got == {"a": [1], "b": [2]}
+    assert LakeTable(t.root).manifest()["n_buckets"] == 4
