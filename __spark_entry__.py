@@ -756,6 +756,57 @@ def q_cdc_engine_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_engine_default_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-value evolution mid-replay (LakeTable.add_column with
+    initial_default — the Iceberg v3 default-value shape; the
+    reference's catalog evolution only null-pads,
+    destination.go:298-313): epochs 0-1 land without `source`, the
+    column is added with default 'web', and epoch 2's events carry
+    explicit per-row values. Rows whose LWW winner predates the add
+    read the DEFAULT (their files lack the column); rows rewritten by
+    epoch 2 read what was written. Zero data movement — readers fill
+    the default per pre-add file before alignment."""
+    key = (sf_dir, "default")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-default-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        step = max((hi - lo) // 3 + 1, 1)
+        for i in range(3):
+            batch = log.where(
+                (F.col("change_lsn") >= lo + i * step)
+                & (F.col("change_lsn") < lo + (i + 1) * step)
+            )
+            if i == 2:
+                table.add_column("source", T.StringType(), initial_default="web")
+                batch = batch.withColumn(
+                    "source",
+                    F.concat(F.lit("s-"), F.pmod("doc_key", F.lit(4)).cast("string")),
+                )
+            table.merge(batch, epoch_id=f"def-{i}")
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value", "source"
+    )
+
+
 def q_cdc_engine_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count EVOLUTION mid-replay (LakeTable.rebucket — the
     Iceberg partition-spec-evolution analog): epochs 0-1 land under the
@@ -3982,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_expire_final_state": q_cdc_engine_expire_final_state,
         "cdc_engine_purge_final_state": q_cdc_engine_purge_final_state,
         "cdc_engine_rename_final_state": q_cdc_engine_rename_final_state,
+        "cdc_engine_default_final_state": q_cdc_engine_default_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -5213,6 +5265,27 @@ FROM state
         "cdc_engine_rename_final_state": _LWW_SQL.replace(
             "event_type, value\nFROM ranked", "event_type, value AS val\nFROM ranked"
         ),
+        # default-value evolution: winners whose lsn predates epoch 2's
+        # window (the add boundary) read the initial default; epoch-2
+        # winners read the per-row value the batch carried
+        "cdc_engine_default_final_state": """
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), b AS (
+  SELECT min(change_lsn) AS lo, max(change_lsn) AS hi FROM log
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+  FROM log
+)
+SELECT r.doc_key, r.change_lsn AS last_lsn, r.event_type, r.value,
+       CASE WHEN r.change_lsn >= b.lo + 2 * ((b.hi - b.lo) // 3 + 1)
+            THEN 's-' || CAST(r.doc_key % 4 AS VARCHAR)
+            ELSE 'web' END AS source
+FROM ranked r, b WHERE r.rn = 1 AND r.op <> 'D'
+""",
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
         "cdc_engine_snapshot_sync": (

@@ -85,6 +85,9 @@ class _FilePartition(InputPartition):
     # composed original->current column names for files written under
     # older schema ids (column-rename evolution); "" = no renames
     rename_map_json: str = ""
+    # {col: initial_default} for columns added with a default after
+    # this file was written (Iceberg v3 default-value evolution)
+    defaults_json: str = ""
 
 
 class LakeChangesDataSource(DataSource):
@@ -178,9 +181,9 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # can need (a commit at v <= end only holds files with schema
         # ids <= its own, and the stale-schema guard below rejects
         # windows whose bound target predates a rename inside them)
-        renames_end = (
-            self._t.manifest(end_v).get("renames") if end_v >= 1 else None
-        )
+        m_end = self._t.manifest(end_v) if end_v >= 1 else {}
+        renames_end = m_end.get("renames")
+        defaults_end = m_end.get("defaults") or {}
         for v in range(int(start["version"]) + 1, end_v + 1):
             try:
                 raw = self._t._read_raw(v)
@@ -198,6 +201,10 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             op = raw.get("operation") or ""
             if op in _MAINTENANCE_OPS:
                 continue  # physical rewrite: no logical changes
+            if op.startswith("add_column("):
+                # metadata-only; a consumer bound pre-add simply never
+                # projects the new column — no row changed, safe skip
+                continue
             if op.startswith("rename("):
                 # a column rename is metadata-only, but it invalidates
                 # a consumer whose bound schema PREDATES it (Delta
@@ -249,6 +256,9 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                             ),
                             target_schema_json=target_json,
                             rename_map_json=json.dumps(ren) if ren else "",
+                            defaults_json=(
+                                json.dumps(defaults_end) if defaults_end else ""
+                            ),
                         )
                     )
         # Spark requires a non-empty partition list; a sentinel with no
@@ -295,7 +305,16 @@ def _read_aligned(partition: _FilePartition):
             cols.append(col)
         elif fld.name == "_deleted":
             cols.append(pa.array([False] * n, type=fld.type))
-        else:  # column added by schema evolution after this file
-            cols.append(pa.nulls(n, type=fld.type))
+        else:  # column added by schema evolution after this file:
+            # initial default if one was declared, else null-pad
+            dv = (
+                json.loads(partition.defaults_json).get(fld.name)
+                if partition.defaults_json
+                else None
+            )
+            if dv is not None:
+                cols.append(pa.array([dv] * n, type=fld.type))
+            else:
+                cols.append(pa.nulls(n, type=fld.type))
     out = pa.table(cols, schema=arrow_target)
     yield from out.to_batches(max_chunksize=1 << 16)

@@ -1770,6 +1770,11 @@ class LakeTable:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
                 )
+            for dc, dv in (m.get("defaults") or {}).items():
+                if dc not in df.columns:
+                    fld = next((f for f in target.fields if f.name == dc), None)
+                    if fld is not None:
+                        df = df.withColumn(dc, F.lit(dv).cast(fld.dataType))
             parts.append(
                 align_to_schema(df, target)
                 .withColumn("_scv", F.lit(cv).cast("long"))
@@ -2091,6 +2096,7 @@ class LakeTable:
             )
         cv_field = T.StructField("_cv", T.LongType(), True)
         target_cv = T.StructType(target.fields + [cv_field])
+        tgt_types = {f.name: f.dataType for f in target.fields}
         parts = []
         for (sid, cv, stored), paths in by_group.items():
             file_schema = T.StructType(
@@ -2106,6 +2112,12 @@ class LakeTable:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
                 )
+            for dc, dv in (m.get("defaults") or {}).items():
+                # initial-default evolution: only files whose schema
+                # PREDATES the add read the default; files that have
+                # the column keep explicit NULLs
+                if dc not in df.columns and dc in tgt_types:
+                    df = df.withColumn(dc, F.lit(dv).cast(tgt_types[dc]))
             if stored:
                 parts.append(align_to_schema(df, target_cv))
             else:
@@ -2872,7 +2884,59 @@ class LakeTable:
                 spec = dict(m["agg_spec"])
                 spec[new] = spec.pop(old)
                 m["agg_spec"] = spec
+            if old in (m.get("defaults") or {}):
+                dd = dict(m["defaults"])
+                dd[new] = dd.pop(old)
+                m["defaults"] = dd
             m["operation"] = f"rename({old}->{new})"
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
+            except CommitConflict:
+                if attempt == _COMMIT_ATTEMPTS - 1:
+                    raise
+                _conflict_backoff(attempt)
+        raise CommitConflict("unreachable")
+
+    def add_column(
+        self, name: str, dtype: T.DataType, initial_default=None
+    ) -> int:
+        """Metadata-only column ADD with an optional INITIAL DEFAULT —
+        the Iceberg v3 default-value evolution shape: rows that existed
+        BEFORE the add (files whose schema lacks the column) read the
+        default; rows written after it read what was written, so an
+        explicit NULL stays NULL. No data moves — readers fill the
+        default per file before name-based alignment, exactly where
+        the rename map applies. Without a default this is just
+        union-by-name evolution made explicit (old rows read NULL).
+        `initial_default` must be a JSON-serializable literal castable
+        to `dtype`."""
+        if name.startswith("_"):
+            raise ValueError(f"{name!r}: leading underscore is reserved")
+        for attempt in range(_COMMIT_ATTEMPTS):
+            self._recover_orphan()
+            base = self.current_version()
+            if base < 1:
+                raise ValueError("cannot add a column on an uncreated table")
+            old_m = self._resolved(base)
+            cur = T.StructType.fromJson(old_m["schemas"][str(old_m["schema_id"])])
+            if name in [f.name for f in cur.fields]:
+                raise ValueError(f"column {name!r} already exists")
+            m = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in old_m.items()
+                if k not in ("version", "committed_at")
+            }
+            new_id = max(int(k) for k in m["schemas"]) + 1
+            m["schemas"][str(new_id)] = T.StructType(
+                cur.fields + [T.StructField(name, dtype, True)]
+            ).jsonValue()
+            m["schema_id"] = new_id
+            if initial_default is not None:
+                defaults = dict(m.get("defaults") or {})
+                defaults[name] = initial_default
+                m["defaults"] = defaults
+            m["operation"] = f"add_column({name})"
             m["lineage"] = []
             try:
                 return self._commit(m, base)

@@ -197,3 +197,77 @@ def test_rename_then_rescale_split(spark, tmp_path):
     got = {r.doc_id: r.token_ids for r in LakeTable(t.root).read(spark).collect()}
     assert got == {"a": [1], "b": [2]}
     assert LakeTable(t.root).manifest()["n_buckets"] == 4
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    """Iceberg v3 default-value shape: rows predating the add read the
+    default; rows written after it read what was written — an explicit
+    NULL stays NULL."""
+    t = _mk(spark, tmp_path)
+    t.add_column("source", T.StringType(), initial_default="web")
+    got = {r.doc_id: r.source for r in t.read(spark).collect()}
+    assert got == {"a": "web", "b": "web"}  # pre-add files read the default
+    B2 = "doc_id string, tokens array<int>, change_lsn long, op string, source string"
+    t.merge(
+        spark.createDataFrame(
+            [("a", [9], 9, "U", None), ("c", [3], 3, "I", "crawl")], B2
+        ),
+        epoch_id="e1",
+    )
+    got = {r.doc_id: r.source for r in t.read(spark).collect()}
+    # a: rewritten post-add with explicit NULL -> stays NULL
+    assert got == {"a": None, "b": "web", "c": "crawl"}
+    # maintenance path applies the default too, then bakes it in
+    t.compact(spark, min_files=1)
+    got = {r.doc_id: r.source for r in LakeTable(t.root).read(spark).collect()}
+    assert got == {"a": None, "b": "web", "c": "crawl"}
+
+
+def test_add_column_default_follows_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column("lang", T.StringType(), initial_default="en")
+    t.rename_column("lang", "language")
+    assert t.manifest()["defaults"] == {"language": "en"}
+    got = {r.doc_id: r.language for r in t.read(spark).collect()}
+    assert got == {"a": "en", "b": "en"}
+
+
+def test_add_column_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("tokens", T.StringType())
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("_hidden", T.StringType())
+
+
+def test_add_column_default_in_change_feed(spark, tmp_path):
+    from airbyte_destination_spark.lake.datasource import LakeChangesDataSource
+
+    spark.dataSource.register(LakeChangesDataSource)
+    t = _mk(spark, tmp_path)
+    t.add_column("source", T.StringType(), initial_default="web")
+    t.merge(
+        spark.createDataFrame(
+            [("c", [3], 3, "I", "crawl")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, source string",
+        ),
+        epoch_id="e1",
+    )
+    # bound post-add: pre-add commits serve the default
+    rows = (
+        spark.read.format("lake_changes").option("path", t.root).load().collect()
+    )
+    assert sorted((r.doc_id, r.source) for r in rows) == [
+        ("a", "web"),
+        ("b", "web"),
+        ("c", "crawl"),
+    ]
+    # bound pre-add: the add commit is crossed silently (no row changed)
+    from airbyte_destination_spark.lake.datasource import (
+        _META_COLS,
+        LakeChangesStreamReader,
+    )
+
+    sr = LakeChangesStreamReader(t, T.StructType(SCHEMA.fields + _META_COLS), 0)
+    parts = sr.partitions({"version": 0}, {"version": t.current_version()})
+    assert all(p.path for p in parts)
