@@ -88,6 +88,10 @@ class _FilePartition(InputPartition):
     # {col: initial_default} for columns added with a default after
     # this file was written (Iceberg v3 default-value evolution)
     defaults_json: str = ""
+    # columns re-added AFTER this file was written whose bytes in the
+    # file are a prior life (dropped then re-added) — force-dropped
+    # before alignment so stale values cannot resurface
+    prior_drop_json: str = ""
 
 
 class LakeChangesDataSource(DataSource):
@@ -184,6 +188,19 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         m_end = self._t.manifest(end_v) if end_v >= 1 else {}
         renames_end = m_end.get("renames")
         defaults_end = m_end.get("defaults") or {}
+        adds_end = m_end.get("adds") or {}
+        names_end = (
+            {
+                f["name"]
+                for f in m_end["schemas"][str(m_end["schema_id"])]["fields"]
+            }
+            if m_end
+            else set()
+        )
+        meta = {f.name for f in _META_COLS}
+        bound_is_current = (
+            {f.name for f in self._schema.fields} - meta
+        ) == names_end
         for v in range(int(start["version"]) + 1, end_v + 1):
             try:
                 raw = self._t._read_raw(v)
@@ -205,26 +222,21 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 # metadata-only; a consumer bound pre-add simply never
                 # projects the new column — no row changed, safe skip
                 continue
-            if op.startswith("rename("):
-                # a column rename is metadata-only, but it invalidates
-                # a consumer whose bound schema PREDATES it (Delta
-                # CDF's schema-change discipline). A reader already
-                # bound at/after the rename (its schema covers the
-                # post-rename names) crosses it like maintenance.
-                names_at_v = {
-                    f["name"]
-                    for f in self._t.manifest(v)["schemas"][
-                        str(self._t.manifest(v)["schema_id"])
-                    ]["fields"]
-                }
-                bound = {f.name for f in self._schema.fields}
-                if names_at_v - bound:
+            if op.startswith(("drop_column(", "rename(")):
+                # metadata-only schema transitions. A consumer whose
+                # bound schema matches the WINDOW-END state crosses
+                # them like maintenance (the per-file rename /
+                # prior-life / default machinery serves end-state
+                # names); a consumer bound to any OTHER state is stale
+                # — silently serving it would misname or null columns
+                # (Delta CDF's schema-change discipline: fail loudly).
+                if not bound_is_current:
                     raise RuntimeError(
                         f"lake_changes stream schema is stale: commit "
                         f"{v} of {self._t.root} is a column {op}; "
-                        "restart the stream to bind the renamed schema"
+                        "restart the stream to bind the current schema"
                     )
-                continue  # no data files commit at a rename version
+                continue  # no data files commit at these versions
             if op not in _DATA_OPS:
                 # delete_where / rollback ARE logical changes, but a
                 # bucket rewrite can't attribute rows to the commit —
@@ -247,6 +259,12 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     # commit's cumulative renames) re-labels them
                     # before name-based alignment executor-side
                     ren = _compose_renames(renames_end, str(e["schema_id"]))
+                    prior = [
+                        c
+                        for tid, names in adds_end.items()
+                        if int(tid) > int(e["schema_id"])
+                        for c in names
+                    ]
                     parts.append(
                         _FilePartition(
                             path=os.path.join(self._t.root, e["path"]),
@@ -258,6 +276,9 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                             rename_map_json=json.dumps(ren) if ren else "",
                             defaults_json=(
                                 json.dumps(defaults_end) if defaults_end else ""
+                            ),
+                            prior_drop_json=(
+                                json.dumps(prior) if prior else ""
                             ),
                         )
                     )
@@ -290,6 +311,13 @@ def _read_aligned(partition: _FilePartition):
     if partition.rename_map_json:
         ren = json.loads(partition.rename_map_json)
         tbl = tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
+    if partition.prior_drop_json:
+        stale = [
+            c for c in json.loads(partition.prior_drop_json)
+            if c in tbl.column_names
+        ]
+        if stale:
+            tbl = tbl.drop_columns(stale)
     n = tbl.num_rows
     cols = []
     for fld in arrow_target:

@@ -1770,6 +1770,15 @@ class LakeTable:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
                 )
+            stale_cols = [
+                c
+                for tid, names in (m.get("adds") or {}).items()
+                if int(tid) > int(sid)
+                for c in names
+                if c in df.columns
+            ]
+            if stale_cols:
+                df = df.drop(*stale_cols)
             for dc, dv in (m.get("defaults") or {}).items():
                 if dc not in df.columns:
                     fld = next((f for f in target.fields if f.name == dc), None)
@@ -2112,6 +2121,18 @@ class LakeTable:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
                 )
+            stale_cols = [
+                c
+                for tid, names in (m.get("adds") or {}).items()
+                if int(tid) > int(sid)
+                for c in names
+                if c in df.columns
+            ]
+            if stale_cols:
+                # the file predates an add_column of this name: its
+                # values are a prior life (dropped, later re-added) —
+                # they must not resurface
+                df = df.drop(*stale_cols)
             for dc, dv in (m.get("defaults") or {}).items():
                 # initial-default evolution: only files whose schema
                 # PREDATES the add read the default; files that have
@@ -2288,6 +2309,21 @@ class LakeTable:
         current = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         merged = merge_schemas(current, incoming)
         if merged != current:
+            new_names = {f.name for f in merged.fields} - {
+                f.name for f in current.fields
+            }
+            dropped_ever = {
+                c for v in (m.get("drops") or {}).values() for c in v
+            }
+            bad = new_names & dropped_ever
+            if bad:
+                # an implicit re-add would resurface prior-life values
+                # (merge evolution records no add transition)
+                raise ValueError(
+                    f"column(s) {sorted(bad)} were dropped from this "
+                    "table; re-add explicitly via add_column() so old "
+                    "files' prior-life values cannot resurface"
+                )
             new_id = max(int(k) for k in m["schemas"]) + 1
             m["schemas"][str(new_id)] = merged.jsonValue()
             m["schema_id"] = new_id
@@ -2936,7 +2972,68 @@ class LakeTable:
                 defaults = dict(m.get("defaults") or {})
                 defaults[name] = initial_default
                 m["defaults"] = defaults
+            # record the add transition: a column DROPPED and later
+            # RE-ADDED under the same name must not resurface its
+            # prior-life values out of files that physically still
+            # carry them — readers force-drop the column from files
+            # whose schema id predates the add, then apply the default
+            adds = {k: list(v) for k, v in (m.get("adds") or {}).items()}
+            adds[str(new_id)] = [name]
+            m["adds"] = adds
             m["operation"] = f"add_column({name})"
+            m["lineage"] = []
+            try:
+                return self._commit(m, base)
+            except CommitConflict:
+                if attempt == _COMMIT_ATTEMPTS - 1:
+                    raise
+                _conflict_backoff(attempt)
+        raise CommitConflict("unreachable")
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column DROP (Iceberg drop-column semantics):
+        the column leaves the current schema in one manifest commit; no
+        data moves, old files keep the bytes until compaction rewrites
+        them, and time travel below the drop still serves the column.
+        Re-adding the same name later is safe ONLY through
+        `add_column()` (it records the add transition, so prior-life
+        values in surviving files are force-dropped at read instead of
+        resurfacing); implicit merge-evolution re-adds are rejected for
+        a previously-dropped name. Key / version / stats / agg_spec
+        columns are restricted."""
+        for attempt in range(_COMMIT_ATTEMPTS):
+            self._recover_orphan()
+            base = self.current_version()
+            if base < 1:
+                raise ValueError("cannot drop a column on an uncreated table")
+            old_m = self._resolved(base)
+            cur = T.StructType.fromJson(old_m["schemas"][str(old_m["schema_id"])])
+            if name not in [f.name for f in cur.fields]:
+                raise ValueError(f"no column {name!r}")
+            if name in old_m["key_cols"] or name == old_m.get("version_col"):
+                raise ValueError(f"{name!r} is a key/version column")
+            if name in (old_m.get("stats_cols") or []):
+                raise ValueError(f"{name!r} is a declared stats column")
+            if name in (old_m.get("agg_spec") or {}):
+                raise ValueError(f"{name!r} is an aggregate-engine column")
+            m = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in old_m.items()
+                if k not in ("version", "committed_at")
+            }
+            new_id = max(int(k) for k in m["schemas"]) + 1
+            m["schemas"][str(new_id)] = T.StructType(
+                [f for f in cur.fields if f.name != name]
+            ).jsonValue()
+            m["schema_id"] = new_id
+            if name in (m.get("defaults") or {}):
+                dd = dict(m["defaults"])
+                dd.pop(name)
+                m["defaults"] = dd
+            drops = {k: list(v) for k, v in (m.get("drops") or {}).items()}
+            drops[str(new_id)] = [name]
+            m["drops"] = drops
+            m["operation"] = f"drop_column({name})"
             m["lineage"] = []
             try:
                 return self._commit(m, base)

@@ -271,3 +271,107 @@ def test_add_column_default_in_change_feed(spark, tmp_path):
     sr = LakeChangesStreamReader(t, T.StructType(SCHEMA.fields + _META_COLS), 0)
     parts = sr.partitions({"version": 0}, {"version": t.current_version()})
     assert all(p.path for p in parts)
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", 7)],
+            "doc_id string, tokens array<int>, change_lsn long, op string, extra int",
+        ),
+        epoch_id="e-extra",
+    )
+    v_pre = t.current_version()
+    t.drop_column("extra")
+    assert "extra" not in t.read(spark).columns
+    # time travel below the drop still serves the column
+    old = t.read(spark, version=v_pre)
+    assert {r.doc_id: r.extra for r in old.collect()} == {"a": 7, "b": None}
+    with pytest.raises(ValueError, match="key/version"):
+        t.drop_column("doc_id")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("extra")  # already gone
+
+
+def test_drop_then_readd_does_not_resurface(spark, tmp_path):
+    """The prior-life problem: files written before the drop still
+    carry the bytes; a re-add via add_column must serve the default
+    (or NULL), never the stale values — incl. through compaction and
+    the change feed."""
+    from airbyte_destination_spark.lake.datasource import LakeChangesDataSource
+
+    spark.dataSource.register(LakeChangesDataSource)
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", "STALE"), ("b", [2], 6, "U", "STALE")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+        ),
+        epoch_id="e-lang",
+    )
+    t.drop_column("lang")
+    t.add_column("lang", T.StringType(), initial_default="und")
+    got = {r.doc_id: r.lang for r in t.read(spark).collect()}
+    assert got == {"a": "und", "b": "und"}  # NOT "STALE"
+    t.merge(
+        spark.createDataFrame(
+            [("c", [3], 7, "I", "en")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+        ),
+        epoch_id="e-new",
+    )
+    got = {r.doc_id: r.lang for r in t.read(spark).collect()}
+    assert got == {"a": "und", "b": "und", "c": "en"}
+    # the change feed (bound post-re-add) must not resurface either
+    rows = (
+        spark.read.format("lake_changes").option("path", t.root).load().collect()
+    )
+    assert "STALE" not in {r.lang for r in rows}
+    # compaction bakes the post-evolution truth in
+    t.compact(spark, min_files=1)
+    got = {r.doc_id: r.lang for r in LakeTable(t.root).read(spark).collect()}
+    assert got == {"a": "und", "b": "und", "c": "en"}
+
+
+def test_implicit_readd_via_merge_evolution_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", "x")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+        ),
+        epoch_id="e-lang",
+    )
+    t.drop_column("lang")
+    with pytest.raises(ValueError, match="add_column"):
+        t.merge(
+            spark.createDataFrame(
+                [("d", [4], 8, "I", "sneaky")],
+                "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+            ),
+            epoch_id="e-sneak",
+        )
+
+
+def test_drop_fails_stale_stream(spark, tmp_path):
+    from airbyte_destination_spark.lake.datasource import (
+        _META_COLS,
+        LakeChangesStreamReader,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", "x")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+        ),
+        epoch_id="e-lang",
+    )
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("lang", T.StringType(), True)] + _META_COLS
+    )
+    t.drop_column("lang")
+    sr = LakeChangesStreamReader(t, wide, 0)
+    with pytest.raises(RuntimeError, match="restart the stream"):
+        sr.partitions({"version": 0}, {"version": t.current_version()})
