@@ -775,7 +775,6 @@ def q_cdc_engine_default_final_state(spark: SparkSession, sf_dir: str) -> DataFr
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
         table = LakeTable(tempfile.mkdtemp(prefix="engine-default-") + "/t")
         schema = T.StructType(
             [
@@ -788,22 +787,75 @@ def q_cdc_engine_default_final_state(spark: SparkSession, sf_dir: str) -> DataFr
         table.create(
             schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
         )
-        step = max((hi - lo) // 3 + 1, 1)
-        for i in range(3):
-            batch = log.where(
-                (F.col("change_lsn") >= lo + i * step)
-                & (F.col("change_lsn") < lo + (i + 1) * step)
-            )
-            if i == 2:
-                table.add_column("source", T.StringType(), initial_default="web")
-                batch = batch.withColumn(
-                    "source",
-                    F.concat(F.lit("s-"), F.pmod("doc_key", F.lit(4)).cast("string")),
-                )
-            table.merge(batch, epoch_id=f"def-{i}")
+        # split by KEY, not lsn: with a Zipf log every key has a tail
+        # event, so an lsn split leaves the pre-add-winner regime EMPTY
+        # (the oracle would pass without exercising the default path).
+        # Keys doc_key%3!=0 are fully replayed BEFORE the add (their
+        # winners read the default); keys %3==0 after it (they read
+        # the per-row value).
+        table.merge(
+            log.where(F.pmod("doc_key", F.lit(3)) != 0), epoch_id="def-pre"
+        )
+        table.add_column("source", T.StringType(), initial_default="web")
+        table.merge(
+            log.where(F.pmod("doc_key", F.lit(3)) == 0).withColumn(
+                "source",
+                F.concat(F.lit("s-"), F.pmod("doc_key", F.lit(4)).cast("string")),
+            ),
+            epoch_id="def-post",
+        )
         _REPLAY_CACHE[key] = table
     return _REPLAY_CACHE[key].read(spark).select(
         "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value", "source"
+    )
+
+
+def q_cdc_engine_readd_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop/re-add hazard through the correctness gate
+    (LakeTable.drop_column + add_column — Iceberg drop + v3
+    default-value semantics on a name-aligned format): epochs 0-1
+    write real `event_type` strings, the column is DROPPED (bytes stay
+    in the files) and RE-ADDED with default 'unknown', then epoch 2
+    writes real values again. The oracle REQUIRES pre-epoch-2 winners
+    to read 'unknown' — if the reader ever served the prior-life bytes
+    still sitting in the old files, the hash would expose it. Epoch-2
+    winners read what epoch 2 wrote."""
+    key = (sf_dir, "readd")
+    if key not in _REPLAY_CACHE:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from airbyte_destination_spark.lake import LakeTable
+
+        log = _cdc_events(spark, sf_dir)
+        table = LakeTable(tempfile.mkdtemp(prefix="engine-readd-") + "/t")
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.LongType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        table.create(
+            schema, ["doc_key"], "change_lsn", n_buckets=8, merge_strategy="mor"
+        )
+        # split by KEY (see q_cdc_engine_default_final_state): keys
+        # doc_key%3!=0 are fully replayed BEFORE the drop/re-add, so
+        # their surviving files carry real event_type bytes that MUST
+        # read back as 'unknown'; keys %3==0 replay after it
+        table.merge(
+            log.where(F.pmod("doc_key", F.lit(3)) != 0), epoch_id="readd-pre"
+        )
+        table.drop_column("event_type")
+        table.add_column("event_type", T.StringType(), initial_default="unknown")
+        table.merge(
+            log.where(F.pmod("doc_key", F.lit(3)) == 0), epoch_id="readd-post"
+        )
+        _REPLAY_CACHE[key] = table
+    return _REPLAY_CACHE[key].read(spark).select(
+        "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
     )
 
 
@@ -4034,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_purge_final_state": q_cdc_engine_purge_final_state,
         "cdc_engine_rename_final_state": q_cdc_engine_rename_final_state,
         "cdc_engine_default_final_state": q_cdc_engine_default_final_state,
+        "cdc_engine_readd_final_state": q_cdc_engine_readd_final_state,
         "cdc_engine_snapshot_sync": q_cdc_engine_snapshot_sync,
         "cdc_engine_bootstrap": q_cdc_engine_bootstrap,
         "token_delta_profile": q_token_delta_profile,
@@ -5265,26 +5318,44 @@ FROM state
         "cdc_engine_rename_final_state": _LWW_SQL.replace(
             "event_type, value\nFROM ranked", "event_type, value AS val\nFROM ranked"
         ),
-        # default-value evolution: winners whose lsn predates epoch 2's
-        # window (the add boundary) read the initial default; epoch-2
-        # winners read the per-row value the batch carried
+        # default-value evolution: keys replayed BEFORE the add
+        # (doc_key%3!=0) read the initial default; keys replayed after
+        # it read the per-row value the batch carried
         "cdc_engine_default_final_state": """
 WITH log AS (
   SELECT user_id AS doc_key, event_id AS change_lsn,
          CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
          event_type, value
   FROM events
-), b AS (
-  SELECT min(change_lsn) AS lo, max(change_lsn) AS hi FROM log
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
   FROM log
 )
-SELECT r.doc_key, r.change_lsn AS last_lsn, r.event_type, r.value,
-       CASE WHEN r.change_lsn >= b.lo + 2 * ((b.hi - b.lo) // 3 + 1)
-            THEN 's-' || CAST(r.doc_key % 4 AS VARCHAR)
+SELECT doc_key, change_lsn AS last_lsn, event_type, value,
+       CASE WHEN doc_key % 3 = 0
+            THEN 's-' || CAST(doc_key % 4 AS VARCHAR)
             ELSE 'web' END AS source
-FROM ranked r, b WHERE r.rn = 1 AND r.op <> 'D'
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        # drop/re-add: keys replayed BEFORE the drop MUST read the
+        # re-add default (the prior-life bytes still in their files
+        # may not resurface — a leak flips the value hash); keys
+        # replayed after it read real event_type
+        "cdc_engine_readd_final_state": """
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS change_lsn,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY change_lsn DESC) AS rn
+  FROM log
+)
+SELECT doc_key, change_lsn AS last_lsn,
+       CASE WHEN doc_key % 3 = 0 THEN event_type
+            ELSE 'unknown' END AS event_type,
+       value
+FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
         # unchanged rows keep their stored pre-sync lsn, so the sync
         # oracle is the LWW state minus the lsn column
