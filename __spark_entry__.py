@@ -1108,11 +1108,23 @@ def q_token_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     row and token for token — the input_hint's per-row invariant.
     Scale shape: the checkpoint prune is a key-co-partitioned agg+join,
     the fold is one collect_list of ≤16 structs per key in JVM codegen;
-    nothing is ever O(history) per key."""
+    nothing is ever O(history) per key.
+    The reconstructed array is projected as an md5 fingerprint (the
+    fim_transform / quarantine_replay idiom) so the driver harness can
+    hash rows — full token-for-token equality is still what the md5
+    certifies."""
     from airbyte_destination_spark.operators.token_delta import delta_reconstruct
 
-    return delta_reconstruct(
+    out = delta_reconstruct(
         _token_delta_encoded(spark, sf_dir), key_col="doc_key", lsn_col="change_lsn"
+    )
+    return out.select(
+        "doc_key",
+        "last_lsn",
+        F.md5(
+            F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        ).alias("tok_hash"),
+        "n_tok",
     )
 
 
@@ -1167,7 +1179,12 @@ def q_cdc_engine_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert rest["complete"] and rest["groups_skipped"] == first["groups_done"]
         _REPLAY_CACHE[key] = table
     return _REPLAY_CACHE[key].read(spark).select(
-        "doc_key", F.col("change_lsn").alias("last_lsn"), "n_tok", "tokens"
+        "doc_key",
+        F.col("change_lsn").alias("last_lsn"),
+        "n_tok",
+        F.md5(
+            F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        ).alias("tok_hash"),
     )
 
 
@@ -3347,11 +3364,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     via ONE shuffle join (never a broadcast of the corpus-sized
     vocabulary) and reassemble in word order. Encoding the training
     corpus reproduces the trainer's final segmentation (pytest-pinned),
-    so the oracle reuses the training chain's final-round state."""
+    so the oracle reuses the training chain's final-round state. The
+    segmentation array is projected as an md5 fingerprint so the driver
+    harness can hash rows (BPE tokens are [a-z0-9]+ — ',' is a safe
+    join delimiter); full array equality is what the md5 certifies."""
     from airbyte_destination_spark.functions.text import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_encode(docs, _bpe_trained(spark, sf_dir))
+    out = bpe_encode(docs, _bpe_trained(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join("bpe_tokens", ",")).alias("bpe_fp"),
+        "n_bpe",
+    )
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -3430,7 +3455,8 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
           FROM documents
         )
         SELECT doc_id,
-               flatten(list(toks ORDER BY wpos)) AS bpe_tokens,
+               md5(array_to_string(flatten(list(toks ORDER BY wpos)), ','))
+                 AS bpe_fp,
                CAST(len(flatten(list(toks ORDER BY wpos))) AS INT) AS n_bpe
         FROM dw JOIN wtoks USING (word)
         WHERE regexp_full_match(word, '^[a-z0-9]+$')
@@ -3444,10 +3470,19 @@ def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary trained on the corpus itself — emits the (doc_id,
     tokens array<int>, n_tok) pre-tokenized-sequence shape the CDC
     engine ingests. Word-keyed shuffle joins only; no broadcast of the
-    vocabulary."""
+    vocabulary. The token array is projected as an md5 fingerprint so
+    the driver harness can hash rows; full array equality is what the
+    md5 certifies."""
     from airbyte_destination_spark.functions.text import tokenize_freq_vocab
 
-    return tokenize_freq_vocab(_docs_wide(spark, sf_dir))
+    out = tokenize_freq_vocab(_docs_wide(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        ).alias("tok_hash"),
+        "n_tok",
+    )
 
 
 def q_token_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4986,7 +5021,7 @@ FROM d
         + """
 SELECT doc_key,
        max(lsn) AS last_lsn,
-       max_by(tokens, lsn) AS tokens,
+       md5(array_to_string(max_by(tokens, lsn), ',')) AS tok_hash,
        CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok
 FROM gen
 GROUP BY doc_key
@@ -5186,7 +5221,7 @@ FROM ea, eb, stats s, cc, ex
 SELECT doc_key,
        max(lsn) AS last_lsn,
        CAST(len(max_by(tokens, lsn)) AS INT) AS n_tok,
-       max_by(tokens, lsn) AS tokens
+       md5(array_to_string(max_by(tokens, lsn), ',')) AS tok_hash
 FROM gen
 GROUP BY doc_key
 HAVING max_by(op, lsn) <> 'D'
@@ -6496,7 +6531,8 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
               FROM w JOIN vocab USING (w)
             )
             SELECT doc_id,
-                   list(tid ORDER BY pos) AS tokens,
+                   md5(array_to_string(list(tid ORDER BY pos), ','))
+                     AS tok_hash,
                    CAST(len(list(tid ORDER BY pos)) AS INT) AS n_tok
             FROM toks GROUP BY doc_id
         """,
