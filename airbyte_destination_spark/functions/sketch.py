@@ -156,22 +156,35 @@ def cms_state(
 ) -> DataFrame:
     """The sketch state: occurrence count per (group, hash row, index).
 
-    ONE scan of the input (the d indexes are computed as an array and
-    posexploded, not d passes), then one map-side-combined count whose
-    output is bounded by |groups| x d x w = |groups| x 16,384 rows
-    whatever the input size. States from different partitions, epochs,
-    or tables merge by summing counters (groupBy the same key, sum `c`
-    — pinned in tests/test_sketch.py), which is what makes the sketch
-    maintainable under streaming ingest: each micro-batch contributes
-    its own grid and the read path sums.
+    ONE scan of the input, pre-aggregated to exact (group, value)
+    counts FIRST (map-side combined, bounded by distinct values per
+    group), so the d md5 indexes are computed once per DISTINCT value
+    and the grid increments by the weighted count — identical counters
+    to hashing every instance (sum of weights = sum of instances,
+    pinned in tests/test_sketch.py), at ~|distinct|/|instances| of the
+    hash work. On a Zipf token stream that is a ~10x cut in md5 volume,
+    and the first shuffle moves only the map-side-combined distinct
+    table, not the raw stream. The d indexes are computed as an array
+    and posexploded (not d passes); the grid output is bounded by
+    |groups| x d x w = |groups| x 16,384 rows whatever the input size.
+    States from different partitions, epochs, or tables merge by
+    summing counters (groupBy the same key, sum `c` — pinned in
+    tests/test_sketch.py), which is what makes the sketch maintainable
+    under streaming ingest: each micro-batch contributes its own grid
+    and the read path sums.
     """
+    vc = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_vc")
+    )
     idxs = F.array(
         *[cms_index(F.col(value_col), i) for i in range(CMS_D)]
     )
     return (
-        df.select(*group_cols, F.posexplode(idxs).alias("row_i", "idx"))
+        vc.select(
+            *group_cols, "_vc", F.posexplode(idxs).alias("row_i", "idx")
+        )
         .groupBy(*group_cols, "row_i", "idx")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("_vc").alias("c"))
     )
 
 

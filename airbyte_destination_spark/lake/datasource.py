@@ -54,7 +54,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import types as T
 
-from airbyte_destination_spark.lake.table import _compose_renames
+from airbyte_destination_spark.lake.table import (
+    _compose_renames,
+    _prior_life_cols,
+)
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -259,12 +262,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     # commit's cumulative renames) re-labels them
                     # before name-based alignment executor-side
                     ren = _compose_renames(renames_end, str(e["schema_id"]))
-                    prior = [
-                        c
-                        for tid, names in adds_end.items()
-                        if int(tid) > int(e["schema_id"])
-                        for c in names
-                    ]
+                    # prior-life names in the file's ON-DISK (pre-
+                    # rename) namespace — the executor drops them
+                    # BEFORE applying the rename map, so stale bytes
+                    # can't be relabeled into the current namespace
+                    prior = _prior_life_cols(
+                        renames_end, adds_end, str(e["schema_id"])
+                    )
                     parts.append(
                         _FilePartition(
                             path=os.path.join(self._t.root, e["path"]),
@@ -308,16 +312,18 @@ def _read_aligned(partition: _FilePartition):
     target = T.StructType.fromJson(json.loads(partition.target_schema_json))
     arrow_target = to_arrow_schema(target)
     tbl = pq.read_table(partition.path)
-    if partition.rename_map_json:
-        ren = json.loads(partition.rename_map_json)
-        tbl = tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
     if partition.prior_drop_json:
+        # prior-life force-drop FIRST, on on-disk names — before the
+        # rename map can relabel stale bytes into the current namespace
         stale = [
             c for c in json.loads(partition.prior_drop_json)
             if c in tbl.column_names
         ]
         if stale:
             tbl = tbl.drop_columns(stale)
+    if partition.rename_map_json:
+        ren = json.loads(partition.rename_map_json)
+        tbl = tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
     n = tbl.num_rows
     cols = []
     for fld in arrow_target:

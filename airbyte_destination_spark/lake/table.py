@@ -240,19 +240,26 @@ def _delta_record(base: dict, full: dict) -> dict:
     return d
 
 
-def _compose_renames(renames: dict | None, sid: str) -> dict[str, str]:
+def _compose_renames(
+    renames: dict | None, sid: str, until: int | None = None
+) -> dict[str, str]:
     """Composed original→current column-name mapping for a file written
     under schema id `sid`, across every rename transition recorded
     AFTER it (manifest key `renames`: {new_schema_id: {old: new}}).
     Chains compose (a→b then b→c maps a→c) and freed names may be
     reused (a→b then c→a yields the simultaneous map {a: b, c: a} —
-    appliers must rename in ONE projection, not sequentially)."""
+    appliers must rename in ONE projection, not sequentially). With
+    `until`, only transitions strictly BELOW that schema id compose —
+    the mapping into an intermediate historical namespace (used to
+    locate a later add's column as it was named on disk)."""
     if not renames:
         return {}
     cur: dict[str, str] = {}
     for tid in sorted(renames, key=int):
         if int(tid) <= int(sid):
             continue
+        if until is not None and int(tid) >= until:
+            break
         for o, n in renames[tid].items():
             src = next((k for k, v in cur.items() if v == o), None)
             if src is not None:
@@ -260,6 +267,33 @@ def _compose_renames(renames: dict | None, sid: str) -> dict[str, str]:
             else:
                 cur[o] = n
     return {k: v for k, v in cur.items() if k != v}
+
+
+def _prior_life_cols(
+    renames: dict | None, adds: dict | None, sid: str
+) -> list[str]:
+    """ON-DISK (pre-rename) column names in a file written under schema
+    id `sid` whose physical values are a PRIOR LIFE of a column added
+    at a later transition (dropped, then re-added via add_column) —
+    they must be force-dropped from the file BEFORE the rename
+    projection runs, or a rename of the re-added column would relabel
+    the stale bytes into the current namespace and resurface them.
+
+    An add at transition `tid` records its name in the namespace AT
+    `tid`; the same column's on-disk name in this older file is the
+    pre-image of that name under the rename transitions in (sid, tid)."""
+    if not adds:
+        return []
+    out: list[str] = []
+    for tid, names in adds.items():
+        if int(tid) <= int(sid):
+            continue
+        ren = _compose_renames(renames, sid, until=int(tid))
+        for n in names:
+            src = next((k for k, v in ren.items() if v == n), n)
+            if src not in out:
+                out.append(src)
+    return out
 
 
 def _resolve_delta(parent: dict, d: dict) -> dict:
@@ -1744,50 +1778,71 @@ class LakeTable:
         self,
         spark: SparkSession,
         m: dict,
-        by_group: dict[tuple[str, int, bool], list[str]],
+        by_group: dict[tuple[str, int, bool, bool], list[str]],
         target: "T.StructType",
         n_new: int,
     ) -> DataFrame | None:
         """The split re-cut as a DataFrame: union of per-(schema, cv,
-        base) file scans, schema-aligned, tagged with the NEW bucket id
-        pmod(hash(keys), n_new). Pure projection over the scans — no
-        groupBy/join/repartition anywhere, so the physical plan has
-        ZERO exchanges (asserted in tests/test_rescale.py): each task
-        reads old-bucket files and writes new-bucket partitions
-        directly, which is what makes rescale O(table)/map-only rather
-        than O(table)+shuffle like rebucket."""
+        base, stored_cv) file scans, schema-aligned, tagged with the
+        NEW bucket id pmod(hash(keys), n_new). Pure projection over the
+        scans — no groupBy/join/repartition anywhere, so the physical
+        plan has ZERO exchanges (asserted in tests/test_rescale.py):
+        each task reads old-bucket files and writes new-bucket
+        partitions directly, which is what makes rescale
+        O(table)/map-only rather than O(table)+shuffle like rebucket.
+
+        Tiered-compaction output ("stored_cv" entries) carries each
+        row's ORIGINAL commit version as a real `_cv` data column; the
+        split must preserve that column VERBATIM (and re-emit the new
+        entries with stored_cv=True) rather than re-stamping rows with
+        the entry's own cv — the entry cv is the compaction's commit
+        version, higher than every unmerged delta existing at
+        compaction time, so a re-stamp would silently promote stale
+        rows over newer deltas in MOR LWW reads after publish."""
         if not by_group:
             return None
+        cv_field = T.StructField("_cv", T.LongType(), True)
+        target_cv = T.StructType(target.fields + [cv_field])
         parts = []
-        for (sid, cv, isbase), paths in by_group.items():
+        for (sid, cv, isbase, stored), paths in by_group.items():
             fsch = T.StructType(
                 T.StructType.fromJson(m["schemas"][sid]).fields
                 + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+                + ([cv_field] if stored else [])
             )
             df = spark.read.schema(fsch).parquet(*paths)
+            stale_cols = [
+                c
+                for c in _prior_life_cols(
+                    m.get("renames"), m.get("adds"), sid
+                )
+                if c in df.columns
+            ]
+            if stale_cols:
+                # prior-life force-drop BEFORE the rename projection
+                # (on-disk names) — see _read_buckets
+                df = df.drop(*stale_cols)
             ren = _compose_renames(m.get("renames"), sid)
             if ren:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
                 )
-            stale_cols = [
-                c
-                for tid, names in (m.get("adds") or {}).items()
-                if int(tid) > int(sid)
-                for c in names
-                if c in df.columns
-            ]
-            if stale_cols:
-                df = df.drop(*stale_cols)
             for dc, dv in (m.get("defaults") or {}).items():
                 if dc not in df.columns:
                     fld = next((f for f in target.fields if f.name == dc), None)
                     if fld is not None:
                         df = df.withColumn(dc, F.lit(dv).cast(fld.dataType))
+            if stored:
+                # preserve the per-row original commit version verbatim
+                aligned = align_to_schema(df, target_cv)
+            else:
+                aligned = align_to_schema(df, target).withColumn(
+                    "_cv", F.lit(None).cast("long")
+                )
             parts.append(
-                align_to_schema(df, target)
-                .withColumn("_scv", F.lit(cv).cast("long"))
+                aligned.withColumn("_scv", F.lit(cv).cast("long"))
                 .withColumn("_sbase", F.lit(1 if isbase else 0))
+                .withColumn("_sstored", F.lit(1 if stored else 0))
             )
         out = parts[0]
         for p in parts[1:]:
@@ -1809,7 +1864,7 @@ class LakeTable:
             + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
         )
         fps: dict[int, list] = {}
-        by_group: dict[tuple[str, int, bool], list[str]] = {}
+        by_group: dict[tuple[str, int, bool, bool], list[str]] = {}
         for b in grp:
             entries = m["buckets"].get(str(b), [])
             fps[b] = self._entry_fp(entries)
@@ -1818,6 +1873,7 @@ class LakeTable:
                     str(e["schema_id"]),
                     int(e.get("cv", 0)),
                     bool(e.get("base")),
+                    bool(e.get("stored_cv")),
                 )
                 by_group.setdefault(key, []).append(
                     os.path.join(self.root, e["path"])
@@ -1831,7 +1887,7 @@ class LakeTable:
             )
             out_dir = os.path.join(self.root, rel_snap)
             out.write.mode("overwrite").partitionBy(
-                _BUCKET_COL, "_scv", "_sbase"
+                _BUCKET_COL, "_scv", "_sbase", "_sstored"
             ).parquet(out_dir)
             sid_now = m["schema_id"]
             k0 = m["key_cols"][0]
@@ -1849,20 +1905,35 @@ class LakeTable:
                         os.listdir(os.path.join(out_dir, bdir, cvdir))
                     ):
                         isbase = basedir.endswith("=1")
-                        d = os.path.join(out_dir, bdir, cvdir, basedir)
-                        for fname in sorted(os.listdir(d)):
-                            if not fname.endswith(".parquet"):
-                                continue
-                            entry = {
-                                "path": os.path.join(
-                                    rel_snap, bdir, cvdir, basedir, fname
-                                ),
-                                "schema_id": sid_now,
-                                "cv": cv,
-                            }
-                            if isbase:
-                                entry["base"] = True
-                            new_entries.append((nb, entry))
+                        for storeddir in sorted(
+                            os.listdir(
+                                os.path.join(out_dir, bdir, cvdir, basedir)
+                            )
+                        ):
+                            stored = storeddir.endswith("=1")
+                            d = os.path.join(
+                                out_dir, bdir, cvdir, basedir, storeddir
+                            )
+                            for fname in sorted(os.listdir(d)):
+                                if not fname.endswith(".parquet"):
+                                    continue
+                                entry = {
+                                    "path": os.path.join(
+                                        rel_snap, bdir, cvdir, basedir,
+                                        storeddir, fname
+                                    ),
+                                    "schema_id": sid_now,
+                                    "cv": cv,
+                                }
+                                if isbase:
+                                    entry["base"] = True
+                                if stored:
+                                    # rows keep their ORIGINAL per-row
+                                    # commit version (_cv data column)
+                                    # through the split — never
+                                    # re-stamped with the compaction cv
+                                    entry["stored_cv"] = True
+                                new_entries.append((nb, entry))
             from concurrent.futures import ThreadPoolExecutor
 
             def _bind_stats(item):
@@ -2114,6 +2185,21 @@ class LakeTable:
                 + ([cv_field] if stored else [])
             )
             df = spark.read.schema(file_schema).parquet(*paths)
+            stale_cols = [
+                c
+                for c in _prior_life_cols(
+                    m.get("renames"), m.get("adds"), sid
+                )
+                if c in df.columns
+            ]
+            if stale_cols:
+                # the file predates an add_column of this name: its
+                # values are a prior life (dropped, later re-added) —
+                # force-dropped BEFORE the rename projection, keyed by
+                # on-disk names, so a rename of the re-added column
+                # can never relabel the stale bytes into the current
+                # namespace
+                df = df.drop(*stale_cols)
             ren = _compose_renames(m.get("renames"), sid)
             if ren:
                 # ONE projection (not sequential renames): the composed
@@ -2121,18 +2207,6 @@ class LakeTable:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
                 )
-            stale_cols = [
-                c
-                for tid, names in (m.get("adds") or {}).items()
-                if int(tid) > int(sid)
-                for c in names
-                if c in df.columns
-            ]
-            if stale_cols:
-                # the file predates an add_column of this name: its
-                # values are a prior life (dropped, later re-added) —
-                # they must not resurface
-                df = df.drop(*stale_cols)
             for dc, dv in (m.get("defaults") or {}).items():
                 # initial-default evolution: only files whose schema
                 # PREDATES the add read the default; files that have
@@ -2850,6 +2924,7 @@ class LakeTable:
                 if k not in ("version", "committed_at")
             }
             m["operation"] = "checkpoint"
+            m["epoch_id"] = None
             m["lineage"] = []
             try:
                 return self._commit(m, base, force_full=True)
@@ -2896,6 +2971,22 @@ class LakeTable:
                 raise ValueError(f"no column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            if any(
+                new in ns for ns in (old_m.get("drops") or {}).values()
+            ):
+                # renaming ONTO a previously dropped name would collide
+                # with the dropped column's prior-life bytes in old
+                # files (two same-named columns in the read projection,
+                # with no add transition to force-drop the stale one).
+                # add_column() is the only safe way to reuse the name —
+                # it records the transition readers key the force-drop
+                # on.
+                raise ValueError(
+                    f"column {new!r} was previously dropped; re-adding "
+                    "the name is only safe via add_column(), not a "
+                    "rename — old files still physically carry its "
+                    "prior-life values"
+                )
             if old in old_m["key_cols"] or old == old_m.get("version_col"):
                 raise ValueError(f"{old!r} is a key/version column")
             if old in (old_m.get("stats_cols") or []):
@@ -2925,6 +3016,7 @@ class LakeTable:
                 dd[new] = dd.pop(old)
                 m["defaults"] = dd
             m["operation"] = f"rename({old}->{new})"
+            m["epoch_id"] = None
             m["lineage"] = []
             try:
                 return self._commit(m, base)
@@ -2981,6 +3073,7 @@ class LakeTable:
             adds[str(new_id)] = [name]
             m["adds"] = adds
             m["operation"] = f"add_column({name})"
+            m["epoch_id"] = None
             m["lineage"] = []
             try:
                 return self._commit(m, base)
@@ -3034,6 +3127,7 @@ class LakeTable:
             drops[str(new_id)] = [name]
             m["drops"] = drops
             m["operation"] = f"drop_column({name})"
+            m["epoch_id"] = None
             m["lineage"] = []
             try:
                 return self._commit(m, base)

@@ -228,6 +228,52 @@ def test_apply_with_rollup_recovers_after_partial_crash(spark, tmp_path):
     assert (main.current_version(), roll.current_version()) == (v_main, v_roll)
 
 
+def test_rollup_recovery_skips_interleaved_metadata_commits(spark, tmp_path):
+    """Crash recovery x metadata-only commits: checkpoint()/rename_column()
+    land BETWEEN the main merge and the rollup replay. Those commits must
+    record epoch_id=None — if they carried the data commit's epoch_id
+    forward (the copied-manifest hazard), epoch_commit_version would
+    resolve the epoch to the METADATA commit and the recovery CDF would
+    diff a no-change window, silently losing the epoch from the rollup."""
+    from airbyte_destination_spark.operators.incremental import (
+        RollupSpec,
+        apply_with_rollup,
+    )
+    from airbyte_destination_spark.streaming.pipeline import apply_change_batch
+
+    main = LakeTable(str(tmp_path / "main"))
+    roll = LakeTable(str(tmp_path / "roll"))
+    spec = RollupSpec(["dim"], {"sv": "v"})
+    cfg = _cfg()
+    apply_with_rollup(
+        main, roll,
+        _ing_batch(spark, [(1, 1, "a", 1.0, "U"), (2, 1, "b", 2.0, "U")]),
+        "job-0", cfg, spec,
+    )
+    # crash window: epoch job-1 lands on MAIN only ...
+    b1 = _ing_batch(spark, [(1, 2, "b", 9.0, "U"), (3, 2, "a", 4.0, "U")])
+    apply_change_batch(main, b1, "job-1", cfg)
+    v_data = main.epoch_commit_version("job-1")
+    # ... and maintenance interleaves metadata-only commits before replay
+    main.checkpoint()
+    main.add_column("extra", T.StringType())
+    main.rename_column("extra", "extra2")
+    main.drop_column("extra2")
+    # the epoch still resolves to its real DATA commit, not the metadata tail
+    assert main.epoch_commit_version("job-1") == v_data
+    stats = apply_with_rollup(main, roll, b1, "job-1", cfg, spec)
+    assert stats.skipped
+    maintained = {
+        r.dim: (r.n_rows, r.sv)
+        for r in roll.read(spark).select("dim", "n_rows", "sv").collect()
+    }
+    direct = {
+        r.dim: (r.n_rows, r.sv)
+        for r in rollup_snapshot(main.read(spark), ["dim"], {"sv": "v"}).collect()
+    }
+    assert maintained == direct == {"a": (1, 4.0), "b": (2, 11.0)}
+
+
 def test_stream_ingest_maintains_rollup(spark, tmp_path):
     """End-to-end: Structured Streaming ingest with a derived rollup —
     after the stream drains, the rollup equals a recompute."""

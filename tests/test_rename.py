@@ -375,3 +375,87 @@ def test_drop_fails_stale_stream(spark, tmp_path):
     sr = LakeChangesStreamReader(t, wide, 0)
     with pytest.raises(RuntimeError, match="restart the stream"):
         sr.partitions({"version": 0}, {"version": t.current_version()})
+
+
+def test_prior_life_cols_preimages_through_renames():
+    from airbyte_destination_spark.lake.table import _prior_life_cols
+
+    # file sid 2 wrote column x; x->y at t3; y dropped at t4; y re-added
+    # at t5 -> the prior life of the NEW y lives on disk as x
+    ren = {"3": {"x": "y"}}
+    adds = {"5": ["y"]}
+    assert _prior_life_cols(ren, adds, "2") == ["x"]
+    # a file written AFTER the rename has the column as y on disk
+    assert _prior_life_cols(ren, adds, "3") == ["y"]
+    # files at/after the add carry the real column — nothing to drop
+    assert _prior_life_cols(ren, adds, "5") == []
+    assert _prior_life_cols(None, None, "1") == []
+
+
+def test_drop_readd_rename_does_not_resurface_under_new_name(spark, tmp_path):
+    """ADVICE hazard (a): drop lang; add_column lang; rename lang->language.
+    Old files still physically carry the dropped column's bytes; the
+    composed rename map must NOT relabel them into `language` — the
+    prior-life force-drop has to run BEFORE the rename projection, in
+    the file's on-disk namespace."""
+    from airbyte_destination_spark.lake.datasource import LakeChangesDataSource
+
+    spark.dataSource.register(LakeChangesDataSource)
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", "STALE"), ("b", [2], 6, "U", "STALE")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+        ),
+        epoch_id="e-lang",
+    )
+    t.drop_column("lang")
+    t.add_column("lang", T.StringType(), initial_default="und")
+    t.rename_column("lang", "language")
+    got = {r.doc_id: r.language for r in t.read(spark).collect()}
+    assert got == {"a": "und", "b": "und"}  # NOT "STALE"
+    t.merge(
+        spark.createDataFrame(
+            [("c", [3], 7, "I", "en")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, language string",
+        ),
+        epoch_id="e-new",
+    )
+    got = {r.doc_id: r.language for r in t.read(spark).collect()}
+    assert got == {"a": "und", "b": "und", "c": "en"}
+    # the change feed must not resurface the prior life either
+    rows = (
+        spark.read.format("lake_changes").option("path", t.root).load().collect()
+    )
+    assert "STALE" not in {r.language for r in rows}
+    # nor the rescale (map-only split) read path
+    r, calls = {"published": False}, 0
+    while not r["published"]:
+        r = t.split_buckets(spark, factor=2)
+        calls += 1
+        assert calls <= 5
+    got = {r_.doc_id: r_.language for r_ in t.read(spark).collect()}
+    assert got == {"a": "und", "b": "und", "c": "en"}
+
+
+def test_rename_onto_dropped_name_rejected(spark, tmp_path):
+    """ADVICE hazard (b): renaming onto a previously dropped name would
+    collide with the dropped column's prior-life bytes in old files
+    (two same-named columns in the read projection). Only add_column()
+    may reuse the name."""
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", "x")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, lang string",
+        ),
+        epoch_id="e-lang",
+    )
+    t.drop_column("lang")
+    with pytest.raises(ValueError, match="previously dropped"):
+        t.rename_column("tokens", "lang")
+    # add_column remains the sanctioned path, and renaming the
+    # re-added column away is then fine
+    t.add_column("lang", T.StringType())
+    t.rename_column("lang", "language")
+    assert "language" in t.read(spark).columns

@@ -93,7 +93,12 @@ def test_split_plan_is_map_only(spark, tmp_table_root):
     by_group = {}
     for b in range(m["n_buckets"]):
         for e in m["buckets"].get(str(b), []):
-            key = (str(e["schema_id"]), int(e.get("cv", 0)), bool(e.get("base")))
+            key = (
+                str(e["schema_id"]),
+                int(e.get("cv", 0)),
+                bool(e.get("base")),
+                bool(e.get("stored_cv")),
+            )
             by_group.setdefault(key, []).append(os.path.join(t.root, e["path"]))
     plan = t._split_plan(spark, m, by_group, target, m["n_buckets"] * 2)
     assert plan is not None

@@ -127,6 +127,33 @@ def test_cms_state_bounded_and_sum_mergeable(spark):
     assert diff == 0
 
 
+def test_cms_distinct_weighted_equals_per_instance_grid(spark):
+    """The md5-volume optimization: hashing only DISTINCT values with
+    count-weighted increments must produce the IDENTICAL counter grid
+    to hashing every instance (sum of weights = sum of instances)."""
+    df = _zipf_df(spark)
+    optimized = cms_state(df, "v", ["g"])
+    # reference: per-instance grid, computed inline the pre-optimization way
+    from airbyte_destination_spark.functions.sketch import CMS_D, cms_index
+
+    idxs = F.array(*[cms_index(F.col("v"), i) for i in range(CMS_D)])
+    per_instance = (
+        df.select("g", F.posexplode(idxs).alias("row_i", "idx"))
+        .groupBy("g", "row_i", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    diff = (
+        optimized.join(per_instance, ["g", "row_i", "idx"], "full")
+        .where(
+            optimized["c"].isNull()
+            | per_instance["c"].isNull()
+            | (optimized["c"] != per_instance["c"])
+        )
+        .count()
+    )
+    assert diff == 0
+
+
 def test_cms_absent_probe_estimates_small(spark):
     df = _zipf_df(spark)
     state = cms_state(df, "v", [])

@@ -158,3 +158,45 @@ def test_noop_when_no_qualifying_run(spark, tmp_path):
     t.create(SCHEMA, ["doc_id"], "v", n_buckets=1, merge_strategy="mor")
     t.merge(_batch(spark, [("A", 1, "x", "U")]), epoch_id="e-0")
     assert t.compact_tiered(spark, min_run=4) is None
+
+
+def test_rescale_preserves_stored_cv_version_ties(spark, tmp_path):
+    """compact_tiered x split_buckets: the rescale re-cut must carry
+    tiered output's per-row _cv column VERBATIM (and re-emit entries
+    with stored_cv=True), never re-stamp rows with the entry's own cv.
+    The entry cv is the COMPACTION's commit version — higher than the
+    unmerged cv-4 delta — so a re-stamp would let the stale cv-3 row
+    outrank the cv-4 winner after publish (the exact reorder hazard
+    stored_cv exists to prevent, now across the rescale boundary)."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(SCHEMA, ["doc_id"], "v", n_buckets=2, merge_strategy="mor")
+    t.merge(_batch(spark, [("A", 5, "x", "U")]), epoch_id="e-0")  # cv 2
+    t.merge(_batch(spark, [("A", 5, "y", "U")]), epoch_id="e-1")  # cv 3
+    big = [("A", 5, "z", "U")] + [
+        (f"pad{i}", 1, "p" * 64, "U") for i in range(4000)
+    ]
+    t.merge(_batch(spark, big), epoch_id="e-2")                   # cv 4
+    res = t.compact_tiered(spark, min_run=2, tier_factor=4.0)
+    assert res is not None
+    assert any(
+        e.get("stored_cv")
+        for fs in t.manifest()["buckets"].values()
+        for e in fs
+    )
+    assert _visible(t, spark)["A"] == (5, "z")
+
+    r, calls = {"published": False}, 0
+    while not r["published"]:
+        r = t.split_buckets(spark, factor=2)
+        calls += 1
+        assert calls <= 5
+    m = t.manifest(t.current_version())
+    assert m["n_buckets"] == 4 and m["operation"] == "rescale"
+    # stored entries survived the split as stored entries
+    assert any(
+        e.get("stored_cv") for fs in m["buckets"].values() for e in fs
+    )
+    # and the version tie still resolves to the cv-4 winner
+    assert _visible(t, spark)["A"] == (5, "z")
+    # full state intact (spot: the pads survived the re-cut)
+    assert len(_visible(t, spark)) == 4001
