@@ -32,6 +32,24 @@ from pyspark.sql import types as T
 
 SF0001 = "/root/testdata/sf0.001"
 
+_SESSION_TMP: list[str] = []
+
+
+def _mkdtemp(prefix: str) -> str:
+    """Session-scoped scratch dirs for the engine-replay queries: every
+    allocation lives under ONE per-process root that an atexit hook
+    removes, so repeated `queries()` invocations in a driver session
+    never leak orphan temp dirs (they previously piled up one
+    mkdtemp per replay per invocation)."""
+    if not _SESSION_TMP:
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="spark-entry-session-")
+        _SESSION_TMP.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SESSION_TMP[0])
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -101,7 +119,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from airbyte_destination_spark.streaming.pipeline import IngestConfig, run_ingest_batches
 
     # scale with sf0.001-ish volume; deterministic seed
-    work = tempfile.mkdtemp(prefix="flagship-")
+    work = _mkdtemp("flagship-")
     dirs = write_change_log(spark, f"{work}/log", 6000, 400, n_batches=3, seed=42)
     table = LakeTable(f"{work}/table")
     run_ingest_batches(spark, dirs, table, IngestConfig(n_buckets=16))
@@ -260,7 +278,7 @@ def q_cdc_engine_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.streaming.pipeline import IngestConfig
     from airbyte_destination_spark.streaming.txn import apply_txn_log
 
-    table = LakeTable(tempfile.mkdtemp(prefix="engine-txn-") + "/t")
+    table = LakeTable(_mkdtemp("engine-txn-") + "/t")
     cfg = IngestConfig(key_cols=["doc_key"], version_col="change_lsn", n_buckets=16)
     log = _txn_log(spark, sf_dir)
     # the final state is cap-independent (the plan query pins the exact
@@ -290,7 +308,7 @@ def q_cdc_engine_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.lake import LakeTable
     from airbyte_destination_spark.lake.txn_catalog import TxnCatalog
 
-    root = tempfile.mkdtemp(prefix="txncat-")
+    root = _mkdtemp("txncat-")
     base = LakeTable(root + "/base")
     base.create(
         T.StructType(
@@ -387,7 +405,7 @@ def _engine_replay(
 
     log = _cdc_events(spark, sf_dir)
     lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-    table = LakeTable(tempfile.mkdtemp(prefix=f"engine-{strategy}-") + "/t")
+    table = LakeTable(_mkdtemp(f"engine-{strategy}-") + "/t")
     schema = T.StructType(
         [
             T.StructField("doc_key", T.LongType(), False),
@@ -456,7 +474,7 @@ def q_cdc_engine_sharded_final_state(spark: SparkSession, sf_dir: str) -> DataFr
             shard_change_log,
         )
 
-        root = tempfile.mkdtemp(prefix="engine-sharded-")
+        root = _mkdtemp("engine-sharded-")
         log = _cdc_events(spark, sf_dir)
         shard_change_log(spark, log, root + "/shards", 4, key_col="doc_key")
         table = LakeTable(root + "/t")
@@ -494,7 +512,7 @@ def q_cdc_engine_tiered_final_state(spark: SparkSession, sf_dir: str) -> DataFra
 
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-tiered-") + "/t")
+        table = LakeTable(_mkdtemp("engine-tiered-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -543,7 +561,7 @@ def q_cdc_engine_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-wap-") + "/t")
+        table = LakeTable(_mkdtemp("engine-wap-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -620,7 +638,7 @@ def q_cdc_engine_expire_final_state(spark: SparkSession, sf_dir: str) -> DataFra
 
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-expire-") + "/t")
+        table = LakeTable(_mkdtemp("engine-expire-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -679,7 +697,7 @@ def q_cdc_engine_purge_final_state(spark: SparkSession, sf_dir: str) -> DataFram
 
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-purge-") + "/t")
+        table = LakeTable(_mkdtemp("engine-purge-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -728,7 +746,7 @@ def q_cdc_engine_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFra
 
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-rename-") + "/t")
+        table = LakeTable(_mkdtemp("engine-rename-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -775,7 +793,7 @@ def q_cdc_engine_default_final_state(spark: SparkSession, sf_dir: str) -> DataFr
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-default-") + "/t")
+        table = LakeTable(_mkdtemp("engine-default-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -829,7 +847,7 @@ def q_cdc_engine_readd_final_state(spark: SparkSession, sf_dir: str) -> DataFram
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-readd-") + "/t")
+        table = LakeTable(_mkdtemp("engine-readd-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -898,7 +916,7 @@ def q_cdc_engine_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
         step = max((hi - lo) // 3 + 1, 1)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-snapsync-") + "/t")
+        table = LakeTable(_mkdtemp("engine-snapsync-") + "/t")
         schema = T.StructType(
             [
                 T.StructField("doc_key", T.LongType(), False),
@@ -965,7 +983,7 @@ def q_cdc_engine_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
         horizon = lo + (hi - lo) // 4  # retention trimmed the first quartile
         live = log.where(F.col("change_lsn") > horizon)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-bootstrap-") + "/t")
+        table = LakeTable(_mkdtemp("engine-bootstrap-") + "/t")
         cfg = IngestConfig(key_cols=["doc_key"], n_buckets=8, merge_strategy="mor")
         bootstrap_ingest(table, live, log_prefix_chunk_reader(log), cfg, n_chunks=4)
         _REPLAY_CACHE[key] = table
@@ -1059,7 +1077,7 @@ def _token_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_is_u"), F.lit("U")).otherwise(F.lit("D")).alias("op"),
             F.when(F.col("_is_u"), tokens).alias("tokens"),
         )
-        path = tempfile.mkdtemp(prefix="token-log-") + "/log"
+        path = _mkdtemp("token-log-") + "/log"
         out.write.parquet(path)
         _TOKEN_LOG_CACHE[sf_dir] = path
     return spark.read.parquet(_TOKEN_LOG_CACHE[sf_dir])
@@ -1162,7 +1180,7 @@ def q_cdc_engine_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         from airbyte_destination_spark.lake import LakeTable
 
         log = _token_change_log(spark, sf_dir)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-backfill-") + "/t")
+        table = LakeTable(_mkdtemp("engine-backfill-") + "/t")
         table.create(
             T.StructType([f for f in log.schema.fields if f.name != "op"]),
             ["doc_key"],
@@ -1431,7 +1449,7 @@ def q_cdc_engine_hll_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events")
         lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
         step = max((hi - lo) // 3 + 1, 1)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-hllivm-") + "/t")
+        table = LakeTable(_mkdtemp("engine-hllivm-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -1505,7 +1523,7 @@ def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("change_lsn"), F.max("change_lsn")
         ).first()
         step = max((hi - lo) // 3 + 1, 1)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-skewivm-") + "/t")
+        table = LakeTable(_mkdtemp("engine-skewivm-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -1623,7 +1641,7 @@ def q_cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("change_lsn"), F.max("change_lsn")
         ).first()
         step = max((hi - lo) // 3 + 1, 1)
-        root = tempfile.mkdtemp(prefix="engine-qreplay-")
+        root = _mkdtemp("engine-qreplay-")
         cfg = IngestConfig(
             key_cols=["doc_key"],
             version_col="change_lsn",
@@ -1723,7 +1741,7 @@ def q_cdc_engine_hdr_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events")
         lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
         step = max((hi - lo) // 3 + 1, 1)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-hdrivm-") + "/t")
+        table = LakeTable(_mkdtemp("engine-hdrivm-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -1844,7 +1862,7 @@ def q_cdc_engine_partial_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     if key not in _REPLAY_CACHE:
         log = _cdc_partial_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-partial-") + "/t")
+        table = LakeTable(_mkdtemp("engine-partial-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -1925,7 +1943,7 @@ def q_cdc_engine_aggregate_final_state(spark: SparkSession, sf_dir: str) -> Data
     if key not in _REPLAY_CACHE:
         log = _cdc_agg_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-agg-") + "/t")
+        table = LakeTable(_mkdtemp("engine-agg-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -1979,7 +1997,7 @@ def q_cdc_engine_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         lo_id, hi_id = ev.select(F.min("event_id"), F.max("event_id")).first()
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-win-") + "/t")
+        table = LakeTable(_mkdtemp("engine-win-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -2041,7 +2059,7 @@ def q_cdc_engine_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
         )
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-zorder-") + "/t")
+        table = LakeTable(_mkdtemp("engine-zorder-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -2106,7 +2124,7 @@ def q_cdc_engine_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type"
         ).withColumn("change_lsn", F.col("event_id"))
         lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
-        root = tempfile.mkdtemp(prefix="engine-idx-")
+        root = _mkdtemp("engine-idx-")
         base = LakeTable(root + "/t")
         base.create(
             T.StructType(
@@ -2186,7 +2204,7 @@ def q_cdc_engine_ro_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        table = LakeTable(tempfile.mkdtemp(prefix="engine-ro-") + "/t")
+        table = LakeTable(_mkdtemp("engine-ro-") + "/t")
         table.create(
             T.StructType(
                 [
@@ -2260,7 +2278,7 @@ def q_cdc_engine_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _cdc_events(spark, sf_dir)
     lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
     step = max((hi - lo) // 3 + 1, 1)
-    table = LakeTable(tempfile.mkdtemp(prefix="engine-crash-") + "/t")
+    table = LakeTable(_mkdtemp("engine-crash-") + "/t")
     table.create(
         T.StructType(
             [
@@ -2314,7 +2332,7 @@ def q_cdc_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     log = _cdc_events(spark, sf_dir)
     lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
     step = max((hi - lo) // 3 + 1, 1)
-    table = LakeTable(tempfile.mkdtemp(prefix="engine-evolve-") + "/t")
+    table = LakeTable(_mkdtemp("engine-evolve-") + "/t")
     table.create(
         T.StructType(
             [
@@ -2364,7 +2382,7 @@ def q_cdc_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _cdc_events(spark, sf_dir)
     lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
     step = max((hi - lo) // 3 + 1, 1)
-    table = LakeTable(tempfile.mkdtemp(prefix="engine-rollback-") + "/t")
+    table = LakeTable(_mkdtemp("engine-rollback-") + "/t")
     table.create(
         T.StructType(
             [
@@ -2449,7 +2467,7 @@ def q_cdc_engine_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table, _, _ = _engine_replay(spark, sf_dir, "mor")
     spark.dataSource.register(LakeChangesDataSource)
-    work = tempfile.mkdtemp(prefix="changes-stream-")
+    work = _mkdtemp("changes-stream-")
     q = (
         spark.readStream.format("lake_changes")
         .option("path", table.root)
@@ -2561,7 +2579,7 @@ def q_cdc_engine_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         log = _cdc_events(spark, sf_dir)
         lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
         step = max((hi - lo) // 3 + 1, 1)
-        root = tempfile.mkdtemp(prefix="engine-jv-")
+        root = _mkdtemp("engine-jv-")
         fact = LakeTable(root + "/fact")
         fact.create(
             T.StructType(
@@ -3112,7 +3130,7 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.streaming.stateful import sessionize_stream
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    work = tempfile.mkdtemp(prefix="sess-stream-")
+    work = _mkdtemp("sess-stream-")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "100000")  # one data batch
@@ -3151,7 +3169,7 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.streaming.stateful import dedup_stream
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    work = tempfile.mkdtemp(prefix="dedup-stream-")
+    work = _mkdtemp("dedup-stream-")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "100000")
@@ -3787,7 +3805,7 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.streaming.stateful import funnel_stream
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    work = tempfile.mkdtemp(prefix="funnel-stream-")
+    work = _mkdtemp("funnel-stream-")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "100000")  # one data batch
@@ -3869,7 +3887,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, purchases, "user_id", "view_ms", "purchase_ms",
         lookback_ms=21_600_000,
     )
-    work = tempfile.mkdtemp(prefix="ssjoin-")
+    work = _mkdtemp("ssjoin-")
     q = (
         out.writeStream.format("parquet")
         .option("path", f"{work}/out")
@@ -3931,7 +3949,7 @@ def q_cdc_engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _cdc_events(spark, sf_dir)
     lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
-    root = tempfile.mkdtemp(prefix="engine-scd2-")
+    root = _mkdtemp("engine-scd2-")
     table = LakeTable(root + "/t")
     table.create(
         T.StructType(
@@ -4057,7 +4075,7 @@ def q_colocated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         import tempfile
 
-        base = tempfile.mkdtemp(prefix="bucketed-")
+        base = _mkdtemp("bucketed-")
         register_bucketed(
             spark,
             _t(spark, sf_dir, "lineitem").select(
