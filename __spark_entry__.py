@@ -2987,6 +2987,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training op: the REAL media decode path (fake=False) — binary
+    PPM images and RIFF/PCM WAV audio generated deterministically, then
+    decoded by the vendored pure-numpy decoders
+    (functions/multimodal.py decode_ppm/decode_wav). The projection is
+    the header-derived truth (dims / sample counts / payload bytes):
+    the DuckDB oracle recomputes all of it from the generator's id
+    arithmetic, so a header mis-parse or byte-count drift fails the
+    hash. Codec formats (JPEG/PNG/...) remain the declared
+    NotImplementedError boundary."""
+    from airbyte_destination_spark.functions.multimodal import (
+        extract_features,
+        synthetic_real_media,
+    )
+
+    return extract_features(
+        synthetic_real_media(spark, 240, seed=11), fake=False
+    ).select("media_id", "kind", "width", "height", "n_bytes")
+
+
 def q_cdc_debezium_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2 over the Debezium wire format (the public binlog/WAL
     envelope the north rule's 'binlog tail' actually arrives as;
@@ -4204,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "media_frames": q_media_frames,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "cdc_debezium_final_state": q_cdc_debezium_final_state,
         "cdc_orders_final_state": q_cdc_orders_final_state,
         "rollup_daily": q_rollup_daily,
@@ -5983,6 +6004,36 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
             FROM idx
         """,
         "multimodal_features": _multimodal_oracle(),
+        # real decode path: header-derived dims / sample counts /
+        # payload bytes recomputed from the generator's id arithmetic —
+        # PPM n_bytes = 'P6\n{w} {h}\n255\n' header + 3*w*h plane;
+        # WAV n_bytes = 44-byte RIFF/fmt/data headers + 2*n_samples PCM
+        "multimodal_real_decode": """
+            WITH ids AS (SELECT unnest(range(0, 240)) AS i),
+            img AS (
+              SELECT 'm-' || CAST(i AS VARCHAR) AS media_id,
+                     'image' AS kind,
+                     CAST(8 + (i*7 + 11) % 56 AS INT) AS width,
+                     CAST(8 + (i*13 + 11) % 40 AS INT) AS height
+              FROM ids WHERE i % 2 = 0
+            ),
+            aud AS (
+              SELECT 'm-' || CAST(i AS VARCHAR) AS media_id,
+                     'audio' AS kind,
+                     CAST(256 + (i*31 + 11) % 1024 AS INT) AS width,
+                     CAST(1 AS INT) AS height
+              FROM ids WHERE i % 2 = 1
+            )
+            SELECT media_id, kind, width, height,
+                   CAST(9 + length(CAST(width AS VARCHAR))
+                          + length(CAST(height AS VARCHAR))
+                          + 3 * width * height AS INT) AS n_bytes
+            FROM img
+            UNION ALL
+            SELECT media_id, kind, width, height,
+                   CAST(44 + 2 * width AS INT) AS n_bytes
+            FROM aud
+        """,
         "media_frames": _media_frames_oracle(),
         "char_entropy": r"""
             WITH chars AS (

@@ -646,3 +646,78 @@ def test_token_block_dedup_ownership_no_window_partial_agg(spark):
     plan = executed_plan(token_block_dedup(df, block_tokens=4))
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_real_decode_ppm_wav_roundtrip(spark):
+    """The REAL decode path (fake=False): PPM/WAV payloads built by the
+    encoders decode back to exact header dims; checksum/feature come
+    from the DECODED arrays (pinned against a local numpy recompute);
+    a codec payload raises the declared NotImplementedError."""
+    import hashlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from airbyte_destination_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+    )
+
+    px = (np.arange(12 * 9 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    px = px.reshape(9, 12, 3)  # h=9, w=12
+    ppm = encode_ppm(px)
+    assert (decode_ppm(ppm) == px).all()
+    wave = (np.sin(np.arange(500) / 5.0) * 10000).astype(np.int16)
+    wav = encode_wav(wave, sample_rate=8000)
+    rate, back = decode_wav(wav)
+    assert rate == 8000 and (back[:, 0] == wave).all()
+
+    rows = [
+        ("img", "image", ppm, {"source": "t"}),
+        ("aud", "audio", wav, {"source": "t"}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(df, fake=False).collect()}
+    assert (got["img"].width, got["img"].height) == (12, 9)
+    assert (got["aud"].width, got["aud"].height) == (500, 1)
+    flat = px.astype(np.float32).ravel()
+    assert got["img"].checksum == hashlib.sha256(flat.tobytes()).hexdigest()[:16]
+    pad = (-flat.size) % 8
+    want = np.pad(flat, (0, pad)).reshape(8, -1).mean(axis=1) / 255.0
+    assert np.allclose(got["img"].feature, want, atol=1e-6)
+
+    bad = spark.createDataFrame(
+        [("j", "image", b"\xff\xd8\xff\xe0JFIF....", {"source": "t"})],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="PPM.*WAV|fake=True"):
+        extract_features(bad, fake=False).collect()
+
+
+def test_resize_nearest_exact_pixels(spark):
+    """resize_nearest is a real image op: nearest-neighbor index map,
+    pinned pixel-for-pixel against the numpy reference."""
+    import numpy as np
+
+    from airbyte_destination_spark.functions.multimodal import (
+        decode_ppm,
+        resize_nearest,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, 10, seed=7)
+    out = {r.media_id: r for r in resize_nearest(media, 8, 6).collect()}
+    assert set(out) == {f"m-{i}" for i in range(0, 10, 2)}  # images only
+    src = {r.media_id: bytes(r.content) for r in media.collect()}
+    for mid, r in out.items():
+        px = decode_ppm(src[mid])
+        h, w, _ = px.shape
+        yi = (np.arange(6) * h) // 6
+        xi = (np.arange(8) * w) // 8
+        want = px[yi[:, None], xi[None, :]]
+        got = decode_ppm(bytes(r.content))
+        assert got.shape == (6, 8, 3) and (got == want).all()
