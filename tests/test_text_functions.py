@@ -134,11 +134,15 @@ def test_multimodal_plumbing(spark):
     assert frames.where("frame_idx < 0").count() == 0
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_codec_formats_are_declared_boundary(spark):
+    """fake=False is REAL for PPM/WAV (round 5); payloads in any other
+    format (synthetic_media's sha256-text bytes stand in for
+    JPEG/MP3/...) still raise the declared NotImplementedError — now at
+    execution, per payload, from inside the Arrow batch."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        extract_features(synthetic_media(spark, 1), fake=False)
+    with pytest.raises(Exception, match="PPM|fake=True|NotImplemented"):
+        extract_features(synthetic_media(spark, 1), fake=False).collect()
 
 
 def test_rolling_fingerprint_order_sensitive(spark):
