@@ -125,3 +125,124 @@ def test_debezium_roundtrip_matches_direct_path(spark, events, wrap_mod):
     assert set(got) == set(expected)
     for k, (op, lsn) in expected.items():
         assert got[k] == (lsn, [lsn % 7])
+
+
+evolution_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # op selector (weighted)
+        st.integers(min_value=0, max_value=5),  # param a
+        st.integers(min_value=0, max_value=2),  # param b
+    ),
+    min_size=4,
+    max_size=12,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=evolution_ops)
+def test_random_evolution_matches_model(spark, tmp_path_factory, ops):
+    """Model-based fuzz of the round-4/5 evolution machinery: a random
+    legal sequence of merge / add_column(default) / drop_column /
+    rename_column / checkpoint / compact / split_buckets against a pure
+    Python model of Iceberg-style column-lineage semantics (values
+    live with the LINEAGE, not the name; a row reads a column's value
+    iff its LWW winner was written while that lineage was alive, else
+    the lineage's initial default; dropped prior lives never
+    resurface under any later name)."""
+    from airbyte_destination_spark.lake import LakeTable
+
+    tmp = tmp_path_factory.mktemp("evo")
+    t = LakeTable(str(tmp / "t"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("ver", T.LongType(), False),
+            ]
+        ),
+        ["doc_id"],
+        "ver",
+        n_buckets=2,
+        merge_strategy="mor",
+    )
+    pool = ["c1", "c2", "c3"]
+    keys = [f"k{i}" for i in range(6)]
+    # model state
+    lineages = []  # [lid, name, default, birth_op] for ALIVE lineages
+    next_lid = [0]
+    rows = {}  # key -> {"last": opi, "vals": {lid: value}}
+
+    for opi, (code, a, b) in enumerate(ops, start=1):
+        if code <= 3:  # merge (weighted heaviest)
+            batch_keys = [k for i, k in enumerate(keys) if (i + a) % 3 != b]
+            if not batch_keys:
+                continue
+            cols = "doc_id string, ver long, op string" + "".join(
+                f", {name} string" for _, name, _, _ in lineages
+            )
+            data = [
+                tuple(
+                    [k, opi, "U"]
+                    + [f"{k}.{opi}.{name}" for _, name, _, _ in lineages]
+                )
+                for k in batch_keys
+            ]
+            t.merge(spark.createDataFrame(data, cols), epoch_id=f"e{opi}")
+            for k in batch_keys:
+                st_ = rows.setdefault(k, {"last": 0, "vals": {}})
+                st_["last"] = opi
+                for lid, name, _, _ in lineages:
+                    st_["vals"][lid] = f"{k}.{opi}.{name}"
+        elif code <= 5:  # add_column, possibly reusing a dropped name
+            free = [n for n in pool if n not in {x[1] for x in lineages}]
+            if not free:
+                continue
+            name = free[a % len(free)]
+            default = f"d{opi}" if b else None
+            t.add_column(name, T.StringType(), initial_default=default)
+            lineages.append([next_lid[0], name, default, opi])
+            next_lid[0] += 1
+        elif code == 6:  # drop_column
+            if not lineages:
+                continue
+            target = lineages[a % len(lineages)]
+            t.drop_column(target[1])
+            lineages.remove(target)
+        elif code == 7:  # rename to a fresh, never-used name
+            if not lineages:
+                continue
+            target = lineages[a % len(lineages)]
+            new = f"r{opi}"
+            t.rename_column(target[1], new)
+            target[1] = new
+        elif code == 8:  # metadata checkpoint or full compact
+            if b:
+                t.checkpoint()
+            else:
+                t.compact(spark, min_files=1)
+        else:  # rescale: zero-shuffle bucket split campaign
+            r = {"published": False}
+            n = 0
+            while not r["published"]:
+                r = t.split_buckets(spark, factor=2, campaign_id=f"c{opi}")
+                n += 1
+                assert n <= 6
+
+    got = {
+        r["doc_id"]: {k: v for k, v in r.asDict().items() if k not in ("doc_id", "ver")}
+        for r in t.read(spark).collect()
+    }
+    expected = {}
+    for k, st_ in rows.items():
+        row = {}
+        for lid, name, default, birth in lineages:
+            row[name] = (
+                st_["vals"].get(lid) if st_["last"] >= birth else default
+            )
+        expected[k] = row
+    assert got == expected
