@@ -220,11 +220,13 @@ def test_random_evolution_matches_model(spark, tmp_path_factory, ops):
             new = f"r{opi}"
             t.rename_column(target[1], new)
             target[1] = new
-        elif code == 8:  # metadata checkpoint or full compact
-            if b:
+        elif code == 8:  # checkpoint / full compact / tiered compact
+            if b == 0:
+                t.compact(spark, min_files=1)
+            elif b == 1:
                 t.checkpoint()
             else:
-                t.compact(spark, min_files=1)
+                t.compact_tiered(spark, min_run=2, tier_factor=8.0)
         else:  # rescale: zero-shuffle bucket split campaign
             r = {"published": False}
             n = 0
