@@ -142,3 +142,59 @@ def test_txn_epoch_spanning_base_evolution(spark, tmp_path):
     cat.apply_epoch("e1", {"base": (base, b1), "roll": (roll, r1)})
     assert (base.current_version(), roll.current_version()) == before
     assert {r.k: (r.v, r.label) for r in base.read(spark).collect()} == got
+
+
+def test_wap_publish_conflicts_with_interleaved_evolution(spark, tmp_path):
+    """A schema evolution landing between a WAP stage and its publish
+    must follow the WAP retry discipline: publish raises
+    CommitConflict (the staged rewrite was computed against a manifest
+    that no longer exists), abort leaves zero residue, and the
+    re-stage merges cleanly against the evolved schema — with the
+    dropped column's prior life never resurfacing through the staged
+    read or the published state."""
+    from airbyte_destination_spark.lake import LakeTable
+    from airbyte_destination_spark.lake.table import CommitConflict
+
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("change_lsn", T.LongType(), False),
+                T.StructField("lang", T.StringType(), True),
+            ]
+        ),
+        ["doc_id"], "change_lsn", n_buckets=2, merge_strategy="mor",
+    )
+    S = "doc_id string, change_lsn long, lang string, op string"
+    t.merge(spark.createDataFrame([("a", 1, "STALE", "I")], S), epoch_id="w0")
+    t.merge(
+        spark.createDataFrame([("b", 2, "fr", "I")], S),
+        epoch_id="w1", stage="release-x",
+    )
+    # evolution races in between stage and publish
+    t.drop_column("lang")
+    t.add_column("lang", T.StringType(), initial_default="und")
+    t.rename_column("lang", "language")
+
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        t.publish("release-x")
+    t.abort("release-x")
+    assert t.staged_ids() == []
+    assert not t.is_epoch_applied("w1")
+
+    # re-stage against the evolved schema, then publish
+    t.merge(
+        spark.createDataFrame(
+            [("b", 2, "fr", "I")],
+            "doc_id string, change_lsn long, language string, op string",
+        ),
+        epoch_id="w1", stage="release-x2",
+    )
+    staged = {r.doc_id: r.language for r in t.read_staged(spark, "release-x2").collect()}
+    assert staged == {"a": "und", "b": "fr"}  # no STALE anywhere
+    t.publish("release-x2")
+    got = {r.doc_id: r.language for r in t.read(spark).collect()}
+    assert got == {"a": "und", "b": "fr"}
