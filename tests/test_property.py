@@ -178,26 +178,32 @@ def test_random_evolution_matches_model(spark, tmp_path_factory, ops):
     rows = {}  # key -> {"last": opi, "vals": {lid: value}}
 
     for opi, (code, a, b) in enumerate(ops, start=1):
-        if code <= 3:  # merge (weighted heaviest)
+        if code <= 3:  # merge (weighted heaviest), with LWW deletes
             batch_keys = [k for i, k in enumerate(keys) if (i + a) % 3 != b]
             if not batch_keys:
                 continue
+            dele = {k for i, k in enumerate(batch_keys) if (i + opi) % 4 == 0}
             cols = "doc_id string, ver long, op string" + "".join(
                 f", {name} string" for _, name, _, _ in lineages
             )
             data = [
                 tuple(
-                    [k, opi, "U"]
-                    + [f"{k}.{opi}.{name}" for _, name, _, _ in lineages]
+                    [k, opi, "D" if k in dele else "U"]
+                    + [
+                        None if k in dele else f"{k}.{opi}.{name}"
+                        for _, name, _, _ in lineages
+                    ]
                 )
                 for k in batch_keys
             ]
             t.merge(spark.createDataFrame(data, cols), epoch_id=f"e{opi}")
             for k in batch_keys:
-                st_ = rows.setdefault(k, {"last": 0, "vals": {}})
+                st_ = rows.setdefault(k, {"last": 0, "vals": {}, "dead": False})
                 st_["last"] = opi
-                for lid, name, _, _ in lineages:
-                    st_["vals"][lid] = f"{k}.{opi}.{name}"
+                st_["dead"] = k in dele
+                if k not in dele:
+                    for lid, name, _, _ in lineages:
+                        st_["vals"][lid] = f"{k}.{opi}.{name}"
         elif code <= 5:  # add_column, possibly reusing a dropped name
             free = [n for n in pool if n not in {x[1] for x in lineages}]
             if not free:
@@ -241,6 +247,8 @@ def test_random_evolution_matches_model(spark, tmp_path_factory, ops):
     }
     expected = {}
     for k, st_ in rows.items():
+        if st_["dead"]:
+            continue  # LWW tombstone wins: key invisible
         row = {}
         for lid, name, default, birth in lineages:
             row[name] = (
