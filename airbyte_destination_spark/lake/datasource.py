@@ -54,10 +54,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import types as T
 
-from airbyte_destination_spark.lake.table import (
-    _compose_renames,
-    _prior_life_cols,
-)
+from airbyte_destination_spark.lake.table import _file_column_maps
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -192,6 +189,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         renames_end = m_end.get("renames")
         defaults_end = m_end.get("defaults") or {}
         adds_end = m_end.get("adds") or {}
+        drops_end = m_end.get("drops") or {}
         names_end = (
             {
                 f["name"]
@@ -261,13 +259,15 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     # old on-disk names; the composed map (from this
                     # commit's cumulative renames) re-labels them
                     # before name-based alignment executor-side
-                    ren = _compose_renames(renames_end, str(e["schema_id"]))
-                    # prior-life names in the file's ON-DISK (pre-
-                    # rename) namespace — the executor drops them
-                    # BEFORE applying the rename map, so stale bytes
-                    # can't be relabeled into the current namespace
-                    prior = _prior_life_cols(
-                        renames_end, adds_end, str(e["schema_id"])
+                    # lineage-aware maps: renames that apply to THIS
+                    # file's columns, plus the prior-life (dead
+                    # lineage) names in the file's ON-DISK namespace —
+                    # the executor drops the latter BEFORE applying
+                    # the rename map, so stale bytes can't be
+                    # relabeled into the current namespace
+                    ren, prior = _file_column_maps(
+                        renames_end, adds_end, drops_end,
+                        str(e["schema_id"]),
                     )
                     parts.append(
                         _FilePartition(

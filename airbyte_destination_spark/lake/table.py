@@ -240,60 +240,72 @@ def _delta_record(base: dict, full: dict) -> dict:
     return d
 
 
-def _compose_renames(
-    renames: dict | None, sid: str, until: int | None = None
-) -> dict[str, str]:
-    """Composed original→current column-name mapping for a file written
-    under schema id `sid`, across every rename transition recorded
-    AFTER it (manifest key `renames`: {new_schema_id: {old: new}}).
-    Chains compose (a→b then b→c maps a→c) and freed names may be
-    reused (a→b then c→a yields the simultaneous map {a: b, c: a} —
-    appliers must rename in ONE projection, not sequentially). With
-    `until`, only transitions strictly BELOW that schema id compose —
-    the mapping into an intermediate historical namespace (used to
-    locate a later add's column as it was named on disk)."""
-    if not renames:
-        return {}
-    cur: dict[str, str] = {}
-    for tid in sorted(renames, key=int):
-        if int(tid) <= int(sid):
-            continue
-        if until is not None and int(tid) >= until:
-            break
-        for o, n in renames[tid].items():
-            src = next((k for k, v in cur.items() if v == o), None)
-            if src is not None:
-                cur[src] = n
-            else:
-                cur[o] = n
-    return {k: v for k, v in cur.items() if k != v}
+def _file_column_maps(
+    renames: dict | None,
+    adds: dict | None,
+    drops: dict | None,
+    sid: str,
+) -> tuple[dict[str, str], list[str]]:
+    """LINEAGE-AWARE column maps for a file written under schema `sid`.
 
+    Returns (ren, dead): `ren` maps the file's ON-DISK column names to
+    their CURRENT names; `dead` is the list of on-disk names whose
+    lineage was DROPPED after sid — their bytes are prior lives that
+    must be force-dropped BEFORE the rename projection runs.
 
-def _prior_life_cols(
-    renames: dict | None, adds: dict | None, sid: str
-) -> list[str]:
-    """ON-DISK (pre-rename) column names in a file written under schema
-    id `sid` whose physical values are a PRIOR LIFE of a column added
-    at a later transition (dropped, then re-added via add_column) —
-    they must be force-dropped from the file BEFORE the rename
-    projection runs, or a rename of the re-added column would relabel
-    the stale bytes into the current namespace and resurface them.
-
-    An add at transition `tid` records its name in the namespace AT
-    `tid`; the same column's on-disk name in this older file is the
-    pre-image of that name under the rename transitions in (sid, tid)."""
-    if not adds:
-        return []
-    out: list[str] = []
-    for tid, names in adds.items():
-        if int(tid) <= int(sid):
-            continue
-        ren = _compose_renames(renames, sid, until=int(tid))
-        for n in names:
-            src = next((k for k, v in ren.items() if v == n), n)
-            if src not in out:
-                out.append(src)
-    return out
+    Why name-based composition (`_compose_renames`) is not enough for
+    files: a rename transition names its source column by NAME, but a
+    name can change owners — after `rename c->r; add_column c`, a later
+    `rename c->x` applies to the NEW c lineage, not to the file's
+    on-disk c (which is still alive as r). The soak-found round-5
+    regression: blind composition chained the old file's c through the
+    new lineage's rename (c->r overwritten by c->x), relabeling live
+    bytes into a foreign (possibly dropped) name. This walk replays
+    rename/add/drop transitions in schema-id order, tracking which
+    names are owned by post-sid ADD lineages (`foreign`) — renames of
+    foreign names never touch the file's columns — and marking file
+    lineages killed by drops as `dead`."""
+    events: list[tuple[int, str, object]] = []
+    for tid, mp in (renames or {}).items():
+        if int(tid) > int(sid):
+            events.append((int(tid), "r", mp))
+    for tid, names in (adds or {}).items():
+        if int(tid) > int(sid):
+            events.append((int(tid), "a", names))
+    for tid, names in (drops or {}).items():
+        if int(tid) > int(sid):
+            events.append((int(tid), "d", names))
+    cur: dict[str, str | None] = {}  # on-disk name -> current name
+    foreign: set[str] = set()  # names owned by post-sid add lineages
+    dead: list[str] = []
+    for _, kind, payload in sorted(events, key=lambda e: e[0]):
+        if kind == "a":
+            for n in payload:
+                foreign.add(n)
+        elif kind == "d":
+            for n in payload:
+                if n in foreign:
+                    foreign.discard(n)
+                else:
+                    src = next(
+                        (k for k, v in cur.items() if v == n), n
+                    )
+                    if src not in dead:
+                        dead.append(src)
+                    cur[src] = None
+        else:  # rename {old: new}
+            for old, new in payload.items():
+                if old in foreign:
+                    foreign.discard(old)
+                    foreign.add(new)
+                    continue
+                src = next((k for k, v in cur.items() if v == old), None)
+                if src is not None:
+                    cur[src] = new
+                elif old not in dead:
+                    cur[old] = new
+    ren = {k: v for k, v in cur.items() if v is not None and k != v}
+    return ren, dead
 
 
 def _resolve_delta(parent: dict, d: dict) -> dict:
@@ -1811,18 +1823,14 @@ class LakeTable:
                 + ([cv_field] if stored else [])
             )
             df = spark.read.schema(fsch).parquet(*paths)
-            stale_cols = [
-                c
-                for c in _prior_life_cols(
-                    m.get("renames"), m.get("adds"), sid
-                )
-                if c in df.columns
-            ]
+            ren, dead = _file_column_maps(
+                m.get("renames"), m.get("adds"), m.get("drops"), sid
+            )
+            stale_cols = [c for c in dead if c in df.columns]
             if stale_cols:
                 # prior-life force-drop BEFORE the rename projection
                 # (on-disk names) — see _read_buckets
                 df = df.drop(*stale_cols)
-            ren = _compose_renames(m.get("renames"), sid)
             if ren:
                 df = df.select(
                     *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
@@ -2185,22 +2193,17 @@ class LakeTable:
                 + ([cv_field] if stored else [])
             )
             df = spark.read.schema(file_schema).parquet(*paths)
-            stale_cols = [
-                c
-                for c in _prior_life_cols(
-                    m.get("renames"), m.get("adds"), sid
-                )
-                if c in df.columns
-            ]
+            ren, dead = _file_column_maps(
+                m.get("renames"), m.get("adds"), m.get("drops"), sid
+            )
+            stale_cols = [c for c in dead if c in df.columns]
             if stale_cols:
-                # the file predates an add_column of this name: its
-                # values are a prior life (dropped, later re-added) —
-                # force-dropped BEFORE the rename projection, keyed by
-                # on-disk names, so a rename of the re-added column
-                # can never relabel the stale bytes into the current
-                # namespace
+                # the file lineage of these on-disk columns was DROPPED
+                # after the file was written: the values are a prior
+                # life — force-dropped BEFORE the rename projection, so
+                # no later rename/re-add can relabel the stale bytes
+                # into the current namespace
                 df = df.drop(*stale_cols)
-            ren = _compose_renames(m.get("renames"), sid)
             if ren:
                 # ONE projection (not sequential renames): the composed
                 # map may reuse freed names (a->b with c->a)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airbyte_destination_spark.lake import LakeTable
-from airbyte_destination_spark.lake.table import _compose_renames
+from airbyte_destination_spark.lake.table import _file_column_maps
 
 SCHEMA = T.StructType(
     [
@@ -32,16 +32,45 @@ def _mk(spark, tmp_path, strategy="mor"):
     return t
 
 
-def test_compose_renames_chains_and_reuse():
+def test_file_column_maps_chains_reuse_and_lineages():
     ren = {"3": {"x": "y"}, "5": {"y": "z"}, "7": {"w": "y"}}
     # file written under schema 2: x chased through y to z, w takes y
-    assert _compose_renames(ren, "2") == {"x": "z", "w": "y"}
+    assert _file_column_maps(ren, None, None, "2") == ({"x": "z", "w": "y"}, [])
     # file written under schema 4 has y (post first rename), w
-    assert _compose_renames(ren, "4") == {"y": "z", "w": "y"}
+    assert _file_column_maps(ren, None, None, "4") == ({"y": "z", "w": "y"}, [])
     # file written under schema 6: only the last transition applies
-    assert _compose_renames(ren, "6") == {"w": "y"}
-    assert _compose_renames(ren, "7") == {}
-    assert _compose_renames(None, "0") == {}
+    assert _file_column_maps(ren, None, None, "6") == ({"w": "y"}, [])
+    assert _file_column_maps(ren, None, None, "7") == ({}, [])
+    assert _file_column_maps(None, None, None, "0") == ({}, [])
+
+
+def test_file_column_maps_lineage_cases():
+    # drop d (t4) then re-add d (t5): the on-disk d is a DEAD lineage
+    assert _file_column_maps(None, {"5": ["d"]}, {"4": ["d"]}, "2") == (
+        {}, ["d"]
+    )
+    # rename x->n (t3), drop n (t4), re-add n (t5): the dead lineage
+    # lives on disk as x — chase the chain
+    assert _file_column_maps(
+        {"3": {"x": "n"}}, {"5": ["n"]}, {"4": ["n"]}, "2"
+    ) == ({}, ["x"])
+    # freed-name reuse (the soak-found round-5 regression): c1 renamed
+    # AWAY to r14 (t3), NEW c1 added (t4), new lineage renamed c1->r16
+    # (t5), r16 dropped (t6), c1 re-added (t7). The sid-2 file's
+    # on-disk c1 is the STILL-ALIVE r14 lineage: it must map c1->r14
+    # and nothing may be force-dropped — blind name composition chained
+    # it into the foreign lineage's rename (c1->r16, then dead).
+    assert _file_column_maps(
+        {"3": {"c1": "r14"}, "5": {"c1": "r16"}},
+        {"4": ["c1"], "7": ["c1"]},
+        {"6": ["r16"]},
+        "2",
+    ) == ({"c1": "r14"}, [])
+    # a file written AFTER the foreign add (sid 4) owns the NEW c1:
+    # its on-disk c1 follows the r16 rename and dies with the drop
+    assert _file_column_maps(
+        {"5": {"c1": "r16"}}, {"7": ["c1"]}, {"6": ["r16"]}, "4"
+    ) == ({}, ["c1"])
 
 
 def test_rename_reads_old_files_and_merges_new_name(spark, tmp_path):
@@ -377,21 +406,6 @@ def test_drop_fails_stale_stream(spark, tmp_path):
         sr.partitions({"version": 0}, {"version": t.current_version()})
 
 
-def test_prior_life_cols_preimages_through_renames():
-    from airbyte_destination_spark.lake.table import _prior_life_cols
-
-    # file sid 2 wrote column x; x->y at t3; y dropped at t4; y re-added
-    # at t5 -> the prior life of the NEW y lives on disk as x
-    ren = {"3": {"x": "y"}}
-    adds = {"5": ["y"]}
-    assert _prior_life_cols(ren, adds, "2") == ["x"]
-    # a file written AFTER the rename has the column as y on disk
-    assert _prior_life_cols(ren, adds, "3") == ["y"]
-    # files at/after the add carry the real column — nothing to drop
-    assert _prior_life_cols(ren, adds, "5") == []
-    assert _prior_life_cols(None, None, "1") == []
-
-
 def test_drop_readd_rename_does_not_resurface_under_new_name(spark, tmp_path):
     """ADVICE hazard (a): drop lang; add_column lang; rename lang->language.
     Old files still physically carry the dropped column's bytes; the
@@ -459,3 +473,39 @@ def test_rename_onto_dropped_name_rejected(spark, tmp_path):
     t.add_column("lang", T.StringType())
     t.rename_column("lang", "language")
     assert "language" in t.read(spark).columns
+
+
+def test_freed_name_reuse_add_keeps_renamed_lineage(spark, tmp_path):
+    """Soak-found round-5 regression: rename c->r frees the name, a NEW
+    column c is then added — old files' on-disk c bytes belong to the
+    still-alive r lineage and must keep serving r (the prior-life
+    force-drop must not touch them), while the new c reads its own
+    default on old rows. Checked through the plain read, the change
+    feed, and a rescale split."""
+    from airbyte_destination_spark.lake.datasource import LakeChangesDataSource
+
+    spark.dataSource.register(LakeChangesDataSource)
+    t = _mk(spark, tmp_path)
+    t.add_column("c", T.StringType())
+    t.merge(
+        spark.createDataFrame(
+            [("a", [1], 5, "U", "keep-a"), ("b", [2], 6, "U", "keep-b")],
+            "doc_id string, tokens array<int>, change_lsn long, op string, c string",
+        ),
+        epoch_id="e-c",
+    )
+    t.rename_column("c", "r")
+    t.add_column("c", T.StringType(), initial_default="fresh")
+    got = {row.doc_id: (row.r, row.c) for row in t.read(spark).collect()}
+    assert got == {"a": ("keep-a", "fresh"), "b": ("keep-b", "fresh")}
+    rows = (
+        spark.read.format("lake_changes").option("path", t.root).load().collect()
+    )
+    assert {r.r for r in rows if r.doc_id == "a"} >= {"keep-a"}
+    r_, calls = {"published": False}, 0
+    while not r_["published"]:
+        r_ = t.split_buckets(spark, factor=2)
+        calls += 1
+        assert calls <= 5
+    got = {row.doc_id: (row.r, row.c) for row in t.read(spark).collect()}
+    assert got == {"a": ("keep-a", "fresh"), "b": ("keep-b", "fresh")}
