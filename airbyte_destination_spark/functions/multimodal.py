@@ -164,9 +164,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         cid, size = struct.unpack("<4sI", data[i : i + 8])
         body = data[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1 or bits != 16:
                 raise ValueError("only 16-bit PCM supported")
+            if ch < 1:
+                raise ValueError("fmt chunk declares zero channels")
         elif cid == b"data":
             pcm = body
         i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -361,8 +365,14 @@ def synthetic_real_media(
             T.StructField("content", T.BinaryType(), True),
         ]
     )
+    # partition count scales with n (≈32 media rows per Python task)
+    # instead of always fanning to defaultParallelism: at small n the
+    # per-task JVM↔Python round trips dominate the decode itself
+    # (guide §4 — two chained mapInPandas stages × 32 near-empty
+    # batches), while at corpus scale this still widens to every core
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
     return (
-        spark.range(n)
+        spark.range(n, numPartitions=n_parts)
         .mapInPandas(gen, out_schema)
         .withColumn(
             "meta",
@@ -390,7 +400,6 @@ def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     scan JVM-side before any Python runs)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):

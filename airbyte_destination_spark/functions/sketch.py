@@ -172,6 +172,13 @@ def cms_state(
     tests/test_sketch.py), which is what makes the sketch maintainable
     under streaming ingest: each micro-batch contributes its own grid
     and the read path sums.
+
+    Cardinality assumption: the distinct pre-aggregate is a win when
+    values repeat (Zipf token streams — the designed workload). On a
+    NEAR-UNIQUE value column the first shuffle carries ~|instances|
+    rows and the pre-agg is a second exchange for nothing; if such
+    inputs matter, hash instances directly (posexplode the idxs off
+    the raw stream and skip the (group, value) aggregate).
     """
     vc = df.groupBy(*group_cols, value_col).agg(
         F.count(F.lit(1)).alias("_vc")

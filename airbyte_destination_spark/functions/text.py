@@ -827,7 +827,14 @@ def perplexity_buckets(
     """
     from airbyte_destination_spark.functions.stats import quantiles_exact
 
-    ppl = lm_perplexity(df, id_col=id_col, text_col=text_col, alpha=alpha)
+    # the scored table feeds BOTH the quantile boundaries and the final
+    # assignment: without truncation the plan embeds the whole bigram-LM
+    # pipeline twice (train + score re-run inside the boundary subtree).
+    # A lazy localCheckpoint makes both references share one computed
+    # RDD — the LM trains and scores once per query, not twice.
+    ppl = lm_perplexity(
+        df, id_col=id_col, text_col=text_col, alpha=alpha
+    ).localCheckpoint(eager=False)
     scored = ppl.where(F.col("perplexity").isNotNull()).withColumn(
         "_g", F.lit(1)
     )
@@ -1038,7 +1045,7 @@ def bpe_merges(
                 lambda i: F.substring(F.col("word"), i, F.lit(1)),
             )
         ).alias("pos", "tok"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     learned = []
     for rank in range(1, n_merges + 1):
@@ -1056,10 +1063,48 @@ def bpe_merges(
             break  # corpus exhausted: every word is a single token
         lhs, rhs, c = best[0]["tok"], best[0]["nxt"], best[0]["c"]
         learned.append((rank, lhs, rhs, int(c)))
-        ex = _bpe_merge_round(ex, lhs, rhs).localCheckpoint(eager=True)
+        # LAZY checkpoint: the plan truncates immediately, and the next
+        # round's argmax collect materializes it in its own job — one
+        # Spark job per round instead of two (safe here because the
+        # merge round references `ex` through ONE linear chain; the CC
+        # loop's multi-reference rounds measured slower lazy)
+        ex = _bpe_merge_round(ex, lhs, rhs).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         learned, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_segmentations(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(word, toks array<string>) — each distinct corpus word's final
+    BPE segmentation under `merges` applied exhaustively in rank order.
+    This is the trainer's final-round state rebuilt from the merge
+    list; callers that already ran training can materialize it once and
+    hand it to `bpe_encode(segmentations=...)` so encoding never
+    re-replays the merge rounds (the staged-table shape: compute once,
+    every consumer joins the materialization)."""
+    words = bpe_word_table(docs, text_col)
+    ex = words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            )
+        ).alias("pos", "tok"),
+    ).localCheckpoint(eager=False)
+    for lhs, rhs in merges:
+        # lazy checkpoints chain: each round's plan truncates, and ONE
+        # downstream action computes the whole chain as a single job
+        ex = _bpe_merge_round(ex, lhs, rhs).localCheckpoint(eager=False)
+    return ex.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("toks")
     )
 
 
@@ -1068,6 +1113,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentations: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the corpus with a learned BPE merge list: (doc_id,
     bpe_tokens array<string>, n_bpe).
@@ -1081,25 +1127,15 @@ def bpe_encode(
     broadcast — the segmented vocabulary is corpus-sized, the tfidf
     lesson) and reassemble in word order. Docs with no
     `[a-z0-9]+` words drop out (inner join), mirroring the trainer's
-    pre-tokenization filter."""
-    words = bpe_word_table(docs, text_col)
-    ex = words.select(
-        "word",
-        "cnt",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.substring(F.col("word"), i, F.lit(1)),
-            )
-        ).alias("pos", "tok"),
-    ).localCheckpoint(eager=True)
-    for lhs, rhs in merges:
-        ex = _bpe_merge_round(ex, lhs, rhs).localCheckpoint(eager=True)
-    wtoks = ex.groupBy("word").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-            lambda s: s["tok"],
-        ).alias("toks")
+    pre-tokenization filter.
+
+    `segmentations`: a precomputed `bpe_segmentations` table — when
+    given, the merge-round replay is skipped entirely and encoding is
+    the doc-side join + reassembly only."""
+    wtoks = (
+        segmentations
+        if segmentations is not None
+        else bpe_segmentations(docs, merges, text_col)
     )
 
     dw = docs.select(

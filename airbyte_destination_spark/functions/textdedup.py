@@ -467,7 +467,11 @@ def connected_components_star(
         # exponentially (measured: 2 GB plan string by round ~10).
         # Eager local checkpoint = materialize round output + cut the
         # plan; on a real cluster with lossy executors swap for
-        # reliable checkpoint(dir).
+        # reliable checkpoint(dir). (Round-6 note: a LAZY checkpoint
+        # materialized by the checksum job was tried to save one job
+        # per round and MEASURED SLOWER — 6.4s -> 10.3s for
+        # graph_components_star — because downstream references
+        # recompute the un-materialized subtree; keep eager.)
         nxt = _small_star(canon).localCheckpoint(eager=True)
         cur = _checksum(nxt)
         if edges.is_cached:

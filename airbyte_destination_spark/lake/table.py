@@ -405,6 +405,46 @@ def _zone_map_pred(keys_by_bucket: dict[int, list]):
     return pred
 
 
+# AQE toggle for merge-shaped jobs. The merge plan is fully determined
+# (explicit REPARTITION_BY_NUM to n_buckets, skew absorbed by the
+# max_by map-side combine), so adaptive re-planning buys nothing — but
+# it costs a driver-side re-optimization barrier per stage, measured as
+# a large fraction of small-epoch wall time at high parallelism
+# (streaming/pipeline.py first measured 2.3x epoch throughput with it
+# off). Round 6 moves the toggle down into LakeTable._apply so EVERY
+# merge caller gets it — the engine-replay queries call merge()
+# directly, not through apply_change_batch, and were paying the AQE
+# barriers on each of their per-epoch commits. Session-wide while an
+# apply is in flight (SQLConf has no per-plan switch); the lock makes
+# nested/concurrent applies restore the right value.
+_AQE_LOCK = threading.RLock()
+
+
+class _no_aqe:
+    """Context manager: AQE off for the duration of a merge-shaped job.
+    SPARK_GRAFT_MERGE_AQE=1 disables the toggle (A/B escape hatch)."""
+
+    def __init__(self, spark: SparkSession):
+        self.conf = spark.conf
+        self.off = os.environ.get("SPARK_GRAFT_MERGE_AQE", "0") != "1"
+
+    def __enter__(self):
+        if not self.off:
+            return
+        _AQE_LOCK.acquire()
+        self.prev = self.conf.get("spark.sql.adaptive.enabled", "true")
+        self.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        if not self.off:
+            return False
+        try:
+            self.conf.set("spark.sql.adaptive.enabled", self.prev)
+        finally:
+            _AQE_LOCK.release()
+        return False
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int):
     """Deterministic bucket id for a row: pmod(murmur3_hash(keys), N).
 
@@ -416,6 +456,55 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     spark_partition_id() under repartition(N, k).
     """
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+# literal-fold routing stays plan-bounded; larger probe lists take the
+# distributed path (which read_keys/read_prefix cap anyway)
+_ROUTE_FOLD_MAX = 1024
+
+
+def _route_keys(spark: SparkSession, keys: list, key_dt, n_buckets: int):
+    """[(key, bucket, xxhash64)] for a probe key list, deduplicated,
+    WITHOUT launching a Spark job when the list is small: the bucket and
+    hash expressions are evaluated over literals on a one-row VALUES
+    relation, which Catalyst constant-folds into a LocalTableScan whose
+    collect is driver-side (verified job-free; a createDataFrame-based
+    projection is an ExistingRDD scan and always pays one job). The
+    expressions are the SAME engine expressions bucket placement and the
+    bloom build use — Python never re-implements the hash. Probe lists
+    beyond _ROUTE_FOLD_MAX (or containing NULLs) fall back to one
+    distributed projection job."""
+    uniq = []
+    seen = set()
+    for k in keys:
+        if k not in seen:
+            seen.add(k)
+            uniq.append(k)
+    simple = key_dt.simpleString()
+    if uniq and len(uniq) <= _ROUTE_FOLD_MAX and None not in seen:
+        exprs = []
+        for i, k in enumerate(uniq):
+            kl = F.lit(k).cast(simple)
+            exprs.append(
+                F.pmod(F.hash(kl), F.lit(n_buckets)).cast("int").alias(f"b{i}")
+            )
+            exprs.append(F.xxhash64(kl).alias(f"h{i}"))
+        row = spark.sql("VALUES (1)").select(*exprs).collect()[0]
+        return [
+            (k, int(row[2 * i]), int(row[2 * i + 1]))
+            for i, k in enumerate(uniq)
+        ]
+    kdf = spark.createDataFrame(
+        [(k,) for k in uniq], T.StructType([T.StructField("k", key_dt, True)])
+    )
+    return [
+        (r[0], int(r[1]), int(r[2]))
+        for r in kdf.select(
+            F.col("k"),
+            F.pmod(F.hash("k"), F.lit(n_buckets)).cast("int"),
+            F.xxhash64("k"),
+        ).collect()
+    ]
 
 
 class LakeTable:
@@ -911,17 +1000,10 @@ class LakeTable:
         )
         keys_by_bucket: dict[int, list] = {}
         hashes_by_bucket: dict[int, list[int]] = {}
-        for r in (
-            kdf.select(
-                bucket_expr(key_cols, m["n_buckets"]).alias("_kb"),
-                F.col(key_cols[0]),
-                F.xxhash64(F.col(key_cols[0])).alias("_kh"),
-            )
-            .distinct()
-            .collect()
-        ):
-            keys_by_bucket.setdefault(int(r[0]), []).append(r[1])
-            hashes_by_bucket.setdefault(int(r[0]), []).append(int(r[2]))
+        key_dt = schema[key_cols[0]].dataType
+        for k, b, h in _route_keys(spark, keys, key_dt, m["n_buckets"]):
+            keys_by_bucket.setdefault(b, []).append(k)
+            hashes_by_bucket.setdefault(b, []).append(h)
         return kdf, keys_by_bucket, hashes_by_bucket
 
     def scan(
@@ -988,12 +1070,12 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         vdf = spark.createDataFrame([(v,) for v in values], T.StructType([schema[b0]]))
         by_bucket: dict[int, list] = {}
-        for r in (
-            vdf.select(bucket_expr(bcols, m["n_buckets"]).alias("_kb"), F.col(b0))
-            .distinct()
-            .collect()
+        # job-free literal-fold routing for small probe lists (see
+        # _route_keys)
+        for v, b, _h in _route_keys(
+            spark, values, schema[b0].dataType, m["n_buckets"]
         ):
-            by_bucket.setdefault(int(r[0]), []).append(r[1])
+            by_bucket.setdefault(b, []).append(v)
         buckets = sorted(by_bucket)
         pred = _zone_map_pred(by_bucket) if b0 == m["key_cols"][0] else None
         out = self._resolve(spark, m, buckets, schema, file_pred=pred)
@@ -1324,6 +1406,19 @@ class LakeTable:
             # silently falling back to key-sorted compaction would leave
             # the operator believing multi-dimensional pruning exists
             raise ValueError("cluster='zorder' requires cluster_by columns")
+        with _no_aqe(spark):  # fixed-shape fold+write, like _apply
+            return self._compact_no_aqe(
+                spark, min_files, cluster_by, max_records_per_file, cluster
+            )
+
+    def _compact_no_aqe(
+        self,
+        spark: SparkSession,
+        min_files: int,
+        cluster_by: list[str] | None,
+        max_records_per_file: int | None,
+        cluster: str,
+    ) -> int | None:
         for attempt in range(_COMMIT_ATTEMPTS):
             self._recover_orphan()
             base = self.current_version()
@@ -3424,6 +3519,27 @@ class LakeTable:
         return None  # rebase budget exhausted; caller may full-retry
 
     def _apply(
+        self,
+        batch: DataFrame,
+        mode: str,
+        epoch_id: str | None,
+        tiebreak_cols: list[str] | None = None,
+        lineage_df: DataFrame | None = None,
+        post_reduce=None,
+        carry_cols: tuple[str, ...] = (),
+        reduce: str = "lww",
+        stage: str | None = None,
+    ) -> MergeStats:
+        # every data job this method runs (lineage agg, bucketed write)
+        # has a fixed plan shape — run the whole apply with AQE off so
+        # its per-stage re-optimization barriers never tax the commit
+        with _no_aqe(batch.sparkSession):
+            return self._apply_no_aqe(
+                batch, mode, epoch_id, tiebreak_cols, lineage_df,
+                post_reduce, carry_cols, reduce, stage,
+            )
+
+    def _apply_no_aqe(
         self,
         batch: DataFrame,
         mode: str,

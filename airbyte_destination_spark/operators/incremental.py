@@ -296,7 +296,9 @@ def apply_with_rollup(
         )
     cdf = main.table_changes(
         spark, v_from=v_after - 1, v_to=v_after, pre_images=True
-    )
+    ).localCheckpoint(eager=True)  # one CDF computation serves the
+    # affected-group probe, the fold, the delete anti-join and the
+    # rollup merge's lineage+write jobs (see secondary_index)
     affected = cdf.select(*spec.dims).distinct()
 
     mm_cols = (

@@ -167,6 +167,15 @@ def refresh_join_view(
     d_changes, d_to = dim.poll_changes(spark, cd)
     if f_changes is None and d_changes is None:
         return None
+    # materialize each change window ONCE (see secondary_index.refresh_
+    # index): both feeds are referenced by several subtrees of the view
+    # batch (upserts, deletes, fan-out anti-join) and again by the
+    # merge's lineage + write jobs — without truncation every job
+    # re-runs the CDF snapshot-diff joins.
+    if f_changes is not None:
+        f_changes = f_changes.localCheckpoint(eager=True)
+    if d_changes is not None:
+        d_changes = d_changes.localCheckpoint(eager=True)
 
     dim_state = dim.read(spark, version=d_to or None).select(
         F.col(dkey).alias("__dk"),

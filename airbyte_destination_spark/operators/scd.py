@@ -178,6 +178,11 @@ def refresh_history(spark, base, hist, max_point_keys: int = 100_000):
     changes, v_to = base.poll_changes(spark, _SCD2_CONSUMER, pre_images=True)
     if changes is None:
         return None
+    # materialize the change window ONCE (see secondary_index.refresh_
+    # index): the closing-key probe, the merge's lineage aggregate and
+    # its bucketed write would otherwise each recompute the CDF join —
+    # 3x the per-refresh cost for a window that is O(epoch) rows.
+    changes = changes.localCheckpoint(eager=True)
     ct = F.col("change_type")
     payload = [c for c in changes.columns if c not in (key, "change_type")]
     opens = changes.where(ct.isin("insert", "update_postimage")).select(

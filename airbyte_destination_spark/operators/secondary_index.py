@@ -87,6 +87,12 @@ def refresh_index(
     changes, v_to = base.poll_changes(spark, consumer, pre_images=True)
     if changes is None:
         return None
+    # materialize the change window ONCE: the merge below runs two jobs
+    # (lineage aggregate + bucketed write) and each would otherwise
+    # recompute the CDF's snapshot-diff full-outer join from scratch —
+    # measured as the dominant per-refresh cost of the index/SCD2/view
+    # maintenance queries. The window is O(epoch), never O(table).
+    changes = changes.localCheckpoint(eager=True)
     ct = F.col("change_type")
     batch = changes.where(F.col(col).isNotNull()).select(
         F.col(col),

@@ -161,3 +161,39 @@ def test_bpe_encode_reproduces_training_segmentation(spark):
             want[i] = toks
     assert enc == want
     assert 3 not in enc  # the no-valid-words doc dropped
+
+
+def test_bpe_encode_with_precomputed_segmentations_identical(spark):
+    """Round-6 optimization contract: handing bpe_encode a materialized
+    bpe_segmentations table (the trained-tokenizer artifact the entry
+    queries stage) must yield byte-identical encodings to the direct
+    path that replays the merge rounds internally."""
+    from airbyte_destination_spark.functions.text import (
+        bpe_encode,
+        bpe_merges,
+        bpe_segmentations,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "banana bandana cabana aaaa",
+        "low lower lowest  the THE",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(docs, 6).orderBy("merge_rank").collect()
+    ]
+    direct = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    staged = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe)
+        for r in bpe_encode(
+            docs, merges, segmentations=bpe_segmentations(docs, merges)
+        ).collect()
+    }
+    assert direct == staged
