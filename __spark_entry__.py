@@ -43,9 +43,17 @@ def _mkdtemp(prefix: str) -> str:
     mkdtemp per replay per invocation)."""
     if not _SESSION_TMP:
         import atexit
+        import os
         import shutil
 
-        root = tempfile.mkdtemp(prefix="spark-entry-session-")
+        # memory-backed scratch (same policy as bench.py's phases):
+        # the replay fixtures are small relative to RAM and re-created
+        # per process, and disk-backed /tmp makes every engine commit
+        # pay physical I/O it wouldn't pay on a production node's
+        # NVMe/page cache. Falls back to the default tmp dir when
+        # /dev/shm is unavailable.
+        shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+        root = tempfile.mkdtemp(prefix="spark-entry-session-", dir=shm)
         _SESSION_TMP.append(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_SESSION_TMP[0])
@@ -283,8 +291,12 @@ def q_cdc_engine_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _txn_log(spark, sf_dir)
     # the final state is cap-independent (the plan query pins the exact
     # cap arithmetic); scale the cap so the replay is ~8 atomic commits
-    # at every sf rather than O(sf) commits of constant size
-    cap = max(TXN_RECORDS, log.count() // 8)
+    # at every sf rather than O(sf) commits of constant size. The log is
+    # one row per event, so the cap comes from the parquet footer count
+    # (driver-side metadata) instead of a Spark count job.
+    import pyarrow.parquet as pq
+
+    cap = max(TXN_RECORDS, pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 8)
     apply_txn_log(spark, log, table, cfg, max_records=cap)
     return table.read(spark).select(
         "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
@@ -4181,8 +4193,39 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sweep_session_blocks(spark: SparkSession) -> None:
+    """Unpersist block leftovers from PREVIOUS queries before starting a
+    new one. Several operators materialize intermediates (eager/lazy
+    localCheckpoint, the kmv sketch cache); their persisted RDD blocks
+    outlive the query that made them — the consumer has finished by the
+    time the next query builds — and over a 133-query session they
+    accumulate heap until the Python GC + ContextCleaner lap them,
+    taxing every later query's GC. Every module-level memo
+    (_REPLAY_CACHE / _TOKEN_LOG_CACHE / _BPE_CACHE / staging) is
+    path-backed, never block-backed, so sweeping between queries can
+    only force a recompute that never happens. Cost: a few ms of
+    driver-side bookkeeping."""
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — hygiene only, never fail a query
+        pass
+
+
+def _swept(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _sweep_session_blocks(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    d = {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_engine_cow_final_state": q_cdc_engine_cow_final_state,
@@ -4317,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "colocated_join_revenue": q_colocated_join_revenue,
     }
+    return {k: _swept(v) for k, v in d.items()}
 
 
 # -------------------------------------------------------------------- oracle

@@ -606,6 +606,11 @@ def semdedup(
         .withColumn(
             "cent_cos", _cell_cos_udf(cent_mat, cell_ids)(F.col("nv"), F.col("cell"))
         )
+        # materialized once: the assignment + centroid-cosine Arrow
+        # projections are referenced by BOTH sides of the cell self-join
+        # and by the final keep-join — without truncation each shuffle
+        # map stage re-runs the pandas UDFs over the whole corpus (3x)
+        .localCheckpoint(eager=True)
     )
     a = cc.select(
         F.col("cell"), F.col("vec_id").alias("a"),

@@ -458,10 +458,15 @@ def connected_components_star(
         iters += 1
         ls = _large_star(edges)
         # re-canonicalize (large-star emits v=component-min < u already,
-        # but duplicates across directions need the u>v form)
+        # but duplicates across directions need the u>v form). NO
+        # distinct here (round 6): small_star's min-aggregate is
+        # duplicate-insensitive and the round output is deduped once at
+        # its end, so a mid-round dedup was a full extra exchange per
+        # round buying nothing — the dup factor into small_star is
+        # bounded by 2 (each undirected edge appears at most twice).
         canon = ls.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         # localCheckpoint (not cache): each round references `edges`
         # 6-8x, so without lineage TRUNCATION the logical plan grows
         # exponentially (measured: 2 GB plan string by round ~10).

@@ -247,9 +247,16 @@ def _apply_change_batch_inner(
         eid = epoch_id if isinstance(epoch_id, str) else ",".join(epoch_id)
         qdir = os.path.join(cfg.quarantine_root, f"epoch={eid}")
         quarantined.write.mode("overwrite").parquet(qdir)
-        # footer-count read of what was just written (cheap; quarantine
-        # is the cold path) so MergeStats can report received vs applied
-        n_quarantined = batch.sparkSession.read.parquet(qdir).count()
+        # count what was just written from the parquet footers,
+        # driver-side (no Spark job; quarantine dirs are one small file
+        # tree per epoch) so MergeStats can report received vs applied
+        import pyarrow.parquet as pq
+
+        n_quarantined = sum(
+            pq.read_metadata(os.path.join(qdir, f)).num_rows
+            for f in os.listdir(qdir)
+            if f.endswith(".parquet")
+        )
         if n_quarantined == 0:
             # keep the dead-letter root meaning "actual dead letters":
             # a clean epoch leaves no dir for replay_quarantine to sweep

@@ -143,7 +143,12 @@ def stage_txn_epochs(
 
     Returns the ordered list of epoch directory paths.
     """
-    tag = plan.select(F.col("txn_id").alias("_plan_txn"), "epoch_id")
+    # materialize the plan once: its unpartitioned prefix-sum window
+    # would otherwise run twice (the count here and again inside the
+    # staging write's join); the plan is txn-count-sized (tail-scale)
+    tag = plan.select(
+        F.col("txn_id").alias("_plan_txn"), "epoch_id"
+    ).localCheckpoint(eager=False)
     n_txns = tag.count()
     if n_txns <= _BROADCAST_PLAN_MAX:
         tag = F.broadcast(tag)
