@@ -363,7 +363,8 @@ def q_cdc_engine_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.lit(k + 1).cast("long").alias("ver"),
             F.lit("I").alias("op"),
-        )
+        ).localCheckpoint(eager=True)  # one computation per epoch rollup
+        # (the merge's lineage + write jobs would re-run the aggregate)
         cat.apply_epoch(
             f"ep-{k}",
             {"base": (base, cut), "roll": (roll, rb)},
@@ -1040,7 +1041,12 @@ def q_cdc_engine_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = log.where(F.col("change_lsn") > horizon)
         table = LakeTable(_mkdtemp("engine-bootstrap-") + "/t")
         cfg = IngestConfig(key_cols=["doc_key"], n_buckets=8, merge_strategy="mor")
-        bootstrap_ingest(table, live, log_prefix_chunk_reader(log), cfg, n_chunks=4)
+        # lsns are the dense event_id domain, so the live tail's bounds
+        # are known without bootstrap_ingest's min/max job
+        bootstrap_ingest(
+            table, live, log_prefix_chunk_reader(log), cfg, n_chunks=4,
+            lsn_bounds=(horizon + 1, hi),
+        )
         _REPLAY_CACHE[key] = table
     return _REPLAY_CACHE[key].read(spark).select(
         "doc_key", F.col("change_lsn").alias("last_lsn"), "event_type", "value"
@@ -1539,6 +1545,11 @@ def q_cdc_engine_hll_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("change_lsn").alias("change_lsn"),
                 )
                 .withColumn("op", F.lit("U"))
+                # one computation of the epoch's register batch: the
+                # merge runs two jobs (lineage agg + bucketed write)
+                # and would otherwise re-run the sketch aggregation in
+                # each (the refresh-operator materialize-once pattern)
+                .localCheckpoint(eager=True)
             )
             table.merge(regs, epoch_id=f"hllivm-{i}", reduce="aggregate")
         _REPLAY_CACHE[key] = (table, None, None)
@@ -1604,6 +1615,8 @@ def q_cdc_engine_skew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     how="cross",
                 )
                 .withColumn("op", F.lit("U"))
+                # one computation per epoch grid (see hll_ivm note)
+                .localCheckpoint(eager=True)
             )
             table.merge(grid, epoch_id=f"skewivm-{i}", reduce="aggregate")
         _REPLAY_CACHE[key] = (table, None, None)
@@ -1824,6 +1837,8 @@ def q_cdc_engine_hdr_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     how="cross",
                 )
                 .withColumn("op", F.lit("U"))
+                # one computation per epoch grid (see hll_ivm note)
+                .localCheckpoint(eager=True)
             )
             table.merge(grid, epoch_id=f"hdrivm-{i}", reduce="aggregate")
         _REPLAY_CACHE[key] = (table, None, None)

@@ -235,6 +235,10 @@ def extract_features(
     formats raise NotImplementedError per the module contract. The
     decode itself is per-payload (as any real decode is) but batches
     amortize the Arrow transfer and the feature math is numpy."""
+    # only what the function reads crosses the JVM↔Python boundary —
+    # Spark cannot prune columns through an opaque mapInPandas, and
+    # `meta` (a map column) was being serialized into every batch unused
+    df = df.select("media_id", "kind", "content")
     if not fake:
 
         def op_real(
