@@ -167,14 +167,13 @@ def refresh_join_view(
     d_changes, d_to = dim.poll_changes(spark, cd)
     if f_changes is None and d_changes is None:
         return None
-    # materialize each change window ONCE (see secondary_index.refresh_
-    # index): both feeds are referenced by several subtrees of the view
-    # batch (upserts, deletes, fan-out anti-join) and again by the
-    # merge's lineage + write jobs — without truncation every job
-    # re-runs the CDF snapshot-diff joins.
-    if f_changes is not None:
-        f_changes = f_changes.localCheckpoint(eager=True)
-    if d_changes is not None:
+    # materialize the change window ONCE (see secondary_index.refresh_
+    # index). The assembled view batch below is checkpointed before the
+    # merge, which covers every reference on the semijoin path with a
+    # single materialization job; only the INDEX fan-out path collects
+    # the affected keys before the batch exists, so the dim feed is
+    # pre-materialized just for it.
+    if d_changes is not None and fk_index is not None:
         d_changes = d_changes.localCheckpoint(eager=True)
 
     dim_state = dim.read(spark, version=d_to or None).select(
@@ -242,6 +241,10 @@ def refresh_join_view(
             )
         )
 
+    # one computation of the whole refresh batch (both feeds' CDF
+    # joins, the dim-state join, the fan-out): the merge's lineage and
+    # write jobs read the materialized blocks instead of re-running it
+    batch = batch.localCheckpoint(eager=True)
     view.merge(batch, epoch_id=f"jv-{f_to}-{d_to}")
     if f_changes is not None:
         fact.ack(cf, f_to)
