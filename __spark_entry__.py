@@ -3209,18 +3209,19 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         )
     )
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
+    with _stream_shuffle(spark):
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("sessionize stream did not finish")
         q.stop()
-        raise TimeoutError("sessionize stream did not finish")
-    q.stop()
     return spark.read.schema(
         "user_id long, session_start_ms long, session_end_ms long, n_events long"
     ).parquet(f"{work}/out")
@@ -3245,19 +3246,20 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     )
-    q = (
-        dedup_stream(stream, ["user_id"])
-        .select("user_id")
-        .writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
+    with _stream_shuffle(spark):
+        q = (
+            dedup_stream(stream, ["user_id"])
+            .select("user_id")
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("dedup stream did not finish")
         q.stop()
-        raise TimeoutError("dedup stream did not finish")
-    q.stop()
     return spark.read.schema("user_id long").parquet(f"{work}/out")
 
 
@@ -3899,18 +3901,19 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
-    q = (
-        funnel_stream(stream, ["view", "click", "purchase"])
-        .writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
+    with _stream_shuffle(spark):
+        q = (
+            funnel_stream(stream, ["view", "click", "purchase"])
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("funnel stream did not finish")
         q.stop()
-        raise TimeoutError("funnel stream did not finish")
-    q.stop()
     return spark.read.schema("user_id long, converted_ms long").parquet(
         f"{work}/out"
     )
@@ -3970,17 +3973,18 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_ms=21_600_000,
     )
     work = _mkdtemp("ssjoin-")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("interval-join stream did not finish")
         q.stop()
-        raise TimeoutError("interval-join stream did not finish")
-    q.stop()
     return spark.read.schema(
         "user_id long, view_ms long, purchase_ms long"
     ).parquet(f"{work}/out")
@@ -4206,6 +4210,41 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), ["join", "vector", "scan"], k=20
     )
+
+
+class _stream_shuffle:
+    """Scale-adaptive shuffle/state partitioning for the streaming
+    queries. A stateful micro-batch commits one state-store delta per
+    shuffle partition per operator per batch (the stream-stream join
+    holds FOUR stores per partition), so at session width (32) the
+    commit fan-out dominates these seconds-long availableNow runs —
+    alternating A/B, 4-5 reps each at sf0.1: interval join 5.1s -> 2.1s,
+    dedup_stream 1.56 -> 0.87, funnel/sessionize ~ -0.3s at
+    cores/4 vs cores. The value derives from the session's width
+    (max(8, defaultParallelism // 4)), not a constant — on a wider
+    cluster it widens proportionally, and production deployments size
+    it to state volume via SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS.
+    Session-scoped set/restore; state partitioning binds at stream
+    start (each query uses a fresh checkpoint)."""
+
+    def __init__(self, spark: SparkSession):
+        self.conf = spark.conf
+        import os
+
+        env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+        self.n = (
+            int(env)
+            if env
+            else max(8, spark.sparkContext.defaultParallelism // 4)
+        )
+
+    def __enter__(self):
+        self.prev = self.conf.get("spark.sql.shuffle.partitions")
+        self.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
 
 
 def _sweep_session_blocks(spark: SparkSession) -> None:
