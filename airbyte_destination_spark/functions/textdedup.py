@@ -19,7 +19,7 @@ xxhash64/murmur3 which DuckDB lacks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -383,12 +383,18 @@ def connected_components_star(
     corpus with an adversarial dup chain still finishes in ~dozens of
     rounds, not millions.
 
-    Per round: two groupBy-min + join passes over the edge list — O(E)
-    shuffled per round, ~2x the per-round cost of min-label, which is
-    why `near_dup_clusters` defaults to min-label and exposes this as
-    `cc_algorithm="star"`. Convergence detected by edge-set checksum
-    (count + xxhash sum — one 1-row aggregate, control-plane only).
-    Deterministic min-lattice fixpoint, partitioning-independent.
+    Per round: two WINDOW-min passes over the edge list (each star's
+    per-center min rides one `u`-partitioned window, so the aggregate
+    and the re-hang share a single exchange — the groupBy+join form
+    paid an extra exchange and a sort-merge join per star) plus the
+    round-output dedup — O(E) shuffled per round, ~2x the per-round
+    cost of min-label, which is why `near_dup_clusters` defaults to
+    min-label and exposes this as `cc_algorithm="star"`. Convergence
+    is detected by an edge-set checksum (count + xxhash sum) OBSERVED
+    on the round's materialization job itself (`Observation` metrics
+    collected by the eager localCheckpoint), so a round costs exactly
+    one Spark job. Deterministic min-lattice fixpoint,
+    partitioning-independent.
     """
     fwd = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
@@ -420,31 +426,31 @@ def connected_components_star(
 
     def _large_star(e: DataFrame) -> DataFrame:
         # both directions; for each center u: m = min(neighbors ∪ {u});
-        # re-hang every STRICTLY LARGER neighbor off m
+        # re-hang every STRICTLY LARGER neighbor off m. The per-center
+        # min is a WINDOW over the same u-partitioning the re-hang
+        # reads — one exchange, no join (the groupBy+join form paid a
+        # second exchange plus a sort-merge join per round).
         adj = e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        w = Window.partitionBy("u")
         # no distinct here: the caller re-canonicalizes and dedups the
         # round output once — deduping twice is a wasted shuffle/round
         return (
-            adj.join(m, "u")
+            adj.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
-        # neighbors ≤ center only (e is canonical u>v, so group by u);
+        # neighbors ≤ center only (e is canonical u>v, so window by u);
         # m = min(smaller-neighbors ∪ {u}); hang them all (and u) off m
-        m = e.groupBy("u").agg(F.min("v").alias("m"))
-        nbrs = e.join(m, "u").select(
-            F.col("v").alias("n"), F.col("m"), F.col("u")
-        )
-        re_hung = nbrs.select(F.col("n").alias("u"), F.col("m").alias("v"))
-        center = nbrs.select(F.col("u"), F.col("m").alias("v"))
+        # — same single-exchange window shape as _large_star
+        w = Window.partitionBy("u")
+        nbrs = e.withColumn("m", F.min("v").over(w))
+        re_hung = nbrs.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        center = nbrs.select("u", F.col("m").alias("v"))
         # single dedup for the whole round output (center dups included)
         return (
             re_hung.unionByName(center)
@@ -476,9 +482,17 @@ def connected_components_star(
         # materialized by the checksum job was tried to save one job
         # per round and MEASURED SLOWER — 6.4s -> 10.3s for
         # graph_components_star — because downstream references
-        # recompute the un-materialized subtree; keep eager.)
-        nxt = _small_star(canon).localCheckpoint(eager=True)
-        cur = _checksum(nxt)
+        # recompute the un-materialized subtree; keep eager.) The
+        # convergence checksum rides the SAME materialization job as
+        # observed metrics — one Spark job per round, not two.
+        obs = Observation()
+        nxt = _small_star(canon).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint(eager=True)
+        mets = obs.get
+        cur = (mets["n"], mets["h"])
         if edges.is_cached:
             edges.unpersist()
         edges = nxt

@@ -460,20 +460,24 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
 
 # literal-fold routing stays plan-bounded; larger probe lists take the
 # distributed path (which read_keys/read_prefix cap anyway)
-_ROUTE_FOLD_MAX = 1024
+_ROUTE_FOLD_MAX = 8192
 
 
 def _route_keys(spark: SparkSession, keys: list, key_dt, n_buckets: int):
     """[(key, bucket, xxhash64)] for a probe key list, deduplicated,
     WITHOUT launching a Spark job when the list is small: the bucket and
-    hash expressions are evaluated over literals on a one-row VALUES
-    relation, which Catalyst constant-folds into a LocalTableScan whose
-    collect is driver-side (verified job-free; a createDataFrame-based
-    projection is an ExistingRDD scan and always pays one job). The
-    expressions are the SAME engine expressions bucket placement and the
-    bloom build use — Python never re-implements the hash. Probe lists
-    beyond _ROUTE_FOLD_MAX (or containing NULLs) fall back to one
-    distributed projection job."""
+    hash expressions are evaluated via ONE `transform` over a single
+    array literal on a one-row VALUES relation, which Catalyst
+    constant-folds into a LocalTableScan whose collect is driver-side
+    (verified job-free; a createDataFrame-based projection is an
+    ExistingRDD scan and always pays one job). One array literal keeps
+    analysis O(1) in expression count — the earlier two-expressions-
+    per-key form spent ~0.4 s of driver time per 1000 probe keys in
+    the analyzer/optimizer alone, which is why the fold cap can now sit
+    at 8192. The expressions are the SAME engine expressions bucket
+    placement and the bloom build use — Python never re-implements the
+    hash. Probe lists beyond _ROUTE_FOLD_MAX (or containing NULLs)
+    fall back to one distributed projection job."""
     uniq = []
     seen = set()
     for k in keys:
@@ -482,17 +486,17 @@ def _route_keys(spark: SparkSession, keys: list, key_dt, n_buckets: int):
             uniq.append(k)
     simple = key_dt.simpleString()
     if uniq and len(uniq) <= _ROUTE_FOLD_MAX and None not in seen:
-        exprs = []
-        for i, k in enumerate(uniq):
-            kl = F.lit(k).cast(simple)
-            exprs.append(
-                F.pmod(F.hash(kl), F.lit(n_buckets)).cast("int").alias(f"b{i}")
-            )
-            exprs.append(F.xxhash64(kl).alias(f"h{i}"))
-        row = spark.sql("VALUES (1)").select(*exprs).collect()[0]
+        arr = F.lit(uniq).cast(f"array<{simple}>")
+        expr = F.transform(
+            arr,
+            lambda kl: F.struct(
+                F.pmod(F.hash(kl), F.lit(n_buckets)).cast("int").alias("b"),
+                F.xxhash64(kl).alias("h"),
+            ),
+        ).alias("r")
+        row = spark.sql("VALUES (1)").select(expr).collect()[0]
         return [
-            (k, int(row[2 * i]), int(row[2 * i + 1]))
-            for i, k in enumerate(uniq)
+            (k, int(r["b"]), int(r["h"])) for k, r in zip(uniq, row["r"])
         ]
     kdf = spark.createDataFrame(
         [(k,) for k in uniq], T.StructType([T.StructField("k", key_dt, True)])
@@ -1288,16 +1292,38 @@ class LakeTable:
         NET semantics (like Iceberg CDF between non-adjacent snapshots):
         a key inserted and deleted inside the window emits nothing.
 
-        Plan shape: two snapshot reads full-outer-joined on the key —
-        both sides hash-partition on the same key columns, one exchange
-        each, no broadcast of table-sized data; with a version column
-        the changed-row test compares versions only (LWW invariant: one
-        (key, version) is one row), so payload columns never widen the
-        join condition.
+        Plan shape (one-pass fast path — the common case): every data
+        file of EITHER snapshot is read ONCE, tagged with literal
+        membership flags for the before/after file sets, and a single
+        key-grouped conditional LWW fold (max_by over (version, _cv),
+        the exact read-side ordering) computes both sides' visible
+        winners — one scan + ONE exchange, replacing two snapshot
+        reads (each a scan, plus a fold exchange on MOR) and a
+        full-outer join. Shared files (untouched buckets, MOR bases)
+        are scanned once instead of twice. When the window crosses
+        schema evolution or a strategy change, the general two-read
+        full-outer-join path below still applies — both sides
+        hash-partition on the key columns, no broadcast of table-sized
+        data; with a version column the changed-row test compares
+        versions only (LWW invariant: one (key, version) is one row),
+        so payload columns never widen the join condition.
         """
         m = self.manifest(v_to)
+        mb = self.manifest(v_from)
         key_cols = m["key_cols"]
         ver = m["version_col"]
+        if (
+            mb["schema_id"] == m["schema_id"]
+            and mb["schemas"] == m["schemas"]
+            and mb.get("renames") == m.get("renames")
+            and mb.get("adds") == m.get("adds")
+            and mb.get("drops") == m.get("drops")
+            and mb.get("defaults") == m.get("defaults")
+            and mb["key_cols"] == key_cols
+            and mb["version_col"] == ver
+            and mb.get("merge_strategy", "cow") == m.get("merge_strategy", "cow")
+        ):
+            return self._changes_one_pass(spark, mb, m, pre_images)
         after = self.read(spark, version=v_to)
         before = self.read(spark, version=v_from)
         cols = after.columns
@@ -1358,6 +1384,108 @@ class LakeTable:
         return (
             j.where(is_ins | is_del | differs)
             .select(*keys_out, F.explode(entries).alias("__c"))
+            .select(
+                *key_cols,
+                F.col("__c.change_type").alias("change_type"),
+                *[F.col(f"__c.{c}").alias(c) for c in payload_cols],
+            )
+        )
+
+    def _changes_one_pass(
+        self, spark: SparkSession, mb: dict, m: dict, pre_images: bool
+    ) -> DataFrame:
+        """Single-pass CDF (see table_changes): read the UNION of both
+        snapshots' data files once, each file flagged with its
+        membership in the before/after file sets, then fold both
+        sides' visible winners in one key-grouped aggregate. The
+        conditional max_by skips rows whose side flag is false (a null
+        ordering never wins) and uses the identical (version, _cv)
+        ordering as the read-side LWW fold, so each side's winner —
+        and therefore every emitted change row — matches the two-read
+        join path bit for bit. Tombstone winners make a key invisible
+        on that side, exactly like read()'s post-fold filter."""
+        schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        key_cols = m["key_cols"]
+        ver = m["version_col"]
+        cols = schema.fieldNames()
+        payload_cols = [c for c in cols if c not in key_cols]
+        target = T.StructType(
+            schema.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+        )
+        out_schema = T.StructType(
+            [schema[k] for k in key_cols]
+            + [T.StructField("change_type", T.StringType(), False)]
+            + [schema[c] for c in payload_cols]
+        )
+        by_group: dict[tuple, list[str]] = {}
+        for b in set(m["buckets"]) | set(mb["buckets"]):
+            ae = {e["path"]: e for e in m["buckets"].get(b, [])}
+            be = {e["path"]: e for e in mb["buckets"].get(b, [])}
+            for path, e in {**be, **ae}.items():
+                key = (
+                    str(e["schema_id"]),
+                    int(e.get("cv", 0)),
+                    bool(e.get("stored_cv")),
+                    path in be,
+                    path in ae,
+                )
+                by_group.setdefault(key, []).append(
+                    os.path.join(self.root, path)
+                )
+        if not by_group:
+            return spark.createDataFrame([], out_schema)
+        parts = [
+            self._read_file_group(spark, m, sid, cv, stored, paths, target)
+            .withColumn("_in_b", F.lit(in_b))
+            .withColumn("_in_a", F.lit(in_a))
+            for (sid, cv, stored, in_b, in_a), paths in by_group.items()
+        ]
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        pay = F.struct(
+            *[F.col(c) for c in payload_cols],
+            F.coalesce(F.col(_DELETED_COL), F.lit(False)).alias("_del"),
+        )
+        ordc = F.struct(
+            *([F.col(ver)] if ver is not None else []), F.col("_cv")
+        )
+        g = src.groupBy(*key_cols).agg(
+            F.max_by(
+                F.when(F.col("_in_a"), pay), F.when(F.col("_in_a"), ordc)
+            ).alias("_wa"),
+            F.max_by(
+                F.when(F.col("_in_b"), pay), F.when(F.col("_in_b"), ordc)
+            ).alias("_wb"),
+        )
+        pa = F.col("_wa").isNotNull() & ~F.col("_wa._del")
+        pb = F.col("_wb").isNotNull() & ~F.col("_wb._del")
+        if ver is not None:
+            differs = F.col(f"_wa.{ver}") != F.col(f"_wb.{ver}")
+        else:
+            differs = F.xxhash64(
+                *[F.col(f"_wa.{c}") for c in payload_cols]
+            ) != F.xxhash64(*[F.col(f"_wb.{c}") for c in payload_cols])
+
+        def _img(side: str, ct: str):
+            return F.struct(
+                F.lit(ct).alias("change_type"),
+                *[F.col(f"{side}.{c}").alias(c) for c in payload_cols],
+            )
+
+        upd = (
+            F.array(_img("_wb", "update_preimage"), _img("_wa", "update_postimage"))
+            if pre_images
+            else F.array(_img("_wa", "update"))
+        )
+        entries = (
+            F.when(pa & ~pb, F.array(_img("_wa", "insert")))
+            .when(pb & ~pa, F.array(_img("_wb", "delete")))
+            .otherwise(upd)
+        )
+        return (
+            g.where((pa & ~pb) | (pb & ~pa) | (pa & pb & differs))
+            .select(*key_cols, F.explode(entries).alias("__c"))
             .select(
                 *key_cols,
                 F.col("__c.change_type").alias("change_type"),
@@ -2277,52 +2405,65 @@ class LakeTable:
             return spark.createDataFrame([], target).withColumn(
                 "_cv", F.lit(0).cast("long")
             )
-        cv_field = T.StructField("_cv", T.LongType(), True)
-        target_cv = T.StructType(target.fields + [cv_field])
-        tgt_types = {f.name: f.dataType for f in target.fields}
-        parts = []
-        for (sid, cv, stored), paths in by_group.items():
-            file_schema = T.StructType(
-                T.StructType.fromJson(m["schemas"][sid]).fields
-                + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
-                + ([cv_field] if stored else [])
-            )
-            df = spark.read.schema(file_schema).parquet(*paths)
-            ren, dead = _file_column_maps(
-                m.get("renames"), m.get("adds"), m.get("drops"), sid
-            )
-            stale_cols = [c for c in dead if c in df.columns]
-            if stale_cols:
-                # the file lineage of these on-disk columns was DROPPED
-                # after the file was written: the values are a prior
-                # life — force-dropped BEFORE the rename projection, so
-                # no later rename/re-add can relabel the stale bytes
-                # into the current namespace
-                df = df.drop(*stale_cols)
-            if ren:
-                # ONE projection (not sequential renames): the composed
-                # map may reuse freed names (a->b with c->a)
-                df = df.select(
-                    *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
-                )
-            for dc, dv in (m.get("defaults") or {}).items():
-                # initial-default evolution: only files whose schema
-                # PREDATES the add read the default; files that have
-                # the column keep explicit NULLs
-                if dc not in df.columns and dc in tgt_types:
-                    df = df.withColumn(dc, F.lit(dv).cast(tgt_types[dc]))
-            if stored:
-                parts.append(align_to_schema(df, target_cv))
-            else:
-                parts.append(
-                    align_to_schema(df, target).withColumn(
-                        "_cv", F.lit(cv).cast("long")
-                    )
-                )
+        parts = [
+            self._read_file_group(spark, m, sid, cv, stored, paths, target)
+            for (sid, cv, stored), paths in by_group.items()
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_file_group(
+        self,
+        spark: SparkSession,
+        m: dict,
+        sid: str,
+        cv: int,
+        stored: bool,
+        paths: list[str],
+        target: T.StructType,
+    ) -> DataFrame:
+        """Read ONE (schema_id, commit version, stored-cv) file group
+        aligned to `target` plus the `_cv` column — the per-group body
+        of `_read_buckets`, shared with the one-pass CDF reader."""
+        cv_field = T.StructField("_cv", T.LongType(), True)
+        target_cv = T.StructType(target.fields + [cv_field])
+        tgt_types = {f.name: f.dataType for f in target.fields}
+        file_schema = T.StructType(
+            T.StructType.fromJson(m["schemas"][sid]).fields
+            + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+            + ([cv_field] if stored else [])
+        )
+        df = spark.read.schema(file_schema).parquet(*paths)
+        ren, dead = _file_column_maps(
+            m.get("renames"), m.get("adds"), m.get("drops"), sid
+        )
+        stale_cols = [c for c in dead if c in df.columns]
+        if stale_cols:
+            # the file lineage of these on-disk columns was DROPPED
+            # after the file was written: the values are a prior
+            # life — force-dropped BEFORE the rename projection, so
+            # no later rename/re-add can relabel the stale bytes
+            # into the current namespace
+            df = df.drop(*stale_cols)
+        if ren:
+            # ONE projection (not sequential renames): the composed
+            # map may reuse freed names (a->b with c->a)
+            df = df.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+            )
+        for dc, dv in (m.get("defaults") or {}).items():
+            # initial-default evolution: only files whose schema
+            # PREDATES the add read the default; files that have
+            # the column keep explicit NULLs
+            if dc not in df.columns and dc in tgt_types:
+                df = df.withColumn(dc, F.lit(dv).cast(tgt_types[dc]))
+        if stored:
+            return align_to_schema(df, target_cv)
+        return align_to_schema(df, target).withColumn(
+            "_cv", F.lit(cv).cast("long")
+        )
 
     # ------------------------------------------------------------- write
 

@@ -217,7 +217,13 @@ def refresh_history(spark, base, hist, max_point_keys: int = 100_000):
             F.lit(v_to).cast("long").alias("h_ver"),
             F.lit("U").alias("op"),
         )
-        batch = opens.unionByName(closes)
+        # materialize the assembled batch ONCE (the join-view refresh
+        # precedent): the closes leg embeds the whole bucket-pruned
+        # read_prefix probe plan, which the merge's lineage and write
+        # jobs would otherwise each re-plan and re-execute — the
+        # dominant per-refresh cost after the CDF window itself. The
+        # batch is O(epoch) opens + O(closing keys) rows.
+        batch = opens.unionByName(closes).localCheckpoint(eager=True)
     hist.merge(batch, epoch_id=f"scd2-{v_to}")
     base.ack(_SCD2_CONSUMER, v_to)
     return v_to
