@@ -74,7 +74,14 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
 
     This is the read-side of schema evolution: old data files are aligned
     to the table's current schema with one JVM-side select (no UDFs).
+    Already-aligned frames (same column names/types in the same order)
+    pass through untouched — the hot ingest path calls this per merge
+    and per file group, and the no-op Project only cost analyzer time.
     """
+    if [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in target.fields
+    ]:
+        return df
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f in target.fields:

@@ -78,6 +78,18 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # bigger shuffle write buffer = fewer flush syscalls per task
         .config("spark.shuffle.file.buffer", "1m")
+        # v2 file-output commit: task output renames to the destination
+        # at task commit instead of a serial per-file rename loop at job
+        # commit. The engine's manifest is the visibility gate (files
+        # are referenced only after the fsynced manifest commit), so
+        # v1's stricter job-commit atomicity buys nothing here, while
+        # its serial rename loop is a per-commit driver cost that grows
+        # with bucket count (measured ~0.04 s per 8-bucket merge commit
+        # locally; at 64+ buckets on object storage it is the dominant
+        # commit term).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Hadoop's ChecksumFileSystem serializes concurrent local writes
         # (measured 6x slowdown at 32 threads); raw local FS scales and
